@@ -1,0 +1,78 @@
+"""Arrow table ⇄ python-record helpers for map_groups bodies.
+
+Group-merge logic (merge.py) works on plain dicts; these helpers keep
+the Arrow round-trip schema-exact (pandas would silently turn nullable
+int64 into float64 and lists into object arrays).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Canonical record order replacing the reference's input order
+# ("first wins" dedup, pair direction) — SURVEY.md §2.11.
+CANON_SORT = ("reg_prio", "warc_ts", "id", "source_url")
+
+# nodes-table schema after enrichment (stages/extract.py + keys).
+NODES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("id", pa.string()),
+    ("name", pa.string()),
+    ("author", pa.string()),
+    ("description", pa.large_string()),
+    ("repository", pa.string()),
+    ("homepage", pa.string()),
+    ("version", pa.string()),
+    ("license", pa.string()),
+    ("implementation_language", pa.string()),
+    ("popularity_score", pa.int64()),
+    ("download_count", pa.int64()),
+    ("data_types", pa.list_(pa.string())),
+    ("tool_names", pa.list_(pa.string())),
+    ("registry_source", pa.string()),
+    ("source_url", pa.string()),
+    ("reg_prio", pa.int32()),
+    ("categories", pa.list_(pa.string())),
+    ("operations", pa.list_(pa.string())),
+    ("repo_key", pa.string()),
+    ("na_key", pa.string()),
+    ("content_key", pa.string()),
+    ("norm_name", pa.string()),
+    ("gid_tier", pa.int32()),
+    ("gid_candidate", pa.string()),
+])
+
+EDGES_SCHEMA = pa.schema([
+    ("id", pa.string()),
+    ("src", pa.string()),
+    ("dst", pa.string()),
+    ("rel_type", pa.string()),
+    ("confidence", pa.float64()),
+    ("description", pa.string()),
+    ("evidence", pa.list_(pa.string())),
+])
+
+
+def records_of(table: pa.Table) -> list[dict]:
+    return table.to_pylist()
+
+
+def table_of(records: list[dict], schema: pa.Schema) -> pa.Table:
+    if not records:
+        return schema.empty_table()
+    cols = {f.name: [r.get(f.name) for r in records] for f in schema}
+    return pa.table({n: pa.array(v, schema.field(n).type) for n, v in cols.items()},
+                    schema=schema)
+
+
+def canon_key(rec: dict) -> tuple:
+    """Sort key for the canonical record order; None-safe."""
+    return (rec.get("reg_prio") if rec.get("reg_prio") is not None else 99,
+            rec.get("warc_ts") or pa.scalar(0, pa.timestamp("us")).as_py(),
+            rec.get("id") or "",
+            rec.get("source_url") or "")
+
+
+def sort_canonical(records: list[dict]) -> list[dict]:
+    return sorted(records, key=canon_key)

@@ -1,0 +1,108 @@
+"""End-to-end knowledge-graph construction pipeline.
+
+read pages → extract (map_batches, html dropped immediately) → enrich
+(classify + keys) → exact dedup (3 keyed shuffles) → fuzzy dedup
+(LSH + components) → cross-registry merge → global ids → edge
+inference (blocked self-joins) → nodes/edges/membership tables.
+
+Mirrors the reference lifecycle /root/reference/src/main.py:97-190
+(scrape → dedup → categorize → infer → load) with the scrape replaced
+by the pages Parquet corpus and the Neo4j load replaced by Parquet
+materialization (graph-as-tables, SURVEY.md §2.1 S8-S9).
+
+The post-dedup entity table is materialized between wide stages — it is
+the narrow end of the funnel (entities ≪ pages) and each dedup phase
+consumes it more than once (candidate generation + tagging). The pages
+table itself is never materialized: extraction streams.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..stages.dedup_exact import dedup_exact
+from ..stages.dedup_near import dedup_fuzzy, merge_similar
+from ..stages.edges import infer_edges
+from ..stages.extract import enrich_batch, entities_only, extract_batch, texts_only
+from ..stages.ids import assign_global_ids
+
+MEMBERSHIP_SCHEMA = pa.schema([
+    ("server_id", pa.string()),
+    ("category_id", pa.string()),
+])
+
+
+def extract_entities(pages):
+    """pages → enriched entity rows (stateless map_batches chain)."""
+    slim = pages.select_columns(["url", "warc_ts", "html"])
+    extracted = slim.map_batches(extract_batch, batch_format="pyarrow")
+    return (extracted
+            .map_batches(entities_only, batch_format="pyarrow")
+            .map_batches(enrich_batch, batch_format="pyarrow"))
+
+
+def extract_texts(pages):
+    """pages → (url, text) — the byte-identical invariant surface."""
+    slim = pages.select_columns(["url", "warc_ts", "html"])
+    return (slim.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(texts_only, batch_format="pyarrow"))
+
+
+def canonical_nodes(pages):
+    """pages → deduplicated, globally-id'd nodes table."""
+    ents = extract_entities(pages).materialize()
+    d1 = dedup_exact(ents).materialize()
+    d2 = dedup_fuzzy(d1).materialize()
+    d3 = merge_similar(d2).materialize()
+    return assign_global_ids(d3).materialize()
+
+
+def _explode_membership(batch: pa.Table) -> pa.Table:
+    sids, cids = [], []
+    for sid, cats in zip(batch["id"].to_pylist(), batch["categories"].to_pylist()):
+        for c in cats or []:
+            sids.append(sid)
+            cids.append(c)
+    return pa.table({"server_id": sids, "category_id": cids},
+                    schema=MEMBERSHIP_SCHEMA)
+
+
+def membership_table(nodes):
+    """J2 semi-join-by-explode (/root/reference/src/main.py:149-163)."""
+    return (nodes.select_columns(["id", "categories"])
+            .map_batches(_explode_membership, batch_format="pyarrow"))
+
+
+def build_kg(pages, edge_cap: int = 400) -> dict:
+    """Full build. Returns dict of Datasets: nodes, edges, membership."""
+    nodes = canonical_nodes(pages)
+    edges = infer_edges(nodes, cap=edge_cap)
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "membership": membership_table(nodes),
+    }
+
+
+# ---- graph-side aggregates (SURVEY.md §2.7-2.8) -------------------------
+
+def category_histogram(membership):
+    """A1/A7: servers per category (main.py:222-229)."""
+    return membership.groupby("category_id").count()
+
+
+def registry_histogram(nodes):
+    """A2: servers per registry (main.py:232-239)."""
+    return nodes.groupby("registry_source").count()
+
+
+def language_top10(nodes):
+    """A3: top-10 implementation languages (main.py:242-250)."""
+    return (nodes.groupby("implementation_language").count()
+            .sort("count()", descending=True).limit(10))
+
+
+def popular_topk(nodes, k: int = 10):
+    """O1: ORDER BY popularity DESC LIMIT k (neo4j_integration.py:518-530)."""
+    return (nodes.select_columns(["id", "name", "popularity_score"])
+            .sort("popularity_score", descending=True).limit(k))

@@ -1,0 +1,211 @@
+"""Near-dup + cross-registry canonicalization — MinHash-LSH blocking.
+
+Replaces the reference's two O(n²) scans with shuffle-based blocking
+(SURVEY.md §2.5):
+
+  phase-1 fuzzy (/root/reference/src/deduplication.py:202-221):
+    norm_name char-3-shingle MinHash (32 perms) → 16 bands × 2 rows →
+    ``groupby(band_key)`` candidate pairs → exact
+    ``SequenceMatcher.ratio() > 0.85`` + ``servers_are_similar``
+    verification inside the block (difflib exactly — SURVEY.md §7 hard
+    part (d)) → connected components → per-component sequential
+    first-wins drop in canonical order (matching the reference's
+    "drop if fuzzy-matches an earlier kept record; no metadata merge",
+    deduplication.py:136-138 + 279-280).
+
+  phase-2 cross-registry merge (deduplication.py:323-373):
+    same LSH blocks (the s-curve at b=16, r=2 catches name-Jaccard
+    ≳0.25, far below the ratio ≈0.75 the 0.9 score threshold implies) →
+    ``are_highly_similar`` verification → components → per-component
+    reproduction of the reference's star-grouping scan with
+    completeness-max base selection (merge.merge_multiple).
+
+The slim verification fields ride inside the exploded band rows, so
+pair verification happens entirely within the band shuffle — no join
+back to the full table. Component labels (tiny: only near-dup-implicated
+ids) are broadcast via ``ray.put`` to tag records — the broadcast-small-
+side pattern; at 10^12-doc scale with adversarial dup density this
+becomes a partitioned hash join on id (same tag step, different
+physical plan).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..arrowutil import NODES_SCHEMA, records_of, sort_canonical, table_of
+from ..merge import are_highly_similar, fuzzy_name_match, merge_multiple, servers_are_similar
+from ..minhash import band_keys, char_shingles, minhash_signature, shingle_ids
+from ..normalize import normalize_name
+from .components import PAIR_SCHEMA, connected_components
+
+_NUM_PERM = 32
+_BANDS = 16
+_SLIM_COLS = ["id", "name", "norm_name", "author", "description", "categories",
+              "implementation_language", "repository", "registry_source"]
+
+_SLIM_SCHEMA = pa.schema([
+    ("band_key", pa.int64()),
+    ("id", pa.string()),
+    ("name", pa.string()),
+    ("norm_name", pa.string()),
+    ("author", pa.string()),
+    ("description", pa.large_string()),
+    ("categories", pa.list_(pa.string())),
+    ("implementation_language", pa.string()),
+    ("repository", pa.string()),
+    ("registry_source", pa.string()),
+])
+
+
+def _explode_bands(batch: pa.Table) -> pa.Table:
+    cols = {c: batch[c].to_pylist() for c in _SLIM_COLS}
+    out: dict[str, list] = {"band_key": []}
+    for c in _SLIM_COLS:
+        out[c] = []
+    for i, nn in enumerate(cols["norm_name"]):
+        # char-2 shingles: SequenceMatcher-similar names (transpositions,
+        # char swaps) keep much higher 2-shingle than 3-shingle Jaccard
+        sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
+        for bk in band_keys(sig, _BANDS):
+            out["band_key"].append(bk)
+            for c in _SLIM_COLS:
+                out[c].append(cols[c][i])
+    return table_of(
+        [dict(zip(out.keys(), vals)) for vals in zip(*out.values())] if out["band_key"] else [],
+        _SLIM_SCHEMA)
+
+
+def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
+    from difflib import SequenceMatcher
+    if kind == "fuzzy":
+        nn1, nn2 = normalize_name(r1.get("name")), normalize_name(r2.get("name"))
+        if nn1 == nn2:
+            return False
+        return (SequenceMatcher(None, nn1, nn2).ratio() > 0.85
+                and servers_are_similar(r1, r2))
+    return are_highly_similar(r1, r2)
+
+
+def _make_pair_fn(kind: str):
+    """kind: 'fuzzy' (phase-1 predicate) or 'similar' (phase-2 predicate)."""
+
+    def pairs_in_band(batch: pa.Table) -> pa.Table:
+        recs = records_of(batch)
+        # distinct ids in the band (a record can land twice via identical bands)
+        by_id = {}
+        for r in recs:
+            by_id.setdefault(r["id"], r)
+        recs = sorted(by_id.values(), key=lambda r: r["id"])
+        out_a, out_b = [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if _verify_pair(kind, recs[i], recs[j]):
+                    out_a.append(recs[i]["id"])
+                    out_b.append(recs[j]["id"])
+        return pa.table({"a": out_a, "b": out_b}, schema=PAIR_SCHEMA)
+
+    return pairs_in_band
+
+
+def _explode_author(batch: pa.Table) -> pa.Table:
+    """Second candidate family: exact-author blocks. The confirming
+    predicates weight author similarity 0.3 (servers_are_similar) /
+    0.2 (similarity_score), so nearly every confirmable pair shares an
+    author or repo org — author blocking catches what name-LSH misses
+    (e.g. transposed names with low shingle overlap)."""
+    import pyarrow.compute as pc
+    valid = batch.filter(pc.is_valid(batch["author"]))
+    recs = records_of(valid)
+    rows = []
+    for r in recs:
+        r = {c: r.get(c) for c in _SLIM_COLS}
+        r["block_key"] = (1 << 62) ^ (zlib_crc(f"author:{r['author']}"))
+        rows.append(r)
+    return table_of(rows, _SLIM_SCHEMA)
+
+
+def zlib_crc(s: str) -> int:
+    import zlib
+    return zlib.crc32(s.encode())
+
+
+def _candidate_pairs(nodes, kind: str):
+    lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
+    auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
+    # hot-author blocks are grid-salted by the same mechanism as edge
+    # inference via selfjoin.blocked_self_join when they exceed the cap;
+    # at the corpus scales tested a direct band groupby is balanced.
+    return lsh.union(auth).groupby("band_key").map_groups(
+        _make_pair_fn(kind), batch_format="pyarrow")
+
+
+def _tag_and_group(nodes, labels, group_fn):
+    """Broadcast component labels, route labeled rows through group_fn."""
+    import ray
+
+    label_map = {}
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        label_map.update(zip(b["node"].to_pylist(), b["component"].to_pylist()))
+    if not label_map:
+        return nodes
+    ref = ray.put(label_map)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        comps = [m.get(i, "") for i in batch["id"].to_pylist()]
+        return batch.append_column("comp", pa.array(comps, pa.string()))
+
+    import pyarrow.compute as pc
+
+    tagged = nodes.map_batches(tag, batch_format="pyarrow").materialize()
+    untouched = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["comp"], "")).drop_columns(["comp"]),
+        batch_format="pyarrow")
+    grouped = (tagged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["comp"], "")), batch_format="pyarrow")
+        .groupby("comp")
+        .map_groups(group_fn, batch_format="pyarrow"))
+    return untouched.union(grouped)
+
+
+def _phase1_group(batch: pa.Table) -> pa.Table:
+    recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
+    kept: list[dict] = []
+    for r in recs:
+        if not fuzzy_name_match(r, kept):
+            kept.append(r)
+    return table_of(kept, NODES_SCHEMA)
+
+
+def _phase2_group(batch: pa.Table) -> pa.Table:
+    recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
+    processed: set[int] = set()
+    out: list[dict] = []
+    for i, r in enumerate(recs):
+        if i in processed:
+            continue
+        sims = [j for j in range(i + 1, len(recs))
+                if j not in processed and are_highly_similar(r, recs[j])]
+        if sims:
+            out.append(merge_multiple([r] + [recs[j] for j in sims]))
+            processed.add(i)
+            processed.update(sims)
+        else:
+            out.append(r)
+            processed.add(i)
+    return table_of(out, NODES_SCHEMA)
+
+
+def dedup_fuzzy(nodes):
+    """Phase-1 fuzzy-name drop (after exact key dedup)."""
+    pairs = _candidate_pairs(nodes, "fuzzy")
+    labels = connected_components(pairs)
+    return _tag_and_group(nodes, labels, _phase1_group)
+
+
+def merge_similar(nodes):
+    """Phase-2 cross-registry similarity merge."""
+    pairs = _candidate_pairs(nodes, "similar")
+    labels = connected_components(pairs)
+    return _tag_and_group(nodes, labels, _phase2_group)

@@ -1,0 +1,103 @@
+"""Grid-salted blocked self-join — the skew-safe pair generator.
+
+Generic machinery for every "pairs within a block" step (relationship
+inference SURVEY.md §2.6, candidate verification). A bare
+``groupby(block_key).map_groups(pairs)`` dies on Zipfian blocks (the
+reference corpus had 69.8% of entities in one category,
+/root/reference/src/scale_assessment.py:127-128). Instead:
+
+  1. block sizes via a cheap ``groupby(block_key).count()``;
+  2. blocks over ``cap`` rows are salted into s = ⌈n/cap⌉ buckets by
+     ``crc32(id) % s``; each row is replicated to the s grid cells
+     (min(b,j), max(b,j)) — the classic triangle/grid self-join, so
+     every pair of rows meets in exactly one cell;
+  3. ``groupby(cell_key).map_groups`` emits pairs: within-bucket pairs
+     only in diagonal cells, cross-bucket pairs only in their one
+     off-diagonal cell → no duplicate pairs across salt replicas.
+
+The hot-block map is tiny (only keys with count > cap) and is
+broadcast via ``ray.put``. Replication cost is s copies per hot row —
+bounded by the block size the cluster can pair anyway.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from ..arrowutil import table_of
+
+
+def _hot_sizes(exploded, cap: int) -> dict[str, int]:
+    sizes = exploded.groupby("block_key").count()
+    hot: dict[str, int] = {}
+    for b in sizes.iter_batches(batch_format="pyarrow"):
+        counts = b["count()"].to_pylist()
+        keys = b["block_key"].to_pylist()
+        for k, n in zip(keys, counts):
+            if n > cap:
+                hot[k] = n
+    return hot
+
+
+def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400):
+    """exploded: Dataset with 'block_key' + 'id' + carry columns.
+
+    pair_fn(rec1, rec2) -> list[dict] edge records (rec1.id < rec2.id).
+    Returns a Dataset with out_schema rows.
+    """
+    import ray
+
+    hot = _hot_sizes(exploded, cap)
+    hot_ref = ray.put({k: -(-n // cap) for k, n in hot.items()})  # key -> s buckets
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        smap = ray.get(hot_ref)
+        cols = batch.column_names
+        data = {c: batch[c].to_pylist() for c in cols}
+        out = {c: [] for c in cols}
+        out["cell_key"] = []
+        out["bucket"] = []
+        for i in range(batch.num_rows):
+            key = data["block_key"][i]
+            s = smap.get(key, 1)
+            b = zlib.crc32(str(data["id"][i]).encode()) % s
+            cells = {(min(b, j), max(b, j)) for j in range(s)}
+            for ci, cj in cells:
+                for c in cols:
+                    out[c].append(data[c][i])
+                out["cell_key"].append(f"{key}|{ci}|{cj}")
+                out["bucket"].append(b)
+        arrays = {c: pa.array(out[c], batch.schema.field(c).type) for c in cols}
+        arrays["cell_key"] = pa.array(out["cell_key"], pa.string())
+        arrays["bucket"] = pa.array(out["bucket"], pa.int32())
+        return pa.table(arrays)
+
+    celled = exploded.map_batches(to_cells, batch_format="pyarrow")
+
+    def cell_pairs(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_key"][0].as_py()
+        ci, cj = (int(x) for x in cell.rsplit("|", 2)[-2:])
+        recs = batch.to_pylist()
+        # dedupe by id within the cell (identical exploded rows can repeat)
+        by_id = {}
+        for r in recs:
+            by_id.setdefault(r["id"], r)
+        recs = sorted(by_id.values(), key=lambda r: r["id"])
+        edges: list[dict] = []
+        if ci == cj:
+            members = [r for r in recs if r["bucket"] == ci]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    edges.extend(pair_fn(members[x], members[y]))
+        else:
+            left = [r for r in recs if r["bucket"] == ci]
+            right = [r for r in recs if r["bucket"] == cj]
+            for r1 in left:
+                for r2 in right:
+                    a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
+                    edges.extend(pair_fn(a, b))
+        return table_of(edges, out_schema)
+
+    return celled.groupby("cell_key").map_groups(cell_pairs, batch_format="pyarrow")
