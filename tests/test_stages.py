@@ -1,0 +1,125 @@
+"""Unit tests for the distributed building blocks."""
+
+import pyarrow as pa
+
+from askg_ray.merge import completeness_score, merge_phase1, merge_phase2
+
+
+def test_merge_phase1_rules():
+    base = {"description": None, "version": "1.0", "categories": ["b"],
+            "operations": ["read"], "data_types": [], "tool_names": ["t1"],
+            "popularity_score": 5, "download_count": 0, "warc_ts": 1}
+    dup = {"description": "d", "version": "2.0", "categories": ["a"],
+           "operations": ["write"], "data_types": ["x"], "tool_names": ["t1", "t2"],
+           "popularity_score": 9, "download_count": 0, "warc_ts": 2}
+    m = merge_phase1(base, dup)
+    assert m["description"] == "d"          # fill-empty
+    assert m["version"] == "1.0"            # keep non-empty base
+    assert m["categories"] == ["a", "b"]    # sorted union
+    assert m["tool_names"] == ["t1", "t2"]  # union by name, base first
+    assert m["popularity_score"] == 9       # max
+    assert m["warc_ts"] == 2                # latest
+
+
+def test_merge_phase2_no_tools_union():
+    base = {"tool_names": ["t1"], "categories": [], "operations": [],
+            "implementation_language": None}
+    other = {"tool_names": ["t2"], "categories": [], "operations": [],
+             "implementation_language": "go"}
+    m = merge_phase2(base, other)
+    assert m["tool_names"] == ["t1"]                 # phase-2 keeps base tools
+    assert m["implementation_language"] == "go"       # phase-2 fills language
+
+
+def test_completeness_score():
+    assert completeness_score({}) == 0
+    s = {"description": "d", "repository": "r", "tool_names": ["a", "b"],
+         "categories": ["c"], "popularity_score": 1}
+    assert completeness_score(s) == 2 + 2 + 2 + 1 + 1
+
+
+def test_connected_components_driver_and_distributed(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.components import connected_components
+
+    t = pa.table({"a": ["a", "b", "x", "m"], "b": ["b", "c", "y", "m"]})
+    pairs = rd.from_arrow(t)
+    # driver path
+    labels = {r["node"]: r["component"]
+              for b in connected_components(pairs).iter_batches(batch_format="pyarrow")
+              for r in b.to_pylist()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "m": "m"}
+    # distributed hash-to-min path (force it)
+    labels2 = {r["node"]: r["component"]
+               for b in connected_components(pairs, driver_threshold=0)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+    assert labels2 == labels
+
+
+def test_blocked_self_join_matches_naive(ray_session):
+    """Grid-salted pairs == naive all-pairs within each block, no dupes."""
+    import ray.data as rd
+
+    from askg_ray.stages.selfjoin import blocked_self_join
+
+    n = 37
+    rows = [{"block_key": "k" if i < 30 else "k2", "id": f"id{i:03d}", "v": i}
+            for i in range(n)]
+    schema = pa.schema([("block_key", pa.string()), ("id", pa.string()),
+                        ("v", pa.int64())])
+    t = pa.table({c: [r[c] for r in rows] for c in ("block_key", "id", "v")},
+                 schema=schema)
+    out_schema = pa.schema([("pair", pa.string())])
+
+    def pair_fn(r1, r2):
+        return [{"pair": f"{r1['id']}|{r2['id']}"}]
+
+    # cap=7 → the 30-row block is split into ⌈30/7⌉=5 salt buckets
+    got = [r["pair"] for b in blocked_self_join(rd.from_arrow(t), pair_fn,
+                                                out_schema, cap=7)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()]
+    ids1 = sorted(r["id"] for r in rows if r["block_key"] == "k")
+    ids2 = sorted(r["id"] for r in rows if r["block_key"] == "k2")
+    expected = {f"{a}|{b}" for ids in (ids1, ids2)
+                for i, a in enumerate(ids) for b in ids[i + 1:]}
+    assert len(got) == len(expected), "duplicate or missing pairs"
+    assert set(got) == expected
+
+
+def test_dedup_exact_merges_key_dups(ray_session):
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.dedup_exact import dedup_exact
+
+    pages = rd.from_arrow(gen_pages(30, seed=3))
+    ents = extract_entities(pages).materialize()
+    survivors = dedup_exact(ents).materialize()
+    assert survivors.count() < ents.count()
+    # no two survivors share a non-null repo_key
+    keys = [r["repo_key"] for b in survivors.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist() if r["repo_key"]]
+    assert len(keys) == len(set(keys))
+
+
+def test_global_id_suffix_uniqueness(ray_session):
+    import ray.data as rd
+
+    from askg_ray.arrowutil import NODES_SCHEMA, table_of
+    from askg_ray.stages.ids import assign_global_ids
+
+    recs = []
+    for i in range(4):
+        recs.append({"id": f"r{i}", "gid_candidate": "owner/repo", "gid_tier": 1,
+                     "reg_prio": i % 2, "warc_ts": None, "source_url": f"u{i}",
+                     "name": "n", "categories": [], "operations": [],
+                     "data_types": [], "tool_names": []})
+    ds = rd.from_arrow(table_of(recs, NODES_SCHEMA))
+    out = [r for b in assign_global_ids(ds).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()]
+    ids = sorted(r["id"] for r in out)
+    assert ids == ["owner/repo", "owner/repo-1", "owner/repo-2", "owner/repo-3"]
+    assert all(r["registry_id"].startswith("r") for r in out)
