@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001;
+``queries()`` exposes every implemented operator (SURVEY.md §2 +
+the training-data ops family); ``oracle_sql()`` gives DuckDB
+equivalents where the op is SQL-expressible (others get the weaker
+rows-only check: the KG pipeline itself is covered by the pytest
+parity harness against the reference-semantics oracle instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init / ray.shutdown anywhere in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +16,192 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# KG pipeline on pages rendered from the documents table (docs_adapter).
+# Built once per sf_dir per process — several queries() entries share it.
+_KG_CACHE: dict[str, dict] = {}
+
+
+def _kg(sf_dir: str) -> dict:
+    if sf_dir not in _KG_CACHE:
+        from askg_ray.pipelines.kg import build_kg
+        from askg_ray.sources.docs_adapter import pages_from_documents
+
+        _KG_CACHE[sf_dir] = build_kg(pages_from_documents(sf_dir))
+    return _KG_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → extract → dedup → canonicalize → nodes."""
+    return _kg(SF0001)["nodes"]
+
+
+# ---------------------------------------------------------------------------
+
+def _kg_nodes(sf_dir):
+    ds = _kg(sf_dir)["nodes"]
+    return ds.select_columns(["id", "name", "author", "registry_source",
+                              "implementation_language", "popularity_score"])
+
+
+def _kg_edges(sf_dir):
+    return _kg(sf_dir)["edges"].select_columns(
+        ["id", "src", "dst", "rel_type", "confidence"])
+
+
+def _kg_membership(sf_dir):
+    return _kg(sf_dir)["membership"]
+
+
+def _kg_registry_hist(sf_dir):
+    from askg_ray.pipelines.kg import registry_histogram
+    return registry_histogram(_kg(sf_dir)["nodes"])
+
+
+def _kg_category_hist(sf_dir):
+    from askg_ray.pipelines.kg import category_histogram
+    return category_histogram(_kg(sf_dir)["membership"])
+
+
+def _kg_popular_topk(sf_dir):
+    from askg_ray.pipelines.kg import popular_topk
+    return popular_topk(_kg(sf_dir)["nodes"], k=10)
+
+
+def _kg_texts(sf_dir):
+    """Byte-identical extraction surface: url + extracted text."""
+    from askg_ray.pipelines.kg import extract_texts
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    return extract_texts(pages_from_documents(sf_dir))
+
+
+def _kg_mentions(sf_dir):
+    """Broadcast-alias-dictionary mention linking over page texts."""
+    import pyarrow.parquet as pq
+
+    from askg_ray.normalize import global_id_candidate, normalize_name
+    from askg_ray.sources.docs_adapter import entity_from_index
+    from askg_ray.stages.link import link_mentions
+    import pyarrow as pa
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    aliases, eids, weights = [], [], []
+    for i in range(n_docs):
+        e = entity_from_index(i)
+        _, gid = global_id_candidate(e["name"], e["author"], e["repository"],
+                                     e["description"], e["tools"])
+        for form in sorted({e["name"], normalize_name(e["name"])}):
+            if form:
+                aliases.append(form)
+                eids.append(gid)
+                weights.append(round(0.5 + len(form) / 80.0, 4))
+    alias_table = pa.table({"alias": aliases, "entity_id": eids,
+                            "weight": weights})
+    return link_mentions(_kg_texts(sf_dir), alias_table)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from askg_ray.ops import dedup, relational, similarity, text
+    from askg_ray.ops.multimodal import media_features
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def fingerprints_sql_cols(sf_dir):
+        return text.fingerprints(sf_dir).select_columns(["doc_id", "fp"])
+
+    return {
+        # -- relational (SQL-checked) --------------------------------------
+        "doc_count_by_source": relational.doc_count_by_source,
+        "doc_lang_hist": relational.doc_lang_hist,
+        "doc_dup_groups": relational.doc_dup_groups,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "orders_by_segment": relational.orders_by_segment,
+        "top_parts_by_price": relational.top_parts_by_price,
+        "events_hourly": relational.events_hourly,
+        "events_user_windows": relational.events_user_windows,
+        "filter_contains": relational.filter_contains,
+        # -- text analysis -------------------------------------------------
+        "token_stats": text.token_stats,
+        "doc_fingerprints": fingerprints_sql_cols,
+        "langid": text.langid,
+        # -- dedup family --------------------------------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash": dedup.minhash_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
+        "dedup_simhash": dedup.simhash_dedup,
+        "dedup_embedding": dedup.embedding_dedup,
+        # -- similarity search ---------------------------------------------
+        "ann_cosine_top10": similarity.ann_bruteforce,
+        "ann_lsh_top10": similarity.ann_lsh,
+        # -- multimodal plumbing (stubbed decode) --------------------------
+        "media_features": media_features,
+        # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
+        "kg_nodes": _kg_nodes,
+        "kg_edges": _kg_edges,
+        "kg_membership": _kg_membership,
+        "kg_registry_hist": _kg_registry_hist,
+        "kg_category_hist": _kg_category_hist,
+        "kg_popular_topk": _kg_popular_topk,
+        "kg_texts": _kg_texts,
+        "kg_mentions": _kg_mentions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from askg_ray.ops.text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "doc_count_by_source":
+            "SELECT source, count(*) AS n FROM documents GROUP BY source",
+        "doc_lang_hist":
+            "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "doc_dup_groups":
+            "SELECT n_chars, count(*) AS n FROM documents "
+            "GROUP BY n_chars HAVING count(*) > 1",
+        "lineitem_pricing_summary":
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+            "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "orders_by_segment":
+            "SELECT c.c_mktsegment, count(*) AS n_orders, "
+            "max(o.o_totalprice) AS max_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment",
+        "top_parts_by_price":
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+        "events_hourly":
+            "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2",
+        "events_user_windows":
+            "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2",
+        "filter_contains":
+            "SELECT source, count(*) AS n FROM documents "
+            "WHERE regexp_matches(lower(text), 'data') GROUP BY source",
+        "token_stats":
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(string_split(text, ' ')) AS n_tokens, "
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({stoplist}))) "
+            "AS n_stopwords, "
+            "len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens "
+            "FROM documents",
+        "doc_fingerprints":
+            "SELECT doc_id, md5(text) AS fp FROM documents",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id, md5(text) AS fp FROM documents "
+            "GROUP BY md5(text)",
+        "ann_cosine_top10":
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT row_number() OVER (ORDER BY list_cosine_similarity("
+            "e.embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM q)) DESC, "
+            "e.vec_id) AS rank, e.vec_id, e.label "
+            "FROM embeddings e WHERE e.vec_id <> 0 "
+            "ORDER BY rank LIMIT 10",
+        # langid / near-dup family / LSH-ANN / media / KG pipeline entries:
+        # intentionally no SQL (non-SQL-expressible; rows-only check).
+        # KG correctness is covered by tests/test_parity.py against the
+        # reference-semantics oracle.
+    }

@@ -1,0 +1,236 @@
+"""Document-level deduplication family (training-data-pipeline ops).
+
+Five dedup strategies over the ``documents`` table, each emitting the
+full (doc_id, rep_id) assignment — rep_id = min doc_id of the duplicate
+cluster, rep_id == doc_id for uniques:
+
+  exact          md5(text) hash-partition + per-group min (SQL-checkable)
+  minhash_lsh    word-3-shingle MinHash (64 perm) → 16-band LSH →
+                 estimated-Jaccard verify ≥ 0.5 → connected components
+  ngram_jaccard  same blocking, EXACT shingle-set Jaccard verify ≥ 0.5
+  simhash        64-bit SimHash, 4×16-bit bands (pigeonhole: hamming ≤ 3
+                 ⇒ ≥1 intact band), verify hamming ≤ 3
+  embedding      random-hyperplane LSH over the embedding column,
+                 verify cosine ≥ 0.95
+
+All shuffles are keyed on band values; verification happens inside the
+band group with the needed payload (signature / shingle ids / vector)
+carried in the exploded rows — no join back to the corpus. Components
+via stages/components.py (hash-to-min).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..minhash import (
+    band_keys,
+    hamming64,
+    minhash_signature,
+    shingle_ids,
+    simhash64,
+    word_shingles,
+)
+from ..stages.components import PAIR_SCHEMA, connected_components
+
+_ASSIGN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("rep_id", pa.int64())])
+
+
+# ---- exact ---------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """min(doc_id) per md5(text) — the SQL-checkable exact strategy."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .text import fingerprint_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fps = docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+    agg = fps.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return agg.map_batches(lambda t: t.select(["doc_id", "fp"]),
+                           batch_format="pyarrow")
+
+
+# ---- shared near-dup machinery ------------------------------------------
+
+def _near_dedup(blocks, verify_fn, all_ids):
+    """blocks: Dataset[(block_key, doc_id, payload...)] → assignments."""
+    import ray
+
+    def pairs_in_block(batch: pa.Table) -> pa.Table:
+        recs = batch.to_pylist()
+        by_id = {}
+        for r in recs:
+            by_id.setdefault(r["doc_id"], r)
+        recs = sorted(by_id.values(), key=lambda r: r["doc_id"])
+        a, b = [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if verify_fn(recs[i], recs[j]):
+                    a.append(str(recs[i]["doc_id"]).zfill(12))
+                    b.append(str(recs[j]["doc_id"]).zfill(12))
+        return pa.table({"a": a, "b": b}, schema=PAIR_SCHEMA)
+
+    pairs = blocks.groupby("block_key").map_groups(pairs_in_block,
+                                                   batch_format="pyarrow")
+    labels = connected_components(pairs)
+    label_map = {}
+    for bt in labels.iter_batches(batch_format="pyarrow"):
+        for n, c in zip(bt["node"].to_pylist(), bt["component"].to_pylist()):
+            label_map[int(n)] = int(c)
+    ref = ray.put(label_map)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        reps = [m.get(i, i) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rep_id": pa.array(reps, pa.int64())},
+                        schema=_ASSIGN_SCHEMA)
+
+    return all_ids.map_batches(assign, batch_format="pyarrow")
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+# ---- minhash / ngram-jaccard --------------------------------------------
+
+_MH_PERM = 64
+_MH_BANDS = 16
+
+
+def _minhash_blocks(batch: pa.Table, keep_shingles: bool) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_key, out_id, out_sig, out_sh = [], [], [], []
+    for did, t in zip(ids, texts):
+        sh = shingle_ids(word_shingles((t or "").lower(), k=3))
+        sig = minhash_signature(sh, _MH_PERM)
+        for bk in band_keys(sig, _MH_BANDS):
+            out_key.append(bk)
+            out_id.append(did)
+            out_sig.append(sig.tobytes())
+            out_sh.append(sh.tobytes() if keep_shingles else b"")
+    return pa.table({
+        "block_key": pa.array(out_key, pa.int64()),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "sig": pa.array(out_sig, pa.binary()),
+        "sh": pa.array(out_sh, pa.binary()),
+    })
+
+
+def _verify_est_jaccard(r1, r2, thresh=0.5) -> bool:
+    s1 = np.frombuffer(r1["sig"], dtype=np.uint64)
+    s2 = np.frombuffer(r2["sig"], dtype=np.uint64)
+    return float(np.mean(s1 == s2)) >= thresh
+
+
+def _verify_exact_jaccard(r1, r2, thresh=0.5) -> bool:
+    a = set(np.frombuffer(r1["sh"], dtype=np.uint64).tolist())
+    b = set(np.frombuffer(r2["sh"], dtype=np.uint64).tolist())
+    if not a and not b:
+        return False
+    u = len(a | b)
+    return (len(a & b) / u if u else 0.0) >= thresh
+
+
+def minhash_dedup(sf_dir: str):
+    docs = _read_docs(sf_dir).materialize()
+    blocks = docs.map_batches(lambda t: _minhash_blocks(t, False),
+                              batch_format="pyarrow")
+    return _near_dedup(blocks, _verify_est_jaccard, docs)
+
+
+def ngram_jaccard_dedup(sf_dir: str):
+    docs = _read_docs(sf_dir).materialize()
+    blocks = docs.map_batches(lambda t: _minhash_blocks(t, True),
+                              batch_format="pyarrow")
+    return _near_dedup(blocks, _verify_exact_jaccard, docs)
+
+
+# ---- simhash -------------------------------------------------------------
+
+def _simhash_blocks(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out_key, out_id, out_h = [], [], []
+    for did, t in zip(ids, texts):
+        toks = shingle_ids([w for w in (t or "").lower().split(" ") if w])
+        h = simhash64(toks)
+        for band in range(4):  # 4 × 16-bit bands
+            seg = (h >> (band * 16)) & 0xFFFF
+            out_key.append((band << 16) | seg)
+            out_id.append(did)
+            out_h.append(h - (1 << 64) if h >= (1 << 63) else h)  # store signed
+    return pa.table({
+        "block_key": pa.array(out_key, pa.int64()),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "sim": pa.array(out_h, pa.int64()),
+    })
+
+
+def _verify_hamming(r1, r2, maxd=3) -> bool:
+    h1, h2 = r1["sim"] & ((1 << 64) - 1), r2["sim"] & ((1 << 64) - 1)
+    return hamming64(h1, h2) <= maxd
+
+
+def simhash_dedup(sf_dir: str):
+    docs = _read_docs(sf_dir).materialize()
+    blocks = docs.map_batches(_simhash_blocks, batch_format="pyarrow")
+    return _near_dedup(blocks, _verify_hamming, docs)
+
+
+# ---- embedding cosine ----------------------------------------------------
+
+def _hyperplanes(dim: int, nbits: int = 32, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim)).astype(np.float64)
+
+
+def _embed_blocks(batch: pa.Table) -> pa.Table:
+    ids = batch["vec_id"].to_pylist()
+    vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    planes = _hyperplanes(vecs.shape[1])
+    bits = (vecs @ planes.T) > 0  # n × 32
+    out_key, out_id, out_vec = [], [], []
+    for row, did, v in zip(bits, ids, vecs):
+        word = int(np.packbits(row, bitorder="little")[:4].view(np.uint32)[0]) \
+            if row.size >= 32 else 0
+        for band in range(4):  # 4 × 8-bit bands of the 32-bit sketch
+            seg = (word >> (band * 8)) & 0xFF
+            out_key.append((band << 8) | seg)
+            out_id.append(did)
+            out_vec.append(v.tobytes())
+    return pa.table({
+        "block_key": pa.array(out_key, pa.int64()),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "vec": pa.array(out_vec, pa.binary()),
+    })
+
+
+def _verify_cosine(r1, r2, thresh=0.95) -> bool:
+    v1 = np.frombuffer(r1["vec"], dtype=np.float64)
+    v2 = np.frombuffer(r2["vec"], dtype=np.float64)
+    denom = np.linalg.norm(v1) * np.linalg.norm(v2)
+    if denom == 0:
+        return False
+    return float(v1 @ v2 / denom) >= thresh
+
+
+def embedding_dedup(sf_dir: str):
+    import ray.data as rd
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).materialize()
+    blocks = embs.map_batches(_embed_blocks, batch_format="pyarrow")
+    ids = embs.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
+    return _near_dedup(blocks, _verify_cosine, ids)

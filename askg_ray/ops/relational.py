@@ -1,0 +1,154 @@
+"""Relational operators over the driver testdata tables.
+
+The generic groupby / top-k / join / window surface mirroring the
+reference's aggregate queries (SURVEY.md §2.7-2.9, A1-A9 / O1-O4 / J2),
+each with a DuckDB oracle (see __ray_entry__.oracle_sql). Design rules:
+
+  * prune at the read (``columns=[...]``);
+  * pre-aggregation happens inside Ray's hash aggregate; partial sums
+    of integral doubles are exact, so value-hashes match SQL — queries
+    avoid order-dependent float sums (no sum over random doubles);
+  * small dimension tables are broadcast via ``ray.put`` (orders ⋈
+    customer), never shuffled;
+  * top-k always carries a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_count_by_source(sf_dir: str):
+    """A2 analog: docs per source."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    return _rename(docs.groupby("source").count(), {"count()": "n"})
+
+
+def doc_lang_hist(sf_dir: str):
+    """A3 analog: docs per language (full histogram, order-insensitive)."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return _rename(docs.groupby("lang").count(), {"count()": "n"})
+
+
+def doc_dup_groups(sf_dir: str):
+    """A8 analog (duplicate-group analysis): blocking key → groups with
+    more than one member. Key = n_chars (exact doc length)."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    counted = _rename(docs.groupby("n_chars").count(), {"count()": "n"})
+    return counted.map_batches(lambda t: t.filter(pc.greater(t["n"], 1)),
+                               batch_format="pyarrow")
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped: counts + exact integral sums per flag/status."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = (li.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Min("l_quantity", alias_name="min_qty"),
+                      Max("l_quantity", alias_name="max_qty"),
+                      Count(alias_name="n")))
+    return agg
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast join: orders ⋈ customer(c_mktsegment) → per-segment stats."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_map)
+
+    def add_segment(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        segs = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        return t.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(add_segment, batch_format="pyarrow")
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_orders"),
+                       Max("o_totalprice", alias_name="max_price")))
+
+
+def top_parts_by_price(sf_dir: str, k: int = 10):
+    """O1 analog: ORDER BY p_retailprice DESC, p_partkey LIMIT k."""
+    import ray.data as rd
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name", "p_retailprice"])
+    return parts.sort(["p_retailprice", "p_partkey"],
+                      descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (hour, event_type)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def truncate(t: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hours, "event_type": t["event_type"]})
+
+    return (ev.map_batches(truncate, batch_format="pyarrow")
+            .groupby(["hour", "event_type"])
+            .aggregate(Count(alias_name="n")))
+
+
+def events_user_windows(sf_dir: str):
+    """Per-user daily activity: groupby(user).map_groups windowing over
+    the sorted per-user event log (stream-shaped op; ray_guide pattern)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas().sort_values("ts")
+        day = df["ts"].dt.floor("D")
+        g = df.groupby(day).size()
+        out = pd.DataFrame({
+            "user_id": t["user_id"][0].as_py(),
+            "day": g.index,
+            "n_events": g.values,
+        })
+        return pa.Table.from_pandas(out, preserve_index=False).cast(pa.schema([
+            ("user_id", pa.int64()), ("day", pa.timestamp("us")),
+            ("n_events", pa.int64())]))
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def filter_contains(sf_dir: str, needle: str = "data"):
+    """F6 analog: case-insensitive substring filter + count per source."""
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(t["text"], needle, ignore_case=True)
+        return t.filter(mask).select(["source"])
+
+    return _rename(docs.map_batches(flt, batch_format="pyarrow")
+                   .groupby("source").count(), {"count()": "n"})

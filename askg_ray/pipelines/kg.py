@@ -50,11 +50,12 @@ def extract_texts(pages):
 
 def canonical_nodes(pages):
     """pages → deduplicated, globally-id'd nodes table."""
-    ents = extract_entities(pages).materialize()
-    d1 = dedup_exact(ents).materialize()
-    d2 = dedup_fuzzy(d1).materialize()
-    d3 = merge_similar(d2).materialize()
-    return assign_global_ids(d3).materialize()
+    from ..rayutil import compact
+    ents = compact(extract_entities(pages))
+    d1 = dedup_exact(ents)
+    d2 = dedup_fuzzy(d1)
+    d3 = merge_similar(d2)
+    return compact(assign_global_ids(d3))
 
 
 def _explode_membership(batch: pa.Table) -> pa.Table:
@@ -76,11 +77,13 @@ def membership_table(nodes):
 def build_kg(pages, edge_cap: int = 400) -> dict:
     """Full build. Returns dict of Datasets: nodes, edges, membership."""
     nodes = canonical_nodes(pages)
-    edges = infer_edges(nodes, cap=edge_cap)
+    # edges/membership are consumed by several downstream queries —
+    # materialize once (they are entity-scale, not page-scale)
+    edges = infer_edges(nodes, cap=edge_cap).materialize()
     return {
         "nodes": nodes,
         "edges": edges,
-        "membership": membership_table(nodes),
+        "membership": membership_table(nodes).materialize(),
     }
 
 

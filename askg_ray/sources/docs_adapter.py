@@ -1,0 +1,125 @@
+"""Adapter: driver testdata ``documents`` table → Common-Crawl-style pages.
+
+The driver's correctness/bench inputs are the TPC-H-ish tables under
+/root/testdata (TESTDATA.md); the KG pipeline's input contract is the
+pages table from BASELINE.json's input_hint. This adapter renders each
+``documents`` row into a deterministic synthetic server page: entity
+fields are a pure function of ``doc_id`` (seeded pools, no randomness
+at render time), so the same sf_dir always yields byte-identical pages
+— making the full KG pipeline runnable (and oracle-checkable) on the
+driver's own tables.
+
+Planted structure: ~1/7 of docs render a DUPLICATE of the previous
+doc's entity on a different registry (exact-key dup), and ~1/11 render
+a fuzzy name variant — so dedup has work at every scale.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+from ..html_extract import extract_text
+from ..vocab import REGISTRIES, REGISTRY_DOMAIN
+from .synth import _AUTHORS, _DESC_TEMPLATES, _LANGS, _NOUNS, _QUALS, _VERBS, _mutate_name, _render_html
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.large_string()),
+    ("lang", pa.string()),
+])
+
+_BASE_TS = datetime(2025, 3, 1)
+
+
+def entity_from_index(idx: int) -> dict:
+    """Deterministic pseudo-entity for a doc index (random-access seeded)."""
+    rng = random.Random(0xA5C6 + idx)
+    noun = _NOUNS[idx % len(_NOUNS)]
+    qual = _QUALS[(idx // len(_NOUNS)) % len(_QUALS)]
+    author = _AUTHORS[0] if rng.random() < 0.2 else rng.choice(_AUTHORS)
+    style = rng.random()
+    if style < 0.3:
+        name = f"mcp-{qual}-{noun}-{idx % 97}"
+    elif style < 0.6:
+        name = f"{qual}-{noun}-{idx % 97}-server"
+    else:
+        name = f"{qual} {noun} {idx % 97}"
+    desc = _DESC_TEMPLATES[idx % len(_DESC_TEMPLATES)].format(
+        q=qual, n=noun, n2=_NOUNS[(idx * 7 + 3) % len(_NOUNS)])
+    has_repo = rng.random() < 0.8
+    return {
+        "name": name,
+        "author": author,
+        "description": desc,
+        "repository": (f"https://github.com/{author}/{name.replace(' ', '-').lower()}"
+                       if has_repo else None),
+        "homepage": None,
+        "language": _LANGS[idx % len(_LANGS)],
+        "popularity": (idx * 131) % 5000,
+        "tags": [f"#{noun}", qual],
+        "tools": [f"{_VERBS[(idx + t) % len(_VERBS)]}_{noun}_{t}"
+                  for t in range((idx % 4))],
+    }
+
+
+def _page_for_doc(doc_id: int, lang: str) -> tuple[str, bytes]:
+    if doc_id % 7 == 0 and doc_id > 0:
+        # exact duplicate of previous doc's entity, next registry over
+        e = entity_from_index(doc_id - 1)
+        registry = REGISTRIES[(doc_id - 1 + 1) % 4]
+        name = e["name"]
+    elif doc_id % 11 == 0 and doc_id > 0:
+        # fuzzy variant of previous doc's entity (ratio > 0.85), no repo
+        e = dict(entity_from_index(doc_id - 1))
+        name = _mutate_name(random.Random(doc_id), e["name"], 0.85, 0.995)
+        e["repository"] = None
+        registry = REGISTRIES[(doc_id + 2) % 4]
+    else:
+        e = entity_from_index(doc_id)
+        registry = REGISTRIES[doc_id % 4]
+        name = e["name"]
+    html = _render_html(e, with_meta_desc=(doc_id % 5 != 1),
+                        with_author_in_title=True,
+                        name_override=None if name == e["name"] else name)
+    slug = name.replace(" ", "-").lower()
+    url = f"https://{REGISTRY_DOMAIN[registry]}/server/{slug}/{e['author']}"
+    return url, html.encode()
+
+
+def docs_to_pages_batch(batch: pa.Table) -> pa.Table:
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist()):
+        url, html = _page_for_doc(int(doc_id), lang)
+        urls.append(url)
+        tss.append(_BASE_TS + timedelta(seconds=int(doc_id)))
+        htmls.append(html)
+        texts.append(extract_text(html))
+        langs.append(lang)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(texts, pa.large_string()),
+        "lang": pa.array(langs, pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
+def pages_from_documents(sf_dir: str):
+    """Ray Dataset of pages rendered from {sf_dir}/documents.parquet."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return docs.map_batches(docs_to_pages_batch, batch_format="pyarrow")
+
+
+def pages_table_from_documents(sf_dir: str) -> pa.Table:
+    """Driver-side (oracle) variant: plain Arrow, no Ray."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return docs_to_pages_batch(docs)

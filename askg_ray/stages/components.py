@@ -72,6 +72,8 @@ def connected_components(pairs, driver_threshold: int = 100_000, max_rounds: int
     """
     import ray.data as rd
 
+    from ..rayutil import compact
+    pairs = compact(pairs)  # consumed twice (count + seed/iterate)
     n_pairs = pairs.count()
     if n_pairs == 0:
         return rd.from_arrow(LABEL_SCHEMA.empty_table())
@@ -81,8 +83,8 @@ def connected_components(pairs, driver_threshold: int = 100_000, max_rounds: int
     members = pairs.map_batches(_seed_members, batch_format="pyarrow")
     prev_sum = None
     for _ in range(max_rounds):
-        members = members.groupby("node").map_groups(
-            _hash_to_min_round, batch_format="pyarrow").materialize()
+        members = compact(members.groupby("node").map_groups(
+            _hash_to_min_round, batch_format="pyarrow"))
         labels = _min_labels(members)
         h = sum(b["h"].to_pylist()[0] for b in labels.map_batches(
             _label_checksum, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))

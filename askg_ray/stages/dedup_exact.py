@@ -45,6 +45,11 @@ def _dedup_on(ds, key: str):
     def keep_null(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_null(t[key]))
 
+    # fork point: both branches consume ds — compact + pin it so the
+    # upstream pipeline neither re-executes per branch nor fragments the
+    # following shuffle into hundreds of row-scale blocks
+    from ..rayutil import compact
+    ds = compact(ds)
     with_key = ds.map_batches(keep_valid, batch_format="pyarrow")
     without_key = ds.map_batches(keep_null, batch_format="pyarrow")
     merged = with_key.groupby(key).map_groups(_merge_group, batch_format="pyarrow")

@@ -131,6 +131,7 @@ def zlib_crc(s: str) -> int:
 
 
 def _candidate_pairs(nodes, kind: str):
+    # nodes is materialized by the callers (fork: LSH + author + tag)
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
     # hot-author blocks are grid-salted by the same mechanism as edge
@@ -158,7 +159,8 @@ def _tag_and_group(nodes, labels, group_fn):
 
     import pyarrow.compute as pc
 
-    tagged = nodes.map_batches(tag, batch_format="pyarrow").materialize()
+    from ..rayutil import compact
+    tagged = compact(nodes.map_batches(tag, batch_format="pyarrow"))
     untouched = tagged.map_batches(
         lambda t: t.filter(pc.equal(t["comp"], "")).drop_columns(["comp"]),
         batch_format="pyarrow")
@@ -199,6 +201,8 @@ def _phase2_group(batch: pa.Table) -> pa.Table:
 
 def dedup_fuzzy(nodes):
     """Phase-1 fuzzy-name drop (after exact key dedup)."""
+    from ..rayutil import compact
+    nodes = compact(nodes)
     pairs = _candidate_pairs(nodes, "fuzzy")
     labels = connected_components(pairs)
     return _tag_and_group(nodes, labels, _phase1_group)
@@ -206,6 +210,8 @@ def dedup_fuzzy(nodes):
 
 def merge_similar(nodes):
     """Phase-2 cross-registry similarity merge."""
+    from ..rayutil import compact
+    nodes = compact(nodes)
     pairs = _candidate_pairs(nodes, "similar")
     labels = connected_components(pairs)
     return _tag_and_group(nodes, labels, _phase2_group)

@@ -128,7 +128,8 @@ def _dedupe_first(batch: pa.Table) -> pa.Table:
 
 def infer_edges(nodes, cap: int = 400):
     """nodes (final canonical) → edges Dataset (EDGES_SCHEMA)."""
-    slim = nodes.select_columns(_SLIM)
+    from ..rayutil import compact
+    slim = compact(nodes.select_columns(_SLIM))  # 3 explode consumers
     fams = [
         (slim.map_batches(_explode_by("author"), batch_format="pyarrow"),
          _same_author_pair),
@@ -139,5 +140,5 @@ def infer_edges(nodes, cap: int = 400):
     ]
     edge_sets = [blocked_self_join(ex, fn, EDGES_SCHEMA, cap=cap)
                  for ex, fn in fams]
-    all_edges = edge_sets[0].union(*edge_sets[1:])
+    all_edges = compact(edge_sets[0].union(*edge_sets[1:]))
     return all_edges.groupby("id").map_groups(_dedupe_first, batch_format="pyarrow")

@@ -49,6 +49,8 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400):
     """
     import ray
 
+    from ..rayutil import compact
+    exploded = compact(exploded)  # consumed twice (sizes + cells)
     hot = _hot_sizes(exploded, cap)
     hot_ref = ray.put({k: -(-n // cap) for k, n in hot.items()})  # key -> s buckets
 

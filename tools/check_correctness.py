@@ -1,0 +1,99 @@
+"""Local emulation of the driver's queries() vs oracle_sql() comparison.
+
+Usage: python tools/check_correctness.py [sf_dir]
+Prints per-query: rows match / columns match / value-hash match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()  # ray Dataset
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist())
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    import time
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(got)} rows, cols={sorted(got.columns)} [{dt:.1f}s]")
+            n_ok += 1
+            continue
+        exp = con.sql(oracles[name]).df()
+        problems = []
+        if len(got) != len(exp):
+            problems.append(f"rows {len(got)} != {len(exp)}")
+        if sorted(got.columns) != sorted(exp.columns):
+            problems.append(f"cols {sorted(got.columns)} != {sorted(exp.columns)}")
+        elif value_hash(got) != value_hash(exp):
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} [{dt:.1f}s]")
+            if "value-hash mismatch" in problems and len(got) == len(exp):
+                g = got[sorted(got.columns)].astype(str)
+                e = exp[sorted(exp.columns)].astype(str)
+                gs = set(g.apply("|".join, axis=1))
+                es = set(e.apply("|".join, axis=1))
+                print("   got-only:", sorted(gs - es)[:3])
+                print("   exp-only:", sorted(es - gs)[:3])
+            n_bad += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows [{dt:.1f}s]")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failing")
+    ray.shutdown()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
