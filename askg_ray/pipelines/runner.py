@@ -1,0 +1,109 @@
+"""Checkpointed pipeline runner — manifest-diffing resume.
+
+Runs the KG build as a chain of checkpointed stages; a rerun skips
+every stage whose manifest fingerprint (chained over inputs + stage
+versions) still matches — the distributed replacement for the
+reference's master-data currency check
+(/root/reference/src/master_data.py:29-91, SURVEY.md §3.2).
+
+On a real cluster this module is the ``ray job submit`` entry point
+(``python -m askg_ray.pipelines.runner <sf_dir> <ckpt_dir>``); the
+driver stays thin — every stage is Dataset-level.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..state.manifest import (
+    fingerprint,
+    input_fingerprint,
+    load_stage,
+    stage_current,
+    write_stage,
+)
+
+# bump a stage's version when its semantics change — invalidates its
+# checkpoint and everything downstream (fingerprints chain).
+STAGE_VERSIONS = {
+    "entities": "v1",
+    "nodes": "v1",
+    "edges": "v1",
+    "membership": "v1",
+}
+
+
+def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
+    """Returns {stage: Dataset} plus per-stage skip/run info in '_log'."""
+    from ..stages.dedup_exact import dedup_exact
+    from ..stages.dedup_near import dedup_fuzzy, merge_similar
+    from ..stages.edges import infer_edges
+    from ..stages.ids import assign_global_ids
+    from ..pipelines.kg import extract_entities, membership_table
+    from ..sources.docs_adapter import pages_from_documents
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    in_fp = input_fingerprint(f"{sf_dir}/documents.parquet")
+    log: list[dict] = []
+    out: dict = {"_log": log}
+
+    def stage(name: str, parent_fp: str, build):
+        fp = fingerprint(parent_fp, name, STAGE_VERSIONS[name])
+        sdir = os.path.join(ckpt_dir, name)
+        if not force and stage_current(sdir, fp, STAGE_VERSIONS[name]):
+            log.append({"stage": name, "skipped": True})
+            return load_stage(sdir), fp
+        t0 = time.time()
+        ds = build()
+        ds = write_stage(ds, sdir, fp, STAGE_VERSIONS[name],
+                         metrics={"build_wall_s": round(time.time() - t0, 3)})
+        log.append({"stage": name, "skipped": False,
+                    "wall_s": round(time.time() - t0, 3)})
+        return ds, fp
+
+    def build_entities():
+        return extract_entities(pages_from_documents(sf_dir))
+
+    ents, fp1 = stage("entities", in_fp, build_entities)
+
+    def build_nodes():
+        from ..rayutil import compact
+        d1 = dedup_exact(compact(ents))
+        d2 = dedup_fuzzy(d1)
+        d3 = merge_similar(d2)
+        return assign_global_ids(d3)
+
+    nodes, fp2 = stage("nodes", fp1, build_nodes)
+
+    edges, _ = stage("edges", fp2, lambda: infer_edges(nodes))
+    membership, _ = stage("membership", fp2, lambda: membership_table(nodes))
+
+    out.update({"entities": ents, "nodes": nodes, "edges": edges,
+                "membership": membership})
+    return out
+
+
+def main(argv: list[str]) -> int:
+    import json
+
+    import ray
+
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
+    ckpt = argv[2] if len(argv) > 2 else "/tmp/askg_ckpt"
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    out = run_checkpointed(sf_dir, ckpt)
+    print(json.dumps({"stages": out["_log"],
+                      "nodes": out["nodes"].count(),
+                      "edges": out["edges"].count()}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(main(sys.argv))

@@ -45,7 +45,7 @@ _SLIM_COLS = ["id", "name", "norm_name", "author", "description", "categories",
               "implementation_language", "repository", "registry_source"]
 
 _SLIM_SCHEMA = pa.schema([
-    ("band_key", pa.int64()),
+    ("block_key", pa.int64()),
     ("id", pa.string()),
     ("name", pa.string()),
     ("norm_name", pa.string()),
@@ -60,7 +60,7 @@ _SLIM_SCHEMA = pa.schema([
 
 def _explode_bands(batch: pa.Table) -> pa.Table:
     cols = {c: batch[c].to_pylist() for c in _SLIM_COLS}
-    out: dict[str, list] = {"band_key": []}
+    out: dict[str, list] = {"block_key": []}
     for c in _SLIM_COLS:
         out[c] = []
     for i, nn in enumerate(cols["norm_name"]):
@@ -68,44 +68,50 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
         # char swaps) keep much higher 2-shingle than 3-shingle Jaccard
         sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
         for bk in band_keys(sig, _BANDS):
-            out["band_key"].append(bk)
+            out["block_key"].append(bk)
             for c in _SLIM_COLS:
                 out[c].append(cols[c][i])
     return table_of(
-        [dict(zip(out.keys(), vals)) for vals in zip(*out.values())] if out["band_key"] else [],
+        [dict(zip(out.keys(), vals)) for vals in zip(*out.values())] if out["block_key"] else [],
         _SLIM_SCHEMA)
 
 
 def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
+    """Exact reference predicates behind lossless cheap gates.
+
+    difflib quick_ratio/real_quick_ratio are UPPER bounds on ratio, so
+    gating on them never drops a true match; they cut ~95% of the
+    SequenceMatcher cost in dense blocks. Phase-2 additionally gates on
+    the algebraic bound name_sim > 0.75 (score > 0.9 requires
+    name_sim*0.4 > 0.9 - 0.2 - 0.2 - 0.1 - 0.1, deduplication.py:384-426)
+    and on cross-registry first (375-379, cheapest check).
+    """
     from difflib import SequenceMatcher
+    nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
     if kind == "fuzzy":
-        nn1, nn2 = normalize_name(r1.get("name")), normalize_name(r2.get("name"))
         if nn1 == nn2:
             return False
-        return (SequenceMatcher(None, nn1, nn2).ratio() > 0.85
-                and servers_are_similar(r1, r2))
+        sm = SequenceMatcher(None, nn1, nn2)
+        if sm.real_quick_ratio() <= 0.85 or sm.quick_ratio() <= 0.85:
+            return False
+        return sm.ratio() > 0.85 and servers_are_similar(r1, r2)
+    if r1.get("registry_source") == r2.get("registry_source"):
+        return False
+    sm = SequenceMatcher(None, nn1, nn2)
+    if sm.real_quick_ratio() <= 0.75 or sm.quick_ratio() <= 0.75:
+        return False
     return are_highly_similar(r1, r2)
 
 
 def _make_pair_fn(kind: str):
-    """kind: 'fuzzy' (phase-1 predicate) or 'similar' (phase-2 predicate)."""
+    """pair_fn for blocked_self_join: verified candidate (a,b) rows."""
 
-    def pairs_in_band(batch: pa.Table) -> pa.Table:
-        recs = records_of(batch)
-        # distinct ids in the band (a record can land twice via identical bands)
-        by_id = {}
-        for r in recs:
-            by_id.setdefault(r["id"], r)
-        recs = sorted(by_id.values(), key=lambda r: r["id"])
-        out_a, out_b = [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if _verify_pair(kind, recs[i], recs[j]):
-                    out_a.append(recs[i]["id"])
-                    out_b.append(recs[j]["id"])
-        return pa.table({"a": out_a, "b": out_b}, schema=PAIR_SCHEMA)
+    def fn(r1: dict, r2: dict) -> list[dict]:
+        if _verify_pair(kind, r1, r2):
+            return [{"a": r1["id"], "b": r2["id"]}]
+        return []
 
-    return pairs_in_band
+    return fn
 
 
 def _explode_author(batch: pa.Table) -> pa.Table:
@@ -130,15 +136,18 @@ def zlib_crc(s: str) -> int:
     return zlib.crc32(s.encode())
 
 
-def _candidate_pairs(nodes, kind: str):
+def _candidate_pairs(nodes, kind: str, cap: int = 192):
+    """Verified candidate pairs from two block families — name-LSH bands
+    plus exact-author blocks — through the grid-salted self-join, so a
+    hot author (Zipf skew) is split across parallel cells instead of
+    serializing one giant O(n²) verify task."""
+    from .selfjoin import blocked_self_join
+
     # nodes is materialized by the callers (fork: LSH + author + tag)
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
-    # hot-author blocks are grid-salted by the same mechanism as edge
-    # inference via selfjoin.blocked_self_join when they exceed the cap;
-    # at the corpus scales tested a direct band groupby is balanced.
-    return lsh.union(auth).groupby("band_key").map_groups(
-        _make_pair_fn(kind), batch_format="pyarrow")
+    return blocked_self_join(lsh.union(auth), _make_pair_fn(kind),
+                             PAIR_SCHEMA, cap=cap)
 
 
 def _tag_and_group(nodes, labels, group_fn):

@@ -1,144 +1,270 @@
-"""Relationship inference — blocked self-joins per predicate.
+"""Relationship inference — vectorized blocked self-joins per predicate.
 
 Reproduces the reference's O(n²) pairwise inference
 (/root/reference/src/neo4j_integration.py:558-631) as three blocked
 self-join families over a slim node projection (never n² globally):
 
-  author blocks   → same_author          (conf 1.0; 574-584)
+  author blocks   → same_author           (conf 1.0; 574-584)
   category blocks → similar_functionality (conf |∩|/max; 586-599)
                     + alternative_to      (conf 0.6, same language +
                                            shared cats; 616-629)
-  op-pair blocks  → complementary        (conf (|∩|/max)·0.8, needs
+  op-pair blocks  → complementary         (conf (|∩|/max)·0.8, needs
                                            ≥2 shared ops; 601-614)
 
-Blocks are grid-salted for skew (selfjoin.py). A pair sharing k
-categories (or C(k,2) op-pairs) is emitted k times across blocks;
-a final ``groupby(id).map_groups(first)`` dedupes — identical rows, so
-"first" is trivial. Edge direction: lexicographic by node id
-(canonical substitute for the reference's input-index order,
-SURVEY.md §2.11). Evidence value lists are sorted (the reference
-iterates Python sets — process-randomized order).
+Blocks are grid-salted for skew (selfjoin.py). The edge output of this
+predicate set is inherently pair-dense, so the kernels are vectorized:
+category/operation lists become bitmasks at explode time; each cell
+computes all pair intersections with numpy popcounts; evidence /
+description strings are cached per intersection mask (≤ 2^12 distinct).
+
+No dedupe shuffle: a pair sharing k categories meets in k blocks but is
+emitted only from the block equal to its LOWEST shared category bit
+(resp. the lowest shared op-pair) — exactly-once by construction.
+Edge direction: lexicographic by node id (canonical substitute for the
+reference's input-index order, SURVEY.md §2.11). Evidence value lists
+are sorted (the reference iterates Python sets — randomized order).
 """
 
 from __future__ import annotations
 
 from itertools import combinations
 
+import numpy as np
 import pyarrow as pa
 
 from ..arrowutil import EDGES_SCHEMA
-from ..vocab import REL_ALTERNATIVE, REL_COMPLEMENTARY, REL_SAME_AUTHOR, REL_SIMILAR
+from ..vocab import (
+    CATEGORIES,
+    OPERATIONS,
+    REL_ALTERNATIVE,
+    REL_COMPLEMENTARY,
+    REL_SAME_AUTHOR,
+    REL_SIMILAR,
+)
 from .selfjoin import blocked_self_join
 
-_SLIM = ["id", "author", "categories", "operations", "implementation_language"]
+_CAT_BIT = {c: i for i, c in enumerate(CATEGORIES)}
+_OP_BIT = {o: i for i, o in enumerate(OPERATIONS)}
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int32)
 
 
-def _slim_schema(extra_type: pa.DataType) -> pa.Schema:
-    return pa.schema([
-        ("block_key", extra_type),
-        ("id", pa.string()),
-        ("author", pa.string()),
-        ("categories", pa.list_(pa.string())),
-        ("operations", pa.list_(pa.string())),
-        ("implementation_language", pa.string()),
-    ])
+def _popcount(x: np.ndarray) -> np.ndarray:
+    return _POP16[x & 0xFFFF] + _POP16[(x >> 16) & 0xFFFF]
 
 
-def _explode_by(colname: str):
-    """Emit one slim row per block value (author / category / op-pair)."""
+_SLIM = ["id", "author", "implementation_language", "cat_mask", "op_mask"]
+_SLIM_SCHEMA = pa.schema([
+    ("block_key", pa.string()),
+    ("id", pa.string()),
+    ("author", pa.string()),
+    ("implementation_language", pa.string()),
+    ("cat_mask", pa.int32()),
+    ("op_mask", pa.int32()),
+])
+
+
+def _mask(values, table) -> int:
+    m = 0
+    for v in values or []:
+        b = table.get(v)
+        if b is not None:
+            m |= 1 << b
+    return m
+
+
+def _explode_by(kind: str):
+    """kind: 'author' | 'category' | 'oppair' — one slim row per block."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        cols = {c: batch[c].to_pylist() for c in _SLIM}
-        out = {c: [] for c in _SLIM}
-        out["block_key"] = []
-        for i in range(batch.num_rows):
-            if colname == "author":
-                a = cols["author"][i]
-                keys = [a] if a else []
-            elif colname == "categories":
-                keys = cols["categories"][i] or []
-            else:  # op-pairs
-                ops = sorted(set(cols["operations"][i] or []))
-                keys = [f"{x}+{y}" for x, y in combinations(ops, 2)]
+        ids = batch["id"].to_pylist()
+        authors = batch["author"].to_pylist()
+        langs = batch["implementation_language"].to_pylist()
+        cats = batch["categories"].to_pylist()
+        ops = batch["operations"].to_pylist()
+        out = {n: [] for n in _SLIM_SCHEMA.names}
+        for i in range(len(ids)):
+            cm = _mask(cats[i], _CAT_BIT)
+            om = _mask(ops[i], _OP_BIT)
+            if kind == "author":
+                keys = [f"a|{authors[i]}"] if authors[i] else []
+            elif kind == "category":
+                keys = [f"c|{_CAT_BIT[c]:02d}" for c in set(cats[i] or [])
+                        if c in _CAT_BIT]
+            else:
+                bits = sorted({_OP_BIT[o] for o in ops[i] or [] if o in _OP_BIT})
+                keys = [f"o|{x}{y}" for x, y in combinations(bits, 2)]
             for k in keys:
                 out["block_key"].append(k)
-                for c in _SLIM:
-                    out[c].append(cols[c][i])
-        schema = _slim_schema(pa.string())
-        return pa.table({n: pa.array(out[n], schema.field(n).type)
-                         for n in schema.names}, schema=schema)
+                out["id"].append(ids[i])
+                out["author"].append(authors[i])
+                out["implementation_language"].append(langs[i])
+                out["cat_mask"].append(cm)
+                out["op_mask"].append(om)
+        return pa.table({n: pa.array(out[n], _SLIM_SCHEMA.field(n).type)
+                         for n in _SLIM_SCHEMA.names}, schema=_SLIM_SCHEMA)
 
     return fn
 
 
-def _same_author_pair(r1: dict, r2: dict) -> list[dict]:
-    a1, a2 = r1.get("author"), r2.get("author")
-    if not (a1 and a2 and a1 == a2):
-        return []
-    return [{
-        "id": f"{r1['id']}_same_author_{r2['id']}",
-        "src": r1["id"], "dst": r2["id"], "rel_type": REL_SAME_AUTHOR,
-        "confidence": 1.0,
-        "description": f"Both servers created by {a1}",
-        "evidence": [f"Author: {a1}"],
-    }]
+def _names_from_mask(mask: int, vocab: list[str]) -> list[str]:
+    return sorted(v for i, v in enumerate(vocab) if (mask >> i) & 1)
 
 
-def _category_pair(r1: dict, r2: dict) -> list[dict]:
-    c1, c2 = r1.get("categories") or [], r2.get("categories") or []
-    common = sorted(set(c1) & set(c2))
-    if not common:
-        return []
-    edges = [{
-        "id": f"{r1['id']}_similar_{r2['id']}",
-        "src": r1["id"], "dst": r2["id"], "rel_type": REL_SIMILAR,
-        "confidence": len(common) / max(len(c1), len(c2)),
-        "description": f"Share {len(common)} common categories",
-        "evidence": [f"Common categories: {', '.join(common)}"],
-    }]
-    l1, l2 = r1.get("implementation_language"), r2.get("implementation_language")
-    if l1 and l2 and l1 == l2:
-        edges.append({
-            "id": f"{r1['id']}_alternative_{r2['id']}",
-            "src": r1["id"], "dst": r2["id"], "rel_type": REL_ALTERNATIVE,
-            "confidence": 0.6,
-            "description": f"Alternative implementations in {l1}",
-            "evidence": [f"Same language: {l1}", "Similar categories"],
-        })
-    return edges
+def _pair_index(left: dict, right: dict | None):
+    """(i_idx, j_idx, a_ids, b_ids, swap arrays) honoring id order."""
+    if right is None:
+        n = len(left["id"])
+        if n < 2:
+            return None
+        i, j = np.triu_indices(n, 1)
+        return left, left, i, j
+    if not left.get("id") or not right.get("id"):
+        return None
+    n1, n2 = len(left["id"]), len(right["id"])
+    i, j = np.repeat(np.arange(n1), n2), np.tile(np.arange(n2), n1)
+    return left, right, i, j
 
 
-def _complementary_pair(r1: dict, r2: dict) -> list[dict]:
-    o1, o2 = r1.get("operations") or [], r2.get("operations") or []
-    common = sorted(set(o1) & set(o2))
-    if len(common) < 2:
-        return []
-    return [{
-        "id": f"{r1['id']}_complementary_{r2['id']}",
-        "src": r1["id"], "dst": r2["id"], "rel_type": REL_COMPLEMENTARY,
-        "confidence": (len(common) / max(len(o1), len(o2))) * 0.8,
-        "description": f"Share {len(common)} common operations",
-        "evidence": [f"Common operations: {', '.join(common)}"],
-    }]
+def _ordered_ids(lc, rc, i, j):
+    a = np.array(lc["id"], dtype=object)[i]
+    b = np.array(rc["id"], dtype=object)[j]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return a2, b2
 
 
-def _dedupe_first(batch: pa.Table) -> pa.Table:
-    return batch.slice(0, 1)
+def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
+    edge_ids = [f"{x}_{tag}_{y}" for x, y in zip(ids_a, ids_b)]
+    return pa.table({
+        "id": pa.array(edge_ids, pa.string()),
+        "src": pa.array(list(ids_a), pa.string()),
+        "dst": pa.array(list(ids_b), pa.string()),
+        "rel_type": pa.array([rel] * len(edge_ids), pa.string()),
+        "confidence": pa.array(conf, pa.float64()),
+        "description": pa.array(desc, pa.string()),
+        "evidence": pa.array(evid, pa.list_(pa.string())),
+    }, schema=EDGES_SCHEMA)
+
+
+def _author_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
+    px = _pair_index(left, right)
+    if px is None:
+        return None
+    lc, rc, i, j = px
+    a, b = _ordered_ids(lc, rc, i, j)
+    author = key.split("|", 1)[1]
+    n = len(a)
+    conf = [1.0] * n
+    desc = [f"Both servers created by {author}"] * n
+    evid = [[f"Author: {author}"]] * n
+    return _table(a, b, "same_author", REL_SAME_AUTHOR, conf, desc, evid)
+
+
+def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
+    px = _pair_index(left, right)
+    if px is None:
+        return None
+    lc, rc, i, j = px
+    block_bit = int(key.split("|", 1)[1])
+    cm_l = np.array(lc["cat_mask"], dtype=np.int32)
+    cm_r = np.array(rc["cat_mask"], dtype=np.int32)
+    inter = cm_l[i] & cm_r[j]
+    # emit only from the lowest shared category's block: exactly-once
+    keep = (inter & ((1 << block_bit) - 1) == 0) & ((inter >> block_bit) & 1 == 1)
+    if not keep.any():
+        return None
+    i, j, inter = i[keep], j[keep], inter[keep]
+    len_l = _popcount(cm_l)[i]
+    len_r = _popcount(cm_r)[j]
+    n_common = _popcount(inter)
+    conf = n_common / np.maximum(len_l, len_r)
+    a, b = _ordered_ids(lc, rc, i, j)
+
+    cache: dict[int, tuple[str, list[str]]] = {}
+
+    def strings(m: int):
+        if m not in cache:
+            names = _names_from_mask(m, CATEGORIES)
+            cache[m] = (f"Share {len(names)} common categories",
+                        [f"Common categories: {', '.join(names)}"])
+        return cache[m]
+
+    desc, evid = [], []
+    for m in inter.tolist():
+        d, e = strings(m)
+        desc.append(d)
+        evid.append(e)
+    out = _table(a, b, "similar", REL_SIMILAR, conf.tolist(), desc, evid)
+
+    # alternative_to: same non-null language + shared categories (616-629)
+    langs_l = np.array([x or "" for x in lc["implementation_language"]], dtype=object)
+    langs_r = np.array([x or "" for x in rc["implementation_language"]], dtype=object)
+    same_lang = (langs_l[i] == langs_r[j]) & (langs_l[i] != "")
+    if same_lang.any():
+        ia, ib = a[same_lang], b[same_lang]
+        lang_vals = langs_l[i][same_lang]
+        conf2 = [0.6] * len(ia)
+        desc2 = [f"Alternative implementations in {lv}" for lv in lang_vals]
+        evid2 = [[f"Same language: {lv}", "Similar categories"] for lv in lang_vals]
+        out = pa.concat_tables([
+            out, _table(ia, ib, "alternative", REL_ALTERNATIVE, conf2, desc2, evid2)])
+    return out
+
+
+def _oppair_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
+    px = _pair_index(left, right)
+    if px is None:
+        return None
+    lc, rc, i, j = px
+    bits = key.split("|", 1)[1]
+    block_mask = (1 << int(bits[0])) | (1 << int(bits[1]))
+    om_l = np.array(lc["op_mask"], dtype=np.int32)
+    om_r = np.array(rc["op_mask"], dtype=np.int32)
+    inter = om_l[i] & om_r[j]
+    n_common = _popcount(inter)
+    # exactly-once: this block must be the two LOWEST shared-op bits
+    low1 = inter & (-inter)
+    rest = inter ^ low1
+    low2 = rest & (-rest)
+    keep = (n_common >= 2) & ((low1 | low2) == block_mask)
+    if not keep.any():
+        return None
+    i2, j2, inter = i[keep], j[keep], inter[keep]
+    conf = (_popcount(inter) / np.maximum(_popcount(om_l)[i2], _popcount(om_r)[j2])) * 0.8
+    a, b = _ordered_ids(lc, rc, i2, j2)
+
+    cache: dict[int, tuple[str, list[str]]] = {}
+
+    def strings(m: int):
+        if m not in cache:
+            names = _names_from_mask(m, OPERATIONS)
+            cache[m] = (f"Share {len(names)} common operations",
+                        [f"Common operations: {', '.join(names)}"])
+        return cache[m]
+
+    desc, evid = [], []
+    for m in inter.tolist():
+        d, e = strings(m)
+        desc.append(d)
+        evid.append(e)
+    return _table(a, b, "complementary", REL_COMPLEMENTARY, conf.tolist(), desc, evid)
 
 
 def infer_edges(nodes, cap: int = 400):
     """nodes (final canonical) → edges Dataset (EDGES_SCHEMA)."""
     from ..rayutil import compact
-    slim = compact(nodes.select_columns(_SLIM))  # 3 explode consumers
+    slim = compact(nodes.select_columns(
+        ["id", "author", "implementation_language", "categories", "operations"]))
     fams = [
-        (slim.map_batches(_explode_by("author"), batch_format="pyarrow"),
-         _same_author_pair),
-        (slim.map_batches(_explode_by("categories"), batch_format="pyarrow"),
-         _category_pair),
-        (slim.map_batches(_explode_by("oppairs"), batch_format="pyarrow"),
-         _complementary_pair),
+        ("author", _author_cell),
+        ("category", _category_cell),
+        ("oppair", _oppair_cell),
     ]
-    edge_sets = [blocked_self_join(ex, fn, EDGES_SCHEMA, cap=cap)
-                 for ex, fn in fams]
-    all_edges = compact(edge_sets[0].union(*edge_sets[1:]))
-    return all_edges.groupby("id").map_groups(_dedupe_first, batch_format="pyarrow")
+    edge_sets = []
+    for kind, cell_fn in fams:
+        exploded = slim.map_batches(_explode_by(kind), batch_format="pyarrow")
+        edge_sets.append(blocked_self_join(exploded, None, EDGES_SCHEMA,
+                                           cap=cap, cell_fn=cell_fn))
+    return edge_sets[0].union(*edge_sets[1:])

@@ -41,10 +41,17 @@ def _hot_sizes(exploded, cap: int) -> dict[str, int]:
     return hot
 
 
-def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400):
+def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
+                      cell_fn=None):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
 
-    pair_fn(rec1, rec2) -> list[dict] edge records (rec1.id < rec2.id).
+    Two pair-generation modes:
+      * pair_fn(rec1, rec2) -> list[dict] — generic per-pair dicts
+        (rec1.id < rec2.id), used for candidate verification;
+      * cell_fn(left_cols, right_cols_or_None, block_key) -> pa.Table —
+        vectorized whole-cell kernel (numpy over column arrays), used by
+        the hot edge-inference families. left/right are dicts of column
+        lists sorted by id; right is None for diagonal cells.
     Returns a Dataset with out_schema rows.
     """
     import ray
@@ -78,28 +85,45 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400):
 
     celled = exploded.map_batches(to_cells, batch_format="pyarrow")
 
-    def cell_pairs(batch: pa.Table) -> pa.Table:
+    def _split_cell(batch: pa.Table):
         cell = batch["cell_key"][0].as_py()
         ci, cj = (int(x) for x in cell.rsplit("|", 2)[-2:])
+        key = cell.rsplit("|", 2)[0]
         recs = batch.to_pylist()
         # dedupe by id within the cell (identical exploded rows can repeat)
         by_id = {}
         for r in recs:
             by_id.setdefault(r["id"], r)
         recs = sorted(by_id.values(), key=lambda r: r["id"])
-        edges: list[dict] = []
         if ci == cj:
-            members = [r for r in recs if r["bucket"] == ci]
-            for x in range(len(members)):
-                for y in range(x + 1, len(members)):
-                    edges.extend(pair_fn(members[x], members[y]))
+            return key, [r for r in recs if r["bucket"] == ci], None
+        return (key,
+                [r for r in recs if r["bucket"] == ci],
+                [r for r in recs if r["bucket"] == cj])
+
+    def cell_pairs(batch: pa.Table) -> pa.Table:
+        _, left, right = _split_cell(batch)
+        edges: list[dict] = []
+        if right is None:
+            for x in range(len(left)):
+                for y in range(x + 1, len(left)):
+                    edges.extend(pair_fn(left[x], left[y]))
         else:
-            left = [r for r in recs if r["bucket"] == ci]
-            right = [r for r in recs if r["bucket"] == cj]
             for r1 in left:
                 for r2 in right:
                     a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
                     edges.extend(pair_fn(a, b))
         return table_of(edges, out_schema)
 
-    return celled.groupby("cell_key").map_groups(cell_pairs, batch_format="pyarrow")
+    def _cols(recs: list[dict]) -> dict:
+        if not recs:
+            return {}
+        return {k: [r.get(k) for r in recs] for k in recs[0]}
+
+    def cell_pairs_vec(batch: pa.Table) -> pa.Table:
+        key, left, right = _split_cell(batch)
+        out = cell_fn(_cols(left), _cols(right) if right is not None else None, key)
+        return out if out is not None else out_schema.empty_table()
+
+    fn = cell_pairs_vec if cell_fn is not None else cell_pairs
+    return celled.groupby("cell_key").map_groups(fn, batch_format="pyarrow")

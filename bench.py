@@ -1,0 +1,124 @@
+"""Benchmark — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: runs the same bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and prints throughputs +
+scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes —
+BASELINE.md). A warm-up read primes the page cache first so the two
+runs measure compute + shuffle, not first-touch disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_queries():
+    """name → zero-arg callable returning a consumed (counted) result."""
+    from askg_ray.ops.dedup import minhash_dedup, simhash_dedup
+    from askg_ray.ops.relational import lineitem_pricing_summary, orders_by_segment
+    from askg_ray.ops.similarity import ann_bruteforce
+    from askg_ray.ops.text import token_stats
+    from askg_ray.pipelines.kg import build_kg
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    state: dict = {}
+
+    def kg_build():
+        out = build_kg(pages_from_documents(SF_DIR))
+        state["n_edges"] = out["edges"].count()
+        state["n_nodes"] = out["nodes"].count()
+        return state["n_edges"]
+
+    return state, {
+        "kg_build": kg_build,
+        "dedup_minhash": lambda: minhash_dedup(SF_DIR).count(),
+        "dedup_simhash": lambda: simhash_dedup(SF_DIR).count(),
+        "token_stats": lambda: token_stats(SF_DIR).count(),
+        "lineitem_agg": lambda: lineitem_pricing_summary(SF_DIR).count(),
+        "orders_join": lambda: orders_by_segment(SF_DIR).count(),
+        "ann_cosine": lambda: ann_bruteforce(SF_DIR).count(),
+    }
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    state, queries = _bench_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    kg_secs = timings["kg_build"]
+    result = {
+        "metric": "kg_construct end-to-end + training-data ops, sf0.1",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_nodes": state.get("n_nodes"),
+        "n_edges": state.get("n_edges"),
+        "triples_per_sec": round(state.get("n_edges", 0) / kg_secs, 1) if kg_secs else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the page cache (untimed)
+    import glob
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        with open(f, "rb") as fh:
+            fh.read()
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8cpu": lo["value"], "sec_32cpu": hi["value"],
+        "triples_per_sec_8cpu": lo["triples_per_sec"],
+        "triples_per_sec_32cpu": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8cpu": lo["queries"], "queries_32cpu": hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))
