@@ -11,12 +11,13 @@ Order-dependence of the reference's streaming "first wins" is replaced
 by the canonical record order (arrowutil.CANON_SORT); the group winner
 keeps its ORIGINAL key columns — matching the reference, whose indexes
 store the unique record's keys at add time and never re-key after a
-merge (deduplication.py:142-156). Null-keyed rows bypass their stage
-(the reference skips those checks for missing fields).
+merge (deduplication.py:142-156).
 
-Scale notes: each stage is one all-to-all hash shuffle on a short
-string key; groups are duplicate clusters (tiny), so map_groups tasks
-are balanced. No driver materialization.
+Null-keyed rows (the reference skips those checks for missing fields)
+get a per-row sentinel key ("\\0" + id) so they ride the same shuffle as
+singleton groups — no dataset fork, no union, no intermediate
+materialization: the whole cascade is three chained shuffles executed
+in one streaming pass.
 """
 
 from __future__ import annotations
@@ -29,9 +30,11 @@ from ..merge import merge_phase1
 
 
 def _merge_group(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0 or "__k" not in batch.column_names:
+        return NODES_SCHEMA.empty_table()
     if batch.num_rows == 1:
-        return batch
-    recs = sort_canonical(records_of(batch))
+        return batch.drop_columns(["__k"])
+    recs = sort_canonical(records_of(batch.drop_columns(["__k"])))
     base = recs[0]
     for dup in recs[1:]:
         base = merge_phase1(base, dup)
@@ -39,21 +42,16 @@ def _merge_group(batch: pa.Table) -> pa.Table:
 
 
 def _dedup_on(ds, key: str):
-    def keep_valid(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t[key]))
+    def add_sentinel(t: pa.Table) -> pa.Table:
+        k = t[key]
+        sentinel = pc.binary_join_element_wise(
+            pa.scalar("\0"), t["id"], "")
+        merged = pc.if_else(pc.is_valid(k), k, sentinel)
+        return t.append_column("__k", merged)
 
-    def keep_null(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t[key]))
-
-    # fork point: both branches consume ds — compact + pin it so the
-    # upstream pipeline neither re-executes per branch nor fragments the
-    # following shuffle into hundreds of row-scale blocks
-    from ..rayutil import compact
-    ds = compact(ds)
-    with_key = ds.map_batches(keep_valid, batch_format="pyarrow")
-    without_key = ds.map_batches(keep_null, batch_format="pyarrow")
-    merged = with_key.groupby(key).map_groups(_merge_group, batch_format="pyarrow")
-    return merged.union(without_key)
+    return (ds.map_batches(add_sentinel, batch_format="pyarrow")
+            .groupby("__k")
+            .map_groups(_merge_group, batch_format="pyarrow"))
 
 
 def dedup_exact(nodes):
