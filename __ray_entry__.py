@@ -103,6 +103,34 @@ def _kg_mentions(sf_dir):
     return link_mentions(_kg_texts(sf_dir), alias_table)
 
 
+def _kg_search_keyword(sf_dir):
+    from askg_ray.functions.search import keyword_search
+    return keyword_search(_kg(sf_dir)["nodes"], "postgres data", limit=10)
+
+
+def _kg_search_structured(sf_dir):
+    from askg_ray.functions.search import structured_search
+    return structured_search(_kg(sf_dir)["nodes"], "database query tools",
+                             limit=10, min_confidence=1.0)
+
+
+def _kg_similar_servers(sf_dir):
+    from askg_ray.functions.search import similar_servers
+    nodes = _kg(sf_dir)["nodes"]
+    anchor = sorted(r["id"] for r in nodes.select_columns(["id"]).take(50))[0]
+    return similar_servers(nodes, anchor, limit=10)
+
+
+def _kg_completeness(sf_dir):
+    from askg_ray.ops.analyze import completeness_by_registry
+    return completeness_by_registry(_kg(sf_dir)["nodes"])
+
+
+def _kg_id_tiers(sf_dir):
+    from askg_ray.ops.analyze import id_tier_histogram
+    return id_tier_histogram(_kg(sf_dir)["nodes"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import dedup, relational, similarity, text
     from askg_ray.ops.multimodal import media_features
@@ -145,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_popular_topk": _kg_popular_topk,
         "kg_texts": _kg_texts,
         "kg_mentions": _kg_mentions,
+        "kg_search_keyword": _kg_search_keyword,
+        "kg_search_structured": _kg_search_structured,
+        "kg_similar_servers": _kg_similar_servers,
+        "kg_completeness": _kg_completeness,
+        "kg_id_tiers": _kg_id_tiers,
     }
 
 

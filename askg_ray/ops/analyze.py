@@ -1,0 +1,53 @@
+"""Graph-side analysis aggregates (SURVEY.md §2.7 A5/A9, §2.2 M20).
+
+All are partial-aggregate patterns: per-batch null/field counters emit
+one partial row per (registry) per batch, then a small groupby sums the
+partials — the pre-aggregation shape that keeps the shuffle tiny at any
+corpus size (analyze_deduplication.py:183-207; id_standardization.py:
+208-247 in /root/reference)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+_FIELDS = ["description", "author", "repository", "homepage", "version",
+           "license", "implementation_language"]
+
+
+def completeness_by_registry(nodes):
+    """A5: per-registry field-presence counts (percentages derivable)."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        import collections
+        regs = t["registry_source"].to_pylist()
+        counters: dict[str, collections.Counter] = {}
+        totals: collections.Counter = collections.Counter()
+        for i, reg in enumerate(regs):
+            totals[reg] += 1
+        cols = {f: t[f].to_pylist() for f in _FIELDS}
+        for f in _FIELDS:
+            for i, reg in enumerate(regs):
+                if cols[f][i]:
+                    counters.setdefault(f, collections.Counter())[reg] += 1
+        out_rows = []
+        for reg in totals:
+            row = {"registry_source": reg, "n_rows": totals[reg]}
+            for f in _FIELDS:
+                row[f"n_{f}"] = counters.get(f, {}).get(reg, 0)
+            out_rows.append(row)
+        schema = pa.schema([("registry_source", pa.string()),
+                            ("n_rows", pa.int64())] +
+                           [(f"n_{f}", pa.int64()) for f in _FIELDS])
+        return pa.table({n: [r.get(n, 0) for r in out_rows]
+                         for n in schema.names}, schema=schema)
+
+    partial = nodes.map_batches(partials, batch_format="pyarrow")
+    aggs = [Sum("n_rows", alias_name="n_rows")] + \
+        [Sum(f"n_{f}", alias_name=f"n_{f}") for f in _FIELDS]
+    return partial.groupby("registry_source").aggregate(*aggs)
+
+
+def id_tier_histogram(nodes):
+    """M20: global-id shape analysis (repo/author-name/name/hash)."""
+    return nodes.groupby("gid_tier").count()

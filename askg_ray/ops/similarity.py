@@ -69,28 +69,39 @@ def ann_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     }, schema=_SIM_SCHEMA))
 
 
+def _ann_band_signature(vecs: np.ndarray, n_bands: int = 8,
+                        bits_per_band: int = 4, seed: int = 23) -> np.ndarray:
+    """Random-hyperplane band codes tuned for moderate similarity:
+    4-bit bands keep the collision probability useful even for ~70°
+    neighbors (dedup's 8-bit bands only catch near-identical vectors)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * bits_per_band, vecs.shape[1]))
+    bits = (vecs @ planes.T) > 0  # n × (bands*bits)
+    codes = np.zeros((vecs.shape[0], n_bands), dtype=np.int64)
+    for band in range(n_bands):
+        seg = bits[:, band * bits_per_band:(band + 1) * bits_per_band]
+        codes[:, band] = (seg * (1 << np.arange(bits_per_band))).sum(axis=1) \
+            + (band << 32)
+    return codes
+
+
 def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     """LSH-bucketed ANN: probe only vectors sharing ≥1 hyperplane band
     with the query (candidate pruning; approximate → rows-only check)."""
     import ray.data as rd
 
-    from .dedup import _embed_blocks
-
     q = _query_vector(sf_dir, query_id)
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding", "label"]).materialize()
-    # bands of the query
-    qt = pa.table({"vec_id": pa.array([query_id], pa.int64()),
-                   "embedding": pa.array([q.tolist()], pa.list_(pa.float64()))})
-    q_bands = set(_embed_blocks(qt)["block_key"].to_pylist())
+    q_bands = set(_ann_band_signature(q[None, :])[0].tolist())
 
     def in_query_buckets(batch: pa.Table) -> pa.Table:
-        blocks = _embed_blocks(batch.select(["vec_id", "embedding"]))
-        hit_ids = {d for d, bk in zip(blocks["doc_id"].to_pylist(),
-                                      blocks["block_key"].to_pylist())
-                   if bk in q_bands}
-        mask = pa.array([v in hit_ids for v in batch["vec_id"].to_pylist()])
-        return batch.filter(mask)
+        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        codes = _ann_band_signature(vecs)
+        hit = np.zeros(len(vecs), dtype=bool)
+        for band in range(codes.shape[1]):
+            hit |= np.isin(codes[:, band], list(q_bands))
+        return batch.filter(pa.array(hit))
 
     candidates = embs.map_batches(in_query_buckets, batch_format="pyarrow")
     scored = _score_batches(candidates, q)
