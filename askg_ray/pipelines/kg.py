@@ -49,12 +49,16 @@ def extract_texts(pages):
 
 
 def canonical_nodes(pages):
-    """pages → deduplicated, globally-id'd nodes table."""
+    """pages → deduplicated, globally-id'd nodes table.
+
+    Materialization policy: this function owns every pin — one per
+    wide phase, at the narrow (entity-scale) end of the funnel. The
+    stage functions themselves are pure lazy chains."""
     from ..rayutil import compact
     ents = compact(extract_entities(pages))
-    d1 = dedup_exact(ents)
-    d2 = dedup_fuzzy(d1)
-    d3 = merge_similar(d2)
+    d1 = compact(dedup_exact(ents))
+    d2 = compact(dedup_fuzzy(d1))
+    d3 = compact(merge_similar(d2))
     return compact(assign_global_ids(d3))
 
 

@@ -110,10 +110,18 @@ def docs_to_pages_batch(batch: pa.Table) -> pa.Table:
 
 
 def pages_from_documents(sf_dir: str):
-    """Ray Dataset of pages rendered from {sf_dir}/documents.parquet."""
+    """Ray Dataset of pages rendered from {sf_dir}/documents.parquet.
+
+    The render (and the downstream HTML extraction) is CPU-bound per
+    row, and map parallelism is per-block — so the read is split to
+    ~2×CPU blocks regardless of parquet row-group layout."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    from ..rayutil import default_nblocks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"],
+                           override_num_blocks=default_nblocks() * 2)
     return docs.map_batches(docs_to_pages_batch, batch_format="pyarrow")
 
 

@@ -151,7 +151,11 @@ def _candidate_pairs(nodes, kind: str, cap: int = 192):
 
 
 def _tag_and_group(nodes, labels, group_fn):
-    """Broadcast component labels, route labeled rows through group_fn."""
+    """Broadcast component labels, group labeled rows through group_fn.
+
+    Unlabeled rows get a per-row sentinel component ("\0" + id) so they
+    ride the same shuffle as singleton groups — no dataset fork, no
+    union, one chained groupby (group_fn passes singletons through)."""
     import ray
 
     label_map = {}
@@ -163,24 +167,19 @@ def _tag_and_group(nodes, labels, group_fn):
 
     def tag(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        comps = [m.get(i, "") for i in batch["id"].to_pylist()]
+        comps = [m.get(i) or ("\0" + i) for i in batch["id"].to_pylist()]
         return batch.append_column("comp", pa.array(comps, pa.string()))
 
-    import pyarrow.compute as pc
-
-    from ..rayutil import compact
-    tagged = compact(nodes.map_batches(tag, batch_format="pyarrow"))
-    untouched = tagged.map_batches(
-        lambda t: t.filter(pc.equal(t["comp"], "")).drop_columns(["comp"]),
-        batch_format="pyarrow")
-    grouped = (tagged.map_batches(
-        lambda t: t.filter(pc.not_equal(t["comp"], "")), batch_format="pyarrow")
-        .groupby("comp")
-        .map_groups(group_fn, batch_format="pyarrow"))
-    return untouched.union(grouped)
+    return (nodes.map_batches(tag, batch_format="pyarrow")
+            .groupby("comp")
+            .map_groups(group_fn, batch_format="pyarrow"))
 
 
 def _phase1_group(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return NODES_SCHEMA.empty_table()
+    if batch.num_rows == 1 or batch["comp"][0].as_py().startswith("\0"):
+        return batch.drop_columns(["comp"])
     recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
     kept: list[dict] = []
     for r in recs:
@@ -190,6 +189,10 @@ def _phase1_group(batch: pa.Table) -> pa.Table:
 
 
 def _phase2_group(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return NODES_SCHEMA.empty_table()
+    if batch.num_rows == 1 or batch["comp"][0].as_py().startswith("\0"):
+        return batch.drop_columns(["comp"])
     recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
     processed: set[int] = set()
     out: list[dict] = []
@@ -209,18 +212,17 @@ def _phase2_group(batch: pa.Table) -> pa.Table:
 
 
 def dedup_fuzzy(nodes):
-    """Phase-1 fuzzy-name drop (after exact key dedup)."""
-    from ..rayutil import compact
-    nodes = compact(nodes)
+    """Phase-1 fuzzy-name drop (after exact key dedup).
+
+    ``nodes`` must be materialized (it feeds both candidate generation
+    and the tag pass) — pipelines/kg.canonical_nodes owns that."""
     pairs = _candidate_pairs(nodes, "fuzzy")
     labels = connected_components(pairs)
     return _tag_and_group(nodes, labels, _phase1_group)
 
 
 def merge_similar(nodes):
-    """Phase-2 cross-registry similarity merge."""
-    from ..rayutil import compact
-    nodes = compact(nodes)
+    """Phase-2 cross-registry similarity merge (materialized input)."""
     pairs = _candidate_pairs(nodes, "similar")
     labels = connected_components(pairs)
     return _tag_and_group(nodes, labels, _phase2_group)

@@ -252,19 +252,27 @@ def _oppair_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     return _table(a, b, "complementary", REL_COMPLEMENTARY, conf.tolist(), desc, evid)
 
 
+_CELL_DISPATCH = {}  # filled below; block-key prefix → cell kernel
+
+
+def _dispatch_cell(left: dict, right: dict | None, key: str):
+    return _CELL_DISPATCH[key[0]](left, right, key)
+
+
+def _explode_all(batch: pa.Table) -> pa.Table:
+    """All three families in one pass — block keys carry their family
+    prefix ('a|'/'c|'/'o|') so ONE grid-salted self-join covers them."""
+    parts = [_explode_by(kind)(batch) for kind in ("author", "category", "oppair")]
+    return pa.concat_tables(parts)
+
+
 def infer_edges(nodes, cap: int = 400):
-    """nodes (final canonical) → edges Dataset (EDGES_SCHEMA)."""
-    from ..rayutil import compact
-    slim = compact(nodes.select_columns(
-        ["id", "author", "implementation_language", "categories", "operations"]))
-    fams = [
-        ("author", _author_cell),
-        ("category", _category_cell),
-        ("oppair", _oppair_cell),
-    ]
-    edge_sets = []
-    for kind, cell_fn in fams:
-        exploded = slim.map_batches(_explode_by(kind), batch_format="pyarrow")
-        edge_sets.append(blocked_self_join(exploded, None, EDGES_SCHEMA,
-                                           cap=cap, cell_fn=cell_fn))
-    return edge_sets[0].union(*edge_sets[1:])
+    """nodes (final canonical, materialized) → edges Dataset."""
+    slim = nodes.select_columns(
+        ["id", "author", "implementation_language", "categories", "operations"])
+    exploded = slim.map_batches(_explode_all, batch_format="pyarrow")
+    return blocked_self_join(exploded, None, EDGES_SCHEMA, cap=cap,
+                             cell_fn=_dispatch_cell)
+
+
+_CELL_DISPATCH.update({"a": _author_cell, "c": _category_cell, "o": _oppair_cell})

@@ -41,6 +41,5 @@ def _assign_group(batch: pa.Table) -> pa.Table:
 
 
 def assign_global_ids(nodes):
-    from ..rayutil import compact
-    return compact(nodes).groupby("gid_candidate").map_groups(
+    return nodes.groupby("gid_candidate").map_groups(
         _assign_group, batch_format="pyarrow")

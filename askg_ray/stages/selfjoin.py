@@ -30,15 +30,27 @@ from ..arrowutil import table_of
 
 
 def _hot_sizes(exploded, cap: int) -> dict[str, int]:
-    sizes = exploded.groupby("block_key").count()
-    hot: dict[str, int] = {}
-    for b in sizes.iter_batches(batch_format="pyarrow"):
-        counts = b["count()"].to_pylist()
-        keys = b["block_key"].to_pylist()
-        for k, n in zip(keys, counts):
-            if n > cap:
-                hot[k] = n
-    return hot
+    """Block sizes via per-batch partial counters — one map pass, no
+    sort shuffle. The driver folds the partials; for corpora where the
+    distinct-key set itself outgrows driver memory, swap the fold for a
+    space-saving top-k sketch (only keys over ``cap`` matter)."""
+    import collections
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter(t["block_key"].to_pylist())
+        if not c:
+            return pa.table({"k": pa.array([], t.schema.field("block_key").type),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"k": pa.array(list(ks)),
+                         "n": pa.array(list(vs), pa.int64())})
+
+    acc: collections.Counter = collections.Counter()
+    for b in (exploded.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+            acc[k] += n
+    return {k: n for k, n in acc.items() if n > cap}
 
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
@@ -56,8 +68,8 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     """
     import ray
 
-    from ..rayutil import compact
-    exploded = compact(exploded)  # consumed twice (sizes + cells)
+    # exploded is consumed twice (hot-count pass + cells); it is a cheap
+    # map off a materialized upstream, so re-execution beats pinning it
     hot = _hot_sizes(exploded, cap)
     hot_ref = ray.put({k: -(-n // cap) for k, n in hot.items()})  # key -> s buckets
 
