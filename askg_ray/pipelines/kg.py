@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..stages.dedup_exact import dedup_exact
-from ..stages.dedup_near import dedup_fuzzy, merge_similar
+from ..stages.dedup_near import dedup_fuzzy, merge_similar, near_dedup
 from ..stages.edges import infer_edges
 from ..stages.extract import enrich_batch, entities_only, extract_batch, texts_only
 from ..stages.ids import assign_global_ids
@@ -57,8 +57,7 @@ def canonical_nodes(pages):
     from ..rayutil import compact
     ents = compact(extract_entities(pages))
     d1 = compact(dedup_exact(ents))
-    d2 = compact(dedup_fuzzy(d1))
-    d3 = compact(merge_similar(d2))
+    d3 = near_dedup(d1)  # fuzzy + cross-registry from one candidate pass
     return compact(assign_global_ids(d3))
 
 

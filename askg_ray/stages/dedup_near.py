@@ -226,3 +226,110 @@ def merge_similar(nodes):
     pairs = _candidate_pairs(nodes, "similar")
     labels = connected_components(pairs)
     return _tag_and_group(nodes, labels, _phase2_group)
+
+
+# ---- combined single-pass near-dedup ------------------------------------
+
+_TAGGED_PAIR_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("kind", pa.string())])
+
+
+def _dual_verify_pair_fn(r1: dict, r2: dict) -> list[dict]:
+    """Verify BOTH phase predicates on one candidate pair, sharing the
+    SequenceMatcher work (the dominant cost). Emits tagged rows."""
+    from difflib import SequenceMatcher
+
+    out = []
+    nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
+    sm = SequenceMatcher(None, nn1, nn2)
+    upper_ok = sm.real_quick_ratio() > 0.75 and sm.quick_ratio() > 0.75
+    ratio = sm.ratio() if upper_ok else 0.0
+    if (nn1 != nn2 and ratio > 0.85 and servers_are_similar(r1, r2)):
+        out.append({"a": r1["id"], "b": r2["id"], "kind": "f"})
+    if (r1.get("registry_source") != r2.get("registry_source")
+            and ratio > 0.75 and are_highly_similar(r1, r2)):
+        out.append({"a": r1["id"], "b": r2["id"], "kind": "s"})
+    return out
+
+
+def _labels_for_pairs(pair_list: list[tuple[str, str]],
+                      distributed_threshold: int = 2_000_000):
+    """(a,b) list → {node: component-min} labels. Driver union-find for
+    sane sizes; falls back to the distributed hash-to-min pass."""
+    if len(pair_list) >= distributed_threshold:
+        import ray.data as rd
+        t = pa.table({"a": [a for a, _ in pair_list],
+                      "b": [b for _, b in pair_list]}, schema=PAIR_SCHEMA)
+        labels = connected_components(rd.from_arrow(t),
+                                      driver_threshold=0)
+        out = {}
+        for bt in labels.iter_batches(batch_format="pyarrow"):
+            out.update(zip(bt["node"].to_pylist(), bt["component"].to_pylist()))
+        return out
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes_seen = set()
+    for a, b in pair_list:
+        nodes_seen.add(a)
+        nodes_seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in nodes_seen}
+
+
+def _group_with_labels(nodes, label_map: dict, group_fn):
+    import ray
+
+    if not label_map:
+        return nodes
+    ref = ray.put(label_map)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        comps = [m.get(i) or ("\0" + i) for i in batch["id"].to_pylist()]
+        return batch.append_column("comp", pa.array(comps, pa.string()))
+
+    return (nodes.map_batches(tag, batch_format="pyarrow")
+            .groupby("comp")
+            .map_groups(group_fn, batch_format="pyarrow"))
+
+
+def near_dedup(nodes):
+    """Fuzzy drop + cross-registry merge from ONE candidate pass.
+
+    Valid because phase-1 fuzzy only DROPS records (no mutation,
+    deduplication.py:279-280), so phase-2 predicates evaluated on the
+    pre-fuzzy rows are identical for every surviving pair; pairs with a
+    dropped endpoint are filtered before phase-2 components. ``nodes``
+    must be materialized. Returns the final lazy survivors chain.
+    """
+    from .selfjoin import blocked_self_join
+    from ..rayutil import compact
+
+    lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
+    auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
+    tagged = blocked_self_join(lsh.union(auth), _dual_verify_pair_fn,
+                               _TAGGED_PAIR_SCHEMA, cap=192)
+    fuzzy_pairs, similar_pairs = [], []
+    for bt in tagged.iter_batches(batch_format="pyarrow"):
+        for a, b, k in zip(bt["a"].to_pylist(), bt["b"].to_pylist(),
+                           bt["kind"].to_pylist()):
+            (fuzzy_pairs if k == "f" else similar_pairs).append((a, b))
+
+    d2 = compact(_group_with_labels(nodes, _labels_for_pairs(fuzzy_pairs),
+                                    _phase1_group))
+    surv = set()
+    for bt in d2.select_columns(["id"]).iter_batches(batch_format="pyarrow"):
+        surv.update(bt["id"].to_pylist())
+    sim = [(a, b) for a, b in similar_pairs if a in surv and b in surv]
+    return _group_with_labels(d2, _labels_for_pairs(sim), _phase2_group)
