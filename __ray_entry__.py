@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_user_windows": relational.events_user_windows,
         "filter_contains": relational.filter_contains,
+        "token_freq": relational.token_freq,
         # -- text analysis -------------------------------------------------
         "token_stats": text.token_stats,
         "doc_fingerprints": fingerprints_sql_cols,
@@ -214,6 +215,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_contains":
             "SELECT source, count(*) AS n FROM documents "
             "WHERE regexp_matches(lower(text), 'data') GROUP BY source",
+        "token_freq":
+            "SELECT token, count(*) AS n FROM (SELECT unnest("
+            "string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token HAVING count(*) >= 50",
         "token_stats":
             "SELECT doc_id, length(text) AS n_chars, "
             "len(string_split(text, ' ')) AS n_tokens, "

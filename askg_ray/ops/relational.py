@@ -140,6 +140,35 @@ def events_user_windows(sf_dir: str):
     return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def token_freq(sf_dir: str, min_count: int = 50):
+    """Explode-then-aggregate: token frequencies over all documents
+    (M6/J2-style flat_map explode + pre-aggregated groupby). Partial
+    per-batch counters shrink the shuffle from one row per token
+    OCCURRENCE to one row per (batch, distinct token)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update((text or "").split(" "))
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"token": pa.array(list(ks), pa.string()),
+                         "n": pa.array(list(vs), pa.int64())})
+
+    agg = (docs.map_batches(partial_counts, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow")
+
+
 def filter_contains(sf_dir: str, needle: str = "data"):
     """F6 analog: case-insensitive substring filter + count per source."""
     import ray.data as rd

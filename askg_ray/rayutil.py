@@ -20,6 +20,11 @@ ROWS_PER_BLOCK = 65536
 
 
 def default_nblocks() -> int:
+    import os
+
+    override = os.environ.get("ASKG_NBLOCKS")
+    if override:
+        return int(override)
     import ray
 
     try:

@@ -91,15 +91,41 @@ def _page_for_doc(doc_id: int, lang: str) -> tuple[str, bytes]:
     return url, html.encode()
 
 
-def docs_to_pages_batch(batch: pa.Table) -> pa.Table:
+def _replica_page(doc_id: int, r: int) -> tuple[str, bytes]:
+    """Replica r ≥ 1: another appearance of doc_id's entity — a
+    duplicate the dedup stages must collapse (registry rotated, repo URL
+    variants, occasional fuzzy name / missing description). Scales the
+    extraction + dedup WORK linearly with the replication factor while
+    keeping the canonical node (and edge) set fixed."""
+    e = dict(entity_from_index(doc_id))
+    registry = REGISTRIES[(doc_id + r) % 4]
+    name = e["name"]
+    if r % 5 == 4:
+        name = _mutate_name(random.Random(doc_id * 31 + r), e["name"], 0.85, 0.995)
+        e["repository"] = None
+    elif e["repository"]:
+        e["repository"] += ["", ".git", "/", ""][r % 4]
+    html = _render_html(e, with_meta_desc=(r % 3 != 2),
+                        with_author_in_title=True,
+                        name_override=None if name == e["name"] else name)
+    slug = name.replace(" ", "-").lower()
+    url = (f"https://{REGISTRY_DOMAIN[registry]}/server/{slug}/"
+           f"{e['author']}?r={r}")
+    return url, html.encode()
+
+
+def docs_to_pages_batch(batch: pa.Table, replication: int = 1) -> pa.Table:
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for doc_id, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist()):
-        url, html = _page_for_doc(int(doc_id), lang)
-        urls.append(url)
-        tss.append(_BASE_TS + timedelta(seconds=int(doc_id)))
-        htmls.append(html)
-        texts.append(extract_text(html))
-        langs.append(lang)
+        doc_id = int(doc_id)
+        pages = [_page_for_doc(doc_id, lang)]
+        pages += [_replica_page(doc_id, r) for r in range(1, replication)]
+        for r, (url, html) in enumerate(pages):
+            urls.append(url)
+            tss.append(_BASE_TS + timedelta(seconds=doc_id, milliseconds=r))
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(lang)
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
@@ -109,12 +135,16 @@ def docs_to_pages_batch(batch: pa.Table) -> pa.Table:
     }, schema=PAGES_SCHEMA)
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, replication: int = 1):
     """Ray Dataset of pages rendered from {sf_dir}/documents.parquet.
 
     The render (and the downstream HTML extraction) is CPU-bound per
     row, and map parallelism is per-block — so the read is split to
-    ~2×CPU blocks regardless of parquet row-group layout."""
+    ~2×CPU blocks regardless of parquet row-group layout.
+
+    ``replication`` > 1 emits that many appearance pages per document
+    (duplicates the pipeline must collapse) — the bench knob that makes
+    the corpus compute-dominated instead of scheduling-floor-bound."""
     import ray.data as rd
 
     from ..rayutil import default_nblocks
@@ -122,7 +152,9 @@ def pages_from_documents(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"],
                            override_num_blocks=default_nblocks() * 2)
-    return docs.map_batches(docs_to_pages_batch, batch_format="pyarrow")
+    return docs.map_batches(
+        lambda t: docs_to_pages_batch(t, replication=replication),
+        batch_format="pyarrow")
 
 
 def pages_table_from_documents(sf_dir: str) -> pa.Table:

@@ -70,11 +70,16 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
 
     # exploded is consumed twice (hot-count pass + cells); it is a cheap
     # map off a materialized upstream, so re-execution beats pinning it
-    hot = _hot_sizes(exploded, cap)
-    hot_ref = ray.put({k: -(-n // cap) for k, n in hot.items()})  # key -> s buckets
+    counts = _hot_sizes(exploded, 0)
+    hot = {k: n for k, n in counts.items() if n > cap}
+    # singleton blocks can never pair — drop them before the shuffle
+    # (typically the vast majority of LSH bands). At corpus sizes where
+    # the pairable-key set outgrows a broadcast, swap for a Bloom filter.
+    pairable = frozenset(k for k, n in counts.items() if n >= 2)
+    hot_ref = ray.put(({k: -(-n // cap) for k, n in hot.items()}, pairable))
 
     def to_cells(batch: pa.Table) -> pa.Table:
-        smap = ray.get(hot_ref)
+        smap, keep = ray.get(hot_ref)
         cols = batch.column_names
         data = {c: batch[c].to_pylist() for c in cols}
         out = {c: [] for c in cols}
@@ -82,6 +87,8 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         out["bucket"] = []
         for i in range(batch.num_rows):
             key = data["block_key"][i]
+            if key not in keep:
+                continue
             s = smap.get(key, 1)
             b = zlib.crc32(str(data["id"][i]).encode()) % s
             cells = {(min(b, j), max(b, j)) for j in range(s)}

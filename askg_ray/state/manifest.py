@@ -71,7 +71,17 @@ def write_stage(ds, stage_dir: str, fp: str, version: str,
     wall = round(time.time() - t0, 3)
     out = rd.read_parquet(os.path.join(tmp, "data"))
     rows = out.count()
-    parts = sorted(os.listdir(os.path.join(tmp, "data")))
+    # per-partition lineage: file → (bytes, sha256), the S3-checksum
+    # analog (/root/reference/src/scrapers.py:90-91) at file granularity
+    parts = {}
+    for fname in sorted(os.listdir(os.path.join(tmp, "data"))):
+        fpath = os.path.join(tmp, "data", fname)
+        h = hashlib.sha256()
+        with open(fpath, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        parts[fname] = {"bytes": os.path.getsize(fpath),
+                        "sha256": h.hexdigest()}
     manifest = {
         "fingerprint": fp,
         "stage_version": version,

@@ -21,6 +21,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# appearance pages rendered per document for the KG build — at 1 the
+# sf0.1 corpus is scheduling-floor-bound and cannot saturate 32 cpus;
+# 8 makes extraction + dedup the dominant (and scaling) cost
+PAGE_REPL = int(os.environ.get("GRAFT_PAGE_REPL", "8"))
 
 
 def _bench_queries():
@@ -35,7 +39,7 @@ def _bench_queries():
     state: dict = {}
 
     def kg_build():
-        out = build_kg(pages_from_documents(SF_DIR))
+        out = build_kg(pages_from_documents(SF_DIR, replication=PAGE_REPL))
         state["n_edges"] = out["edges"].count()
         state["n_nodes"] = out["nodes"].count()
         return state["n_edges"]
@@ -82,6 +86,7 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "page_replication": PAGE_REPL,
         "n_nodes": state.get("n_nodes"),
         "n_edges": state.get("n_edges"),
         "triples_per_sec": round(state.get("n_edges", 0) / kg_secs, 1) if kg_secs else None,
