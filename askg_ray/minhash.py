@@ -12,13 +12,17 @@ ops/similarity.py (LSH-bucketed ANN).
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
 _MERSENNE = (1 << 61) - 1
 
 
+@lru_cache(maxsize=16)
 def _coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    # cached: regenerating a RandomState per record was the dominant
+    # cost of per-record signatures in hot map_batches loops
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)

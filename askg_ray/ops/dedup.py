@@ -97,8 +97,11 @@ def _near_dedup(blocks, verify_fn, all_ids):
 
 def _read_docs(sf_dir: str):
     import ray.data as rd
+
+    from ..rayutil import default_nblocks
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"],
+                           override_num_blocks=default_nblocks())
 
 
 # ---- minhash / ngram-jaccard --------------------------------------------
