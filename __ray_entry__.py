@@ -131,6 +131,46 @@ def _kg_id_tiers(sf_dir):
     return id_tier_histogram(_kg(sf_dir)["nodes"])
 
 
+def _kg_dedup_stats(sf_dir):
+    from askg_ray.ops.analyze import dedup_stats
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    pages = compact(pages_from_documents(sf_dir))
+    ents = compact(extract_entities(pages))
+    return dedup_stats(pages, ents, _kg(sf_dir)["nodes"])
+
+
+def _kg_sample_per_registry(sf_dir):
+    from askg_ray.ops.analyze import sample_per_registry
+    return sample_per_registry(_kg(sf_dir)["nodes"], n=5)
+
+
+def _repo_links(sf_dir):
+    """M6 link-extraction over a deterministic awesome-list corpus
+    rendered from the same entity universe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from askg_ray.sources.docs_adapter import entity_from_index
+    from askg_ray.stages.ingest import extract_repo_links_batch
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    pages, texts = [], []
+    for start in range(0, n_docs, 50):
+        lines = [f"# Awesome list {start // 50}"]
+        for i in range(start, min(start + 50, n_docs)):
+            e = entity_from_index(i)
+            if e["repository"]:
+                lines.append(f"- [{e['name']}]({e['repository']})")
+        pages.append(f"https://lists.example/awesome/{start // 50}")
+        texts.append("\n".join(lines))
+    ds = rd.from_arrow(pa.table({"url": pages, "text": texts}))
+    return ds.map_batches(extract_repo_links_batch, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import dedup, relational, similarity, text
     from askg_ray.ops.multimodal import media_features
@@ -179,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_similar_servers": _kg_similar_servers,
         "kg_completeness": _kg_completeness,
         "kg_id_tiers": _kg_id_tiers,
+        "kg_dedup_stats": _kg_dedup_stats,
+        "kg_sample_per_registry": _kg_sample_per_registry,
+        "repo_links": _repo_links,
     }
 
 

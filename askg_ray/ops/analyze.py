@@ -51,3 +51,41 @@ def completeness_by_registry(nodes):
 def id_tier_histogram(nodes):
     """M20: global-id shape analysis (repo/author-name/name/hash)."""
     return nodes.groupby("gid_tier").count()
+
+
+def dedup_stats(pages, entities, nodes):
+    """A4: input/entity/unique counts + dedup rate
+    (/root/reference/src/deduplication.py:90-114, main.py:140-143).
+    Counts are Dataset.count() — O(1) on materialized inputs."""
+    import ray.data as rd
+
+    n_pages = pages.count()
+    n_entities = entities.count()
+    n_nodes = nodes.count()
+    removed = n_entities - n_nodes
+    t = pa.table({
+        "n_pages": pa.array([n_pages], pa.int64()),
+        "n_entities": pa.array([n_entities], pa.int64()),
+        "n_unique": pa.array([n_nodes], pa.int64()),
+        "n_removed": pa.array([removed], pa.int64()),
+        "dedup_rate_pct": pa.array(
+            [round(removed / n_entities * 100, 1) if n_entities else 0.0],
+            pa.float64()),
+    })
+    return rd.from_arrow(t)
+
+
+def sample_per_registry(nodes, n: int = 10):
+    """O5 (/root/reference/src/run_sample_deduplication.py:23-68):
+    first n records per registry — "first" in canonical order so the
+    sample is deterministic across runs and block layouts."""
+    def head_n(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401
+        from ..arrowutil import sort_canonical
+        recs = sort_canonical(t.to_pylist())[:n]
+        return pa.Table.from_pylist(recs, schema=t.schema)
+
+    return (nodes.select_columns(["id", "name", "registry_source",
+                                  "reg_prio", "warc_ts", "source_url"])
+            .groupby("registry_source")
+            .map_groups(head_n, batch_format="pyarrow"))

@@ -1,0 +1,109 @@
+"""Tests for the source-side parsing/filtering stages (ingest.py)."""
+
+import json
+
+import pyarrow as pa
+
+
+def _rows(ds):
+    return [r for b in ds.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+
+
+def test_is_mcp_relevant():
+    from askg_ray.stages.ingest import is_mcp_relevant
+
+    assert is_mcp_relevant("This is an MCP Server for files", None, None)
+    assert is_mcp_relevant(None, "a Model Context Protocol tool", None)
+    assert is_mcp_relevant(None, None, ["mcp"])
+    assert not is_mcp_relevant("just a web app", "nothing here", ["cli"])
+    # topic must match exactly (reference checks membership, not substring)
+    assert not is_mcp_relevant(None, None, ["mcp-adjacent"])
+
+
+def test_parse_repo_record():
+    from askg_ray.stages.ingest import parse_repo_record
+
+    repo = {
+        "name": "pg-mcp", "owner": {"login": "zoe"},
+        "html_url": "https://github.com/zoe/pg-mcp",
+        "description": "postgres database server",
+        "language": "Python", "stargazers_count": 77,
+        "updated_at": "2025-02-01T10:00:00Z", "homepage": "",
+        "_package_info": {"tools": [{"name": "query_db"}]},
+    }
+    r = parse_repo_record(repo)
+    assert r["id"] == "github_zoe_pg-mcp"
+    assert r["author"] == "zoe"
+    assert r["homepage"] is None            # empty string → None
+    assert r["last_updated"].year == 2025   # Z-normalized ISO parse
+    assert "database" in r["categories"]
+    assert r["operations"] == ["query"]
+    assert parse_repo_record({"name": "x"}) is None  # missing fields → None
+
+
+def test_parse_package_json():
+    from askg_ray.stages.ingest import parse_package_json
+
+    assert parse_package_json('{"name": "x", "tools": []}') == {"name": "x", "tools": []}
+    assert parse_package_json("[project]\nname='y'") == {}   # TOML: unparsed
+    assert parse_package_json(None) == {}
+    assert parse_package_json("{broken") == {}
+
+
+def test_extract_repo_links_and_sitemap(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.ingest import (
+        extract_repo_links_batch, extract_sitemap_urls_batch)
+
+    md = ("Check [a](https://github.com/o1/r1) and "
+          "https://github.com/o2/r2) plus https://example.com/x")
+    t = pa.table({"url": ["u1"], "text": [md]})
+    links = _rows(rd.from_arrow(t).map_batches(extract_repo_links_batch,
+                                               batch_format="pyarrow"))
+    assert [r["repo_path"] for r in links] == ["o1/r1", "o2/r2"]
+
+    xml = ("<urlset><loc>https://mcp.so/server/a</loc>"
+           "<loc>https://other.example/x</loc>"
+           "<loc>https://mcp.so/server/b</loc></urlset>")
+    t2 = pa.table({"url": ["s"], "text": [xml]})
+    urls = _rows(rd.from_arrow(t2).map_batches(extract_sitemap_urls_batch,
+                                               batch_format="pyarrow"))
+    assert [r["server_url"] for r in urls] == [
+        "https://mcp.so/server/a", "https://mcp.so/server/b"]
+
+
+def test_relevance_and_quality_filters(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.ingest import page_quality_filter, relevance_filter
+
+    repos = pa.table({
+        "readme": ["uses the model context protocol", "plain readme"],
+        "description": [None, "web app"],
+        "topics": [[], []],
+    })
+    kept = _rows(relevance_filter(rd.from_arrow(repos)))
+    assert len(kept) == 1
+
+    big = b"<html>" + b"x" * 2000 + b"</html>"
+    checkpoint = b"<html>" + b"y" * 2000 + b" Checking your browser</html>"
+    small = b"<html>tiny</html>"
+    pages = pa.table({"url": ["a", "b", "c"],
+                      "html": pa.array([big, checkpoint, small], pa.binary())})
+    kept = _rows(page_quality_filter(rd.from_arrow(pages)))
+    assert [r["url"] for r in kept] == ["a"]
+
+
+def test_parse_repo_json_batch(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.ingest import parse_repo_json_batch
+
+    good = json.dumps({"name": "n", "owner": {"login": "o"},
+                       "html_url": "https://github.com/o/n"})
+    t = pa.table({"repo_json": [good, "{broken", json.dumps({"name": "x"})]})
+    rows = _rows(rd.from_arrow(t).map_batches(parse_repo_json_batch,
+                                              batch_format="pyarrow"))
+    assert len(rows) == 1 and rows[0]["id"] == "github_o_n"
