@@ -95,6 +95,41 @@ def texts_only(batch: pa.Table) -> pa.Table:
     return batch.select(["url", "text"])
 
 
+def validate_batch(batch: pa.Table) -> pa.Table:
+    """Schema/invariant validation — the Pydantic-validation analog
+    (SURVEY.md §1.3): instead of raising (the reference skips invalid
+    records, run_full_deduplication.py:50-56), a ``quarantine_reason``
+    column routes failures to a quarantine table downstream."""
+    ids = batch["id"].to_pylist()
+    names = batch["name"].to_pylist()
+    regs = batch["registry_source"].to_pylist()
+    pops = batch["popularity_score"].to_pylist()
+    urls = batch["source_url"].to_pylist()
+    reasons = []
+    for i in range(batch.num_rows):
+        if not ids[i] or not names[i]:
+            reasons.append("missing_identity")
+        elif regs[i] not in REGISTRY_PRIORITY:
+            reasons.append("unknown_registry")
+        elif pops[i] is not None and pops[i] < 0:
+            reasons.append("negative_popularity")
+        elif not urls[i]:
+            reasons.append("missing_source_url")
+        else:
+            reasons.append(None)
+    return batch.append_column("quarantine_reason",
+                               pa.array(reasons, pa.string()))
+
+
+def valid_only(batch: pa.Table) -> pa.Table:
+    t = batch.filter(pc.is_null(batch["quarantine_reason"]))
+    return t.drop_columns(["quarantine_reason"])
+
+
+def quarantined_only(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.is_valid(batch["quarantine_reason"]))
+
+
 def enrich_batch(batch: pa.Table) -> pa.Table:
     """Add categories/operations + all dedup/id key columns."""
     names = batch["name"].to_pylist()

@@ -163,6 +163,72 @@ def extract_sitemap_urls_batch(batch: pa.Table) -> pa.Table:
                      "server_url": pa.array(urls, pa.string())})
 
 
+def parse_glama_record(server_data: dict) -> dict | None:
+    """M10 (scrapers.py:832-874): Glama API JSON → raw entity record.
+    Name guard; tool names drive operations; synthesized source_url."""
+    if not isinstance(server_data, dict):
+        return None
+    name = server_data.get("name")
+    if not name:
+        return None
+    tools = server_data.get("tools", [])
+    tool_names = [t.get("name", "") for t in tools
+                  if isinstance(t, dict)] if isinstance(tools, list) else []
+    slug = name.lower().replace(" ", "_").replace("-", "_")
+    return {
+        "id": f"glama_api_{slug}",
+        "name": name,
+        "description": server_data.get("description"),
+        "author": server_data.get("author"),
+        "version": server_data.get("version", "1.0.0"),
+        "repository": server_data.get("repository"),
+        "implementation_language": server_data.get("language"),
+        "categories": categorize(name, server_data.get("description")),
+        "operations": determine_operations(tool_names),
+        "tool_names": tool_names,
+        "registry_source": "glama",
+        "source_url": f"https://glama.ai/mcp/servers/{name.lower().replace(' ', '-')}",
+    }
+
+
+def parse_api_payload(data) -> list[dict]:
+    """M12 (scrapers.py:1190-1237): generic marketplace API-shape
+    projection — tries servers/data/items/results keys, name|title,
+    author|owner, repository|repo_url; per-payload name dedup mirrors
+    the reference's per-page ``seen_names`` set (scrapers.py:1125-1133)."""
+    server_list = None
+    if isinstance(data, dict):
+        for key in ("servers", "data", "items", "results"):
+            if key in data and isinstance(data[key], list):
+                server_list = data[key]
+                break
+    elif isinstance(data, list):
+        server_list = data
+    out: list[dict] = []
+    seen_names: set[str] = set()
+    for sd in server_list or []:
+        if not isinstance(sd, dict):
+            continue
+        name = sd.get("name") or sd.get("title")
+        if not name or name in seen_names:
+            continue
+        seen_names.add(name)
+        out.append({
+            "id": f"mcpmarket_{name.lower().replace(' ', '-').replace('_', '-')}",
+            "name": name,
+            "description": sd.get("description"),
+            "author": sd.get("author") or sd.get("owner"),
+            "repository": sd.get("repository") or sd.get("repo_url"),
+            "categories": categorize(name, sd.get("description")),
+            "operations": determine_operations(
+                [t.get("name", "") for t in sd.get("tools", [])
+                 if isinstance(t, dict)]),
+            "registry_source": "mcpmarket.com",
+            "source_url": sd.get("url"),
+        })
+    return out
+
+
 def page_quality_filter(pages):
     """F4 (scrapers.py:1064-1069): drop checkpoint pages and pages with
     len(html) < 1000 — vectorized length check, per-row marker scan."""

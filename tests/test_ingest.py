@@ -107,3 +107,71 @@ def test_parse_repo_json_batch(ray_session):
     rows = _rows(rd.from_arrow(t).map_batches(parse_repo_json_batch,
                                               batch_format="pyarrow"))
     assert len(rows) == 1 and rows[0]["id"] == "github_o_n"
+
+
+def test_parse_glama_and_marketplace():
+    from askg_ray.stages.ingest import parse_api_payload, parse_glama_record
+
+    g = parse_glama_record({"name": "Data Tool", "author": "a",
+                            "tools": [{"name": "query_x"}]})
+    assert g["id"] == "glama_api_data_tool"
+    assert g["operations"] == ["query"]
+    assert g["source_url"].endswith("/data-tool")
+    assert parse_glama_record({"description": "no name"}) is None
+
+    payload = {"items": [
+        {"name": "S One", "owner": "o", "repo_url": "https://github.com/o/s1"},
+        {"title": "S Two"},
+        {"name": "S One"},          # per-payload name dedup
+        "not-a-dict",
+    ]}
+    rows = parse_api_payload(payload)
+    assert [r["name"] for r in rows] == ["S One", "S Two"]
+    assert rows[0]["author"] == "o"
+    assert rows[0]["repository"] == "https://github.com/o/s1"
+    assert parse_api_payload({"nope": 1}) == []
+    assert len(parse_api_payload([{"name": "L"}])) == 1   # bare-list shape
+
+
+def test_extractor_registry():
+    import pytest
+
+    from askg_ray.registry import extractor_for, register_extractor
+
+    assert extractor_for("html_page") is not None
+    with pytest.raises(KeyError):
+        extractor_for("nope")
+    register_extractor("custom", lambda t: t)
+    assert extractor_for("custom")
+
+
+def test_pipeline_config(tmp_path):
+    from askg_ray.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert cfg.get("minhash_bands") == 16
+    assert cfg.get("a.b", 7) == 7
+    p = tmp_path / "c.yaml"
+    p.write_text("selfjoin_cap: 100\ncustom_knob: 3\n")
+    cfg2 = PipelineConfig.from_yaml(str(p))
+    assert cfg2.selfjoin_cap == 100
+    assert cfg2.get("extra.custom_knob") == 3
+
+
+def test_validate_quarantine(ray_session):
+    import pyarrow as pa
+
+    from askg_ray.stages.extract import quarantined_only, valid_only, validate_batch
+
+    t = pa.table({
+        "id": ["a", None, "c"],
+        "name": ["n1", "n2", "n3"],
+        "registry_source": ["github", "github", "weird"],
+        "popularity_score": [1, 1, 1],
+        "source_url": ["u", "u", "u"],
+    })
+    v = validate_batch(t)
+    assert v["quarantine_reason"].to_pylist() == [None, "missing_identity",
+                                                  "unknown_registry"]
+    assert valid_only(v).num_rows == 1
+    assert quarantined_only(v).num_rows == 2
