@@ -21,8 +21,6 @@ via stages/components.py (hash-to-min).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 

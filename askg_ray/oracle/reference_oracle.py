@@ -26,14 +26,12 @@ from ..merge import (
     fuzzy_name_match,
     merge_multiple,
     merge_phase1,
-    servers_are_similar,
 )
 from ..normalize import (
     content_hash_md5,
     extract_repository_id,
     name_author_key,
     normalize_id,
-    normalize_name,
     normalize_repository_url,
     content_hash_sha256,
 )

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..stages.dedup_exact import dedup_exact
-from ..stages.dedup_near import dedup_fuzzy, merge_similar, near_dedup
+from ..stages.dedup_near import near_dedup
 from ..stages.edges import infer_edges
 from ..stages.extract import enrich_batch, entities_only, extract_batch, texts_only
 from ..stages.ids import assign_global_ids

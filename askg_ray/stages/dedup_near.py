@@ -36,7 +36,6 @@ import pyarrow as pa
 from ..arrowutil import NODES_SCHEMA, records_of, sort_canonical, table_of
 from ..merge import are_highly_similar, fuzzy_name_match, merge_multiple, servers_are_similar
 from ..minhash import band_keys, char_shingles, minhash_signature, shingle_ids
-from ..normalize import normalize_name
 from .components import PAIR_SCHEMA, connected_components
 
 _NUM_PERM = 32
