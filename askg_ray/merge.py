@@ -118,8 +118,13 @@ def similarity_score(s1: dict, s2: dict) -> float:
         score += SequenceMatcher(None, normalize_name(s1["author"]),
                                  normalize_name(s2["author"])).ratio() * 0.2
     r1, r2 = s1.get("repository"), s2.get("repository")
-    if r1 and r2 and urlparse(str(r1)).netloc == urlparse(str(r2)).netloc:
-        score += 0.2
+    if r1 and r2:
+        try:
+            if urlparse(str(r1)).netloc == urlparse(str(r2)).netloc:
+                score += 0.2
+        except ValueError:
+            pass  # malformed URL — no domain credit
+
     if s1.get("description") and s2.get("description"):
         score += SequenceMatcher(None, s1["description"].lower(),
                                  s2["description"].lower()).ratio() * 0.1

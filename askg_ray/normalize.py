@@ -38,7 +38,12 @@ def normalize_repository_url(url: str | None) -> str | None:
         return None
     u = url.lower().rstrip("/")
     u = u.removesuffix(".git")
-    parsed = urlparse(u)
+    try:
+        parsed = urlparse(u)
+    except ValueError:
+        # malformed URL (e.g. unbalanced IPv6 bracket) — crawl data is
+        # adversarial; fall back to the scheme-stripped string as key
+        return _PROTO.sub("", u)
     return f"{parsed.netloc}{parsed.path}"
 
 

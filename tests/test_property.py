@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from askg_ray.merge import merge_phase1, merge_phase2
+from askg_ray.minhash import (
+    char_shingles,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingle_ids,
+    simhash64,
+)
+from askg_ray.normalize import (
+    normalize_id,
+    normalize_name,
+    normalize_repository_url,
+)
+
+names = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=300),
+                max_size=60)
+
+
+@given(names)
+@settings(max_examples=200)
+def test_normalize_name_idempotent(s):
+    once = normalize_name(s)
+    assert normalize_name(once) == once or once == ""
+    # output alphabet is constrained
+    assert all(c.isalnum() or c == " " for c in once)
+
+
+@given(names)
+@settings(max_examples=200)
+def test_normalize_id_idempotent_and_bounded(s):
+    once = normalize_id(s)
+    assert normalize_id(once) == once
+    assert len(once) <= 100
+    assert all(c.islower() or c.isdigit() or c in "-/" for c in once)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=100)
+def test_repo_url_normalization_stable(s):
+    u = normalize_repository_url("https://" + s) if s else None
+    if u is not None:
+        # scheme-stripped and lowercase
+        assert u == u.lower()
+        assert not u.startswith("http")
+
+
+@given(st.text(min_size=1, max_size=40), st.text(min_size=0, max_size=5))
+@settings(max_examples=100)
+def test_minhash_estimates_jaccard_direction(base, suffix):
+    """Signature agreement of s vs s+suffix ≥ agreement vs reversed+noise."""
+    a = shingle_ids(char_shingles(base, 2))
+    b = shingle_ids(char_shingles(base + suffix, 2))
+    c = shingle_ids(char_shingles(base[::-1] + "qzx9", 2))
+    sa = minhash_signature(a, 64)
+    sb = minhash_signature(b, 64)
+    sc = minhash_signature(c, 64)
+    sim_ab = float((sa == sb).mean())
+    j_ab = jaccard(set(a.tolist()), set(b.tolist()))
+    j_ac = jaccard(set(a.tolist()), set(c.tolist()))
+    if j_ab - j_ac > 0.5:  # clearly more similar → estimate must not invert hard
+        sim_ac = float((sa == sc).mean())
+        assert sim_ab >= sim_ac - 0.25
+
+
+@given(st.lists(st.integers(min_value=1, max_value=1 << 31), min_size=1,
+                max_size=30, unique=True))
+@settings(max_examples=100)
+def test_simhash_self_zero(ids):
+    import numpy as np
+
+    arr = np.array(ids, dtype=np.uint64)
+    h = simhash64(arr)
+    assert 0 <= h < (1 << 64)
+    assert hamming64(h, h) == 0
+
+
+_rec = st.fixed_dictionaries({
+    "description": st.one_of(st.none(), st.text(max_size=20)),
+    "version": st.one_of(st.none(), st.text(max_size=5)),
+    "license": st.one_of(st.none(), st.text(max_size=5)),
+    "homepage": st.one_of(st.none(), st.text(max_size=10)),
+    "categories": st.lists(st.sampled_from(["a", "b", "c"]), max_size=3),
+    "operations": st.lists(st.sampled_from(["read", "write"]), max_size=2),
+    "data_types": st.lists(st.text(max_size=4), max_size=2),
+    "tool_names": st.lists(st.text(min_size=1, max_size=4), max_size=3),
+    "popularity_score": st.integers(min_value=0, max_value=100),
+    "download_count": st.integers(min_value=0, max_value=100),
+    "warc_ts": st.integers(min_value=0, max_value=1000),
+})
+
+
+@given(_rec, _rec)
+@settings(max_examples=150)
+def test_merge_invariants(a, b):
+    for merge in (merge_phase1, merge_phase2):
+        m = merge(a, b)
+        # unions are supersets, sorted, deduped
+        assert set(m["categories"]) >= set(a["categories"])
+        assert m["categories"] == sorted(set(m["categories"]))
+        # maxima never decrease (truthiness semantics: 0 counts as empty)
+        if a["popularity_score"] and b["popularity_score"]:
+            assert m["popularity_score"] == max(a["popularity_score"],
+                                                b["popularity_score"])
+        # fill-empty never overwrites non-empty base scalars
+        if a["description"]:
+            assert m["description"] == a["description"]
+        assert m["warc_ts"] == max(a["warc_ts"], b["warc_ts"])
