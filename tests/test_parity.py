@@ -69,3 +69,21 @@ def test_parity_larger_corpus(ray_session):
     oracle = build_kg_oracle(pages)
     p, r = precision_recall(edges, oracle["edges"])
     assert p >= 0.95 and r >= 0.95, f"P={p:.4f} R={r:.4f}"
+
+
+@pytest.mark.slow
+def test_parity_docs_adapter_corpus(ray_session):
+    """Parity on the driver-testdata-derived corpus (what entry() and
+    the kg_* queries actually run on)."""
+    from askg_ray.oracle.reference_oracle import build_kg_oracle
+    from askg_ray.pipelines.kg import build_kg
+    from askg_ray.sources.docs_adapter import (
+        pages_from_documents, pages_table_from_documents)
+
+    sf = "/root/testdata/sf0.001"
+    out = build_kg(pages_from_documents(sf))
+    edges = [r for b in out["edges"].iter_batches(batch_format="pyarrow")
+             for r in b.to_pylist()]
+    oracle = build_kg_oracle(pages_table_from_documents(sf))
+    p, r = precision_recall(edges, oracle["edges"])
+    assert p >= 0.95 and r >= 0.95, f"P={p:.4f} R={r:.4f}"
