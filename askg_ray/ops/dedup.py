@@ -56,25 +56,27 @@ def exact_dedup(sf_dir: str):
 # ---- shared near-dup machinery ------------------------------------------
 
 def _near_dedup(blocks, verify_fn, all_ids):
-    """blocks: Dataset[(block_key, doc_id, payload...)] → assignments."""
+    """blocks: Dataset[(block_key, doc_id, payload...)] → assignments.
+
+    Pair generation rides the grid-salted self-join (singleton-block
+    pruning + hot-block salting, stages/selfjoin.py); doc ids are
+    zero-padded so string component labels sort numerically."""
     import ray
 
-    def pairs_in_block(batch: pa.Table) -> pa.Table:
-        recs = batch.to_pylist()
-        by_id = {}
-        for r in recs:
-            by_id.setdefault(r["doc_id"], r)
-        recs = sorted(by_id.values(), key=lambda r: r["doc_id"])
-        a, b = [], []
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if verify_fn(recs[i], recs[j]):
-                    a.append(str(recs[i]["doc_id"]).zfill(12))
-                    b.append(str(recs[j]["doc_id"]).zfill(12))
-        return pa.table({"a": a, "b": b}, schema=PAIR_SCHEMA)
+    from ..stages.selfjoin import blocked_self_join
 
-    pairs = blocks.groupby("block_key").map_groups(pairs_in_block,
-                                                   batch_format="pyarrow")
+    def add_str_id(batch: pa.Table) -> pa.Table:
+        sids = [str(d).zfill(12) for d in batch["doc_id"].to_pylist()]
+        return batch.append_column("id", pa.array(sids, pa.string()))
+
+    def pair_fn(r1: dict, r2: dict) -> list[dict]:
+        if verify_fn(r1, r2):
+            return [{"a": r1["id"], "b": r2["id"]}]
+        return []
+
+    pairs = blocked_self_join(
+        blocks.map_batches(add_str_id, batch_format="pyarrow"),
+        pair_fn, PAIR_SCHEMA, cap=256)
     labels = connected_components(pairs)
     label_map = {}
     for bt in labels.iter_batches(batch_format="pyarrow"):
@@ -146,14 +148,14 @@ def _verify_exact_jaccard(r1, r2, thresh=0.5) -> bool:
 def minhash_dedup(sf_dir: str):
     docs = _read_docs(sf_dir).materialize()
     blocks = docs.map_batches(lambda t: _minhash_blocks(t, False),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow").materialize()
     return _near_dedup(blocks, _verify_est_jaccard, docs)
 
 
 def ngram_jaccard_dedup(sf_dir: str):
     docs = _read_docs(sf_dir).materialize()
     blocks = docs.map_batches(lambda t: _minhash_blocks(t, True),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow").materialize()
     return _near_dedup(blocks, _verify_exact_jaccard, docs)
 
 
@@ -185,7 +187,9 @@ def _verify_hamming(r1, r2, maxd=3) -> bool:
 
 def simhash_dedup(sf_dir: str):
     docs = _read_docs(sf_dir).materialize()
-    blocks = docs.map_batches(_simhash_blocks, batch_format="pyarrow")
+    # sketch computation is the dominant cost — pin it so the self-join's
+    # two passes (hot-count + cells) don't recompute it
+    blocks = docs.map_batches(_simhash_blocks, batch_format="pyarrow").materialize()
     return _near_dedup(blocks, _verify_hamming, docs)
 
 
@@ -231,7 +235,7 @@ def embedding_dedup(sf_dir: str):
 
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"]).materialize()
-    blocks = embs.map_batches(_embed_blocks, batch_format="pyarrow")
+    blocks = embs.map_batches(_embed_blocks, batch_format="pyarrow").materialize()
     ids = embs.map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
     return _near_dedup(blocks, _verify_cosine, ids)
