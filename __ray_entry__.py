@@ -70,6 +70,11 @@ def _kg_popular_topk(sf_dir):
     return popular_topk(_kg(sf_dir)["nodes"], k=10)
 
 
+def _kg_language_hist(sf_dir):
+    from askg_ray.pipelines.kg import language_top10
+    return language_top10(_kg(sf_dir)["nodes"])
+
+
 def _kg_texts(sf_dir):
     """Byte-identical extraction surface: url + extracted text."""
     from askg_ray.pipelines.kg import extract_texts
@@ -188,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": relational.top_parts_by_price,
         "events_hourly": relational.events_hourly,
         "events_user_windows": relational.events_user_windows,
+        "events_sessions": relational.events_sessions,
         "filter_contains": relational.filter_contains,
         "token_freq": relational.token_freq,
         # -- text analysis -------------------------------------------------
@@ -212,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_registry_hist": _kg_registry_hist,
         "kg_category_hist": _kg_category_hist,
         "kg_popular_topk": _kg_popular_topk,
+        "kg_language_hist": _kg_language_hist,
         "kg_texts": _kg_texts,
         "kg_mentions": _kg_mentions,
         "kg_search_keyword": _kg_search_keyword,
@@ -255,6 +262,13 @@ def oracle_sql() -> dict[str, str]:
         "events_user_windows":
             "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events "
             "FROM events GROUP BY 1, 2",
+        "events_sessions":
+            "WITH d AS (SELECT user_id, ts, CASE WHEN "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events) "
+            "SELECT user_id, count(*) AS n_events, "
+            "sum(new_s)::BIGINT AS n_sessions FROM d GROUP BY user_id",
         "filter_contains":
             "SELECT source, count(*) AS n FROM documents "
             "WHERE regexp_matches(lower(text), 'data') GROUP BY source",

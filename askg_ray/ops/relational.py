@@ -169,6 +169,33 @@ def token_freq(sf_dir: str, min_count: int = 50):
         batch_format="pyarrow")
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows: per-user event count + session count, where a
+    session breaks after a ``gap_minutes`` silence. The stream-shaped
+    pattern from the Ray guide — partition by key, sort by ts within
+    the group, window with pandas; the ordering assumption (per-user
+    event-time order within the group) is established by the sort."""
+    import pandas as pd
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("ts")
+        gaps = df["ts"].diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
+        out = pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "n_events": [len(df)],
+            "n_sessions": [int(new_session.sum())],
+        })
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                       ("n_sessions", pa.int64())]))
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 def filter_contains(sf_dir: str, needle: str = "data"):
     """F6 analog: case-insensitive substring filter + count per source."""
     import ray.data as rd

@@ -123,3 +123,24 @@ def test_global_id_suffix_uniqueness(ray_session):
     ids = sorted(r["id"] for r in out)
     assert ids == ["owner/repo", "owner/repo-1", "owner/repo-2", "owner/repo-3"]
     assert all(r["registry_id"].startswith("r") for r in out)
+
+
+def test_near_dedup_equals_two_pass(ray_session):
+    """The fused single-candidate-pass near_dedup must produce the same
+    survivor set as the original fuzzy-then-similar composition."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.dedup_exact import dedup_exact
+    from askg_ray.stages.dedup_near import dedup_fuzzy, merge_similar, near_dedup
+
+    pages = rd.from_arrow(gen_pages(50, seed=11))
+    d1 = compact(dedup_exact(compact(extract_entities(pages))))
+
+    fused = {r["id"] for b in compact(near_dedup(d1))
+             .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    two_pass = {r["id"] for b in compact(merge_similar(compact(dedup_fuzzy(d1))))
+                .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert fused == two_pass
