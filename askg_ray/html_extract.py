@@ -170,12 +170,20 @@ def name_slug(name: str) -> str:
 def extract_entity(url: str, html, registry: str) -> dict | None:
     """HTML → raw entity record (pre-classification), or None.
 
+    Convenience wrapper: parses then delegates. Hot paths that already
+    hold a ``PageDoc`` must call ``extract_entity_from_doc`` instead so
+    each page is parsed exactly once.
+    """
+    return extract_entity_from_doc(url, parse_html(html), registry)
+
+
+def extract_entity_from_doc(url: str, doc: PageDoc, registry: str) -> dict | None:
+    """Parsed page → raw entity record (pre-classification), or None.
+
     Returns a flat dict matching the nodes_raw schema; categories /
     operations are classified in a separate stage (classify.py) from the
     returned name/description/tool fields.
     """
-    doc = parse_html(html)
-
     name = None
     author = None
     title_text = doc.h1 if doc.h1 is not None else doc.title

@@ -21,6 +21,8 @@ via stages/components.py (hash-to-min).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -195,7 +197,10 @@ def simhash_dedup(sf_dir: str):
 
 # ---- embedding cosine ----------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
 def _hyperplanes(dim: int, nbits: int = 32, seed: int = 11) -> np.ndarray:
+    """Cached per (dim, nbits, seed) — built once per worker process,
+    never inside the per-batch hot path (same pattern as minhash._coeffs)."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((nbits, dim)).astype(np.float64)
 

@@ -10,6 +10,8 @@ hash-matches without float comparisons.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -69,13 +71,20 @@ def ann_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     }, schema=_SIM_SCHEMA))
 
 
+@functools.lru_cache(maxsize=8)
+def _ann_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Cached per worker process — plane generation must never run in
+    the per-batch hot path."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
 def _ann_band_signature(vecs: np.ndarray, n_bands: int = 8,
                         bits_per_band: int = 4, seed: int = 23) -> np.ndarray:
     """Random-hyperplane band codes tuned for moderate similarity:
     4-bit bands keep the collision probability useful even for ~70°
     neighbors (dedup's 8-bit bands only catch near-identical vectors)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_bands * bits_per_band, vecs.shape[1]))
+    planes = _ann_planes(vecs.shape[1], n_bands * bits_per_band, seed)
     bits = (vecs @ planes.T) > 0  # n × (bands*bits)
     codes = np.zeros((vecs.shape[0], n_bands), dtype=np.int64)
     for band in range(n_bands):

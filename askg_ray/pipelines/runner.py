@@ -37,7 +37,7 @@ STAGE_VERSIONS = {
 def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
     """Returns {stage: Dataset} plus per-stage skip/run info in '_log'."""
     from ..stages.dedup_exact import dedup_exact
-    from ..stages.dedup_near import dedup_fuzzy, merge_similar
+    from ..stages.dedup_near import near_dedup
     from ..stages.edges import infer_edges
     from ..stages.ids import assign_global_ids
     from ..pipelines.kg import extract_entities, membership_table
@@ -68,10 +68,13 @@ def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
     ents, fp1 = stage("entities", in_fp, build_entities)
 
     def build_nodes():
+        # same single-pass near-dedup path as pipelines/kg.canonical_nodes:
+        # the exact-dedup output is compacted (near_dedup consumes its
+        # input multiple times — candidate generation + tag passes; an
+        # unpinned lazy chain would re-run the exact-dedup shuffles 3×)
         from ..rayutil import compact
-        d1 = dedup_exact(compact(ents))
-        d2 = dedup_fuzzy(d1)
-        d3 = merge_similar(d2)
+        d1 = compact(dedup_exact(compact(ents)))
+        d3 = near_dedup(d1)  # fuzzy drop + cross-registry merge, one pass
         return assign_global_ids(d3)
 
     nodes, fp2 = stage("nodes", fp1, build_nodes)

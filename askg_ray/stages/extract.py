@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..classify import categorize, determine_operations
-from ..html_extract import extract_entity, parse_html
+from ..html_extract import extract_entity_from_doc, parse_html
 from ..normalize import (
     content_hash_md5,
     global_id_candidate,
@@ -68,8 +68,9 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         doc_text = None
         ent = None
         try:
-            doc_text = parse_html(html).text
-            ent = extract_entity(url, html, registry_for_url(url))
+            doc = parse_html(html)
+            doc_text = doc.text
+            ent = extract_entity_from_doc(url, doc, registry_for_url(url))
         except Exception:
             pass
         texts.append(doc_text or "")
