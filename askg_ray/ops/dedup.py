@@ -57,14 +57,29 @@ def exact_dedup(sf_dir: str):
 
 # ---- shared near-dup machinery ------------------------------------------
 
-def _near_dedup(blocks, verify_fn, all_ids):
+def _identity(v):
+    return v
+
+
+def _labels_to_int(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "node": pa.array([int(v) for v in batch["node"].to_pylist()],
+                         pa.int64()),
+        "component": pa.array([int(v) for v in batch["component"].to_pylist()],
+                              pa.int64()),
+    })
+
+
+def _near_dedup(blocks, verify_fn, all_ids, broadcast_threshold=None):
     """blocks: Dataset[(block_key, doc_id, payload...)] → assignments.
 
     Pair generation rides the grid-salted self-join (singleton-block
     pruning + hot-block salting, stages/selfjoin.py); doc ids are
-    zero-padded so string component labels sort numerically."""
-    import ray
-
+    zero-padded so string component labels sort numerically. Label
+    attachment goes through stages/labeljoin.attach_labels — broadcast
+    for provably small label sets, a partitioned shuffle join above the
+    threshold (no driver-side label dict at any corpus size)."""
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_labels
     from ..stages.selfjoin import blocked_self_join
 
     def add_str_id(batch: pa.Table) -> pa.Table:
@@ -79,22 +94,19 @@ def _near_dedup(blocks, verify_fn, all_ids):
     pairs = blocked_self_join(
         blocks.map_batches(add_str_id, batch_format="pyarrow"),
         pair_fn, PAIR_SCHEMA, cap=256)
-    labels = connected_components(pairs)
-    label_map = {}
-    for bt in labels.iter_batches(batch_format="pyarrow"):
-        for n, c in zip(bt["node"].to_pylist(), bt["component"].to_pylist()):
-            label_map[int(n)] = int(c)
-    ref = ray.put(label_map)
+    labels = connected_components(pairs).map_batches(
+        _labels_to_int, batch_format="pyarrow")
+    tagged = attach_labels(
+        all_ids, labels, key="doc_id", make_default=_identity,
+        broadcast_threshold=(BROADCAST_LABELS_MAX if broadcast_threshold is None
+                             else broadcast_threshold),
+        comp_type=pa.int64())
 
-    def assign(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids = batch["doc_id"].to_pylist()
-        reps = [m.get(i, i) for i in ids]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "rep_id": pa.array(reps, pa.int64())},
-                        schema=_ASSIGN_SCHEMA)
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "rep_id": batch["comp"]}, schema=_ASSIGN_SCHEMA)
 
-    return all_ids.map_batches(assign, batch_format="pyarrow")
+    return tagged.map_batches(finish, batch_format="pyarrow")
 
 
 def _read_docs(sf_dir: str):
@@ -147,18 +159,18 @@ def _verify_exact_jaccard(r1, r2, thresh=0.5) -> bool:
     return (len(a & b) / u if u else 0.0) >= thresh
 
 
-def minhash_dedup(sf_dir: str):
+def minhash_dedup(sf_dir: str, broadcast_threshold=None):
     docs = _read_docs(sf_dir).materialize()
     blocks = docs.map_batches(lambda t: _minhash_blocks(t, False),
                               batch_format="pyarrow").materialize()
-    return _near_dedup(blocks, _verify_est_jaccard, docs)
+    return _near_dedup(blocks, _verify_est_jaccard, docs, broadcast_threshold)
 
 
-def ngram_jaccard_dedup(sf_dir: str):
+def ngram_jaccard_dedup(sf_dir: str, broadcast_threshold=None):
     docs = _read_docs(sf_dir).materialize()
     blocks = docs.map_batches(lambda t: _minhash_blocks(t, True),
                               batch_format="pyarrow").materialize()
-    return _near_dedup(blocks, _verify_exact_jaccard, docs)
+    return _near_dedup(blocks, _verify_exact_jaccard, docs, broadcast_threshold)
 
 
 # ---- simhash -------------------------------------------------------------

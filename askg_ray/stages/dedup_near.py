@@ -149,28 +149,30 @@ def _candidate_pairs(nodes, kind: str, cap: int = 192):
                              PAIR_SCHEMA, cap=cap)
 
 
-def _tag_and_group(nodes, labels, group_fn):
-    """Broadcast component labels, group labeled rows through group_fn.
+def _sentinel(node_id: str) -> str:
+    return "\0" + node_id
+
+
+def _tag_and_group(nodes, labels, group_fn, broadcast_threshold=None):
+    """Attach component labels (labeljoin.attach_labels: broadcast when
+    small, partitioned shuffle join when large — never an unbounded
+    driver dict), then group labeled rows through group_fn.
 
     Unlabeled rows get a per-row sentinel component ("\0" + id) so they
     ride the same shuffle as singleton groups — no dataset fork, no
     union, one chained groupby (group_fn passes singletons through)."""
-    import ray
+    from ..rayutil import compact
+    from .labeljoin import BROADCAST_LABELS_MAX, attach_labels
 
-    label_map = {}
-    for b in labels.iter_batches(batch_format="pyarrow"):
-        label_map.update(zip(b["node"].to_pylist(), b["component"].to_pylist()))
-    if not label_map:
+    labels = compact(labels)
+    if labels.count() == 0:
         return nodes
-    ref = ray.put(label_map)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        comps = [m.get(i) or ("\0" + i) for i in batch["id"].to_pylist()]
-        return batch.append_column("comp", pa.array(comps, pa.string()))
-
-    return (nodes.map_batches(tag, batch_format="pyarrow")
-            .groupby("comp")
+    tagged = attach_labels(
+        nodes, labels, key="id", make_default=_sentinel,
+        broadcast_threshold=(BROADCAST_LABELS_MAX if broadcast_threshold is None
+                             else broadcast_threshold),
+        comp_type=pa.string())
+    return (tagged.groupby("comp")
             .map_groups(group_fn, batch_format="pyarrow"))
 
 
@@ -251,59 +253,15 @@ def _dual_verify_pair_fn(r1: dict, r2: dict) -> list[dict]:
     return out
 
 
-def _labels_for_pairs(pair_list: list[tuple[str, str]],
-                      distributed_threshold: int = 2_000_000):
-    """(a,b) list → {node: component-min} labels. Driver union-find for
-    sane sizes; falls back to the distributed hash-to-min pass."""
-    if len(pair_list) >= distributed_threshold:
-        import ray.data as rd
-        t = pa.table({"a": [a for a, _ in pair_list],
-                      "b": [b for _, b in pair_list]}, schema=PAIR_SCHEMA)
-        labels = connected_components(rd.from_arrow(t),
-                                      driver_threshold=0)
-        out = {}
-        for bt in labels.iter_batches(batch_format="pyarrow"):
-            out.update(zip(bt["node"].to_pylist(), bt["component"].to_pylist()))
-        return out
-    parent: dict[str, str] = {}
+def _filter_kind(kind: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch["kind"], kind)).select(["a", "b"])
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    nodes_seen = set()
-    for a, b in pair_list:
-        nodes_seen.add(a)
-        nodes_seen.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    return {n: find(n) for n in nodes_seen}
+    return fn
 
 
-def _group_with_labels(nodes, label_map: dict, group_fn):
-    import ray
-
-    if not label_map:
-        return nodes
-    ref = ray.put(label_map)
-
-    def tag(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        comps = [m.get(i) or ("\0" + i) for i in batch["id"].to_pylist()]
-        return batch.append_column("comp", pa.array(comps, pa.string()))
-
-    return (nodes.map_batches(tag, batch_format="pyarrow")
-            .groupby("comp")
-            .map_groups(group_fn, batch_format="pyarrow"))
-
-
-def near_dedup(nodes):
+def near_dedup(nodes, broadcast_threshold=None):
     """Fuzzy drop + cross-registry merge from ONE candidate pass.
 
     Valid because phase-1 fuzzy only DROPS records (no mutation,
@@ -311,24 +269,32 @@ def near_dedup(nodes):
     pre-fuzzy rows are identical for every surviving pair; pairs with a
     dropped endpoint are filtered before phase-2 components. ``nodes``
     must be materialized. Returns the final lazy survivors chain.
+
+    Candidate pairs, component labels and the survivor filter all stay
+    Datasets — connected_components / attach_labels / semi_join_keys
+    each take a driver shortcut only below their documented size
+    thresholds, so nothing driver-side grows with the corpus.
     """
-    from .selfjoin import blocked_self_join
     from ..rayutil import compact
+    from .labeljoin import semi_join_keys
+    from .selfjoin import blocked_self_join
 
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
-    tagged = blocked_self_join(lsh.union(auth), _dual_verify_pair_fn,
-                               _TAGGED_PAIR_SCHEMA, cap=192)
-    fuzzy_pairs, similar_pairs = [], []
-    for bt in tagged.iter_batches(batch_format="pyarrow"):
-        for a, b, k in zip(bt["a"].to_pylist(), bt["b"].to_pylist(),
-                           bt["kind"].to_pylist()):
-            (fuzzy_pairs if k == "f" else similar_pairs).append((a, b))
+    # tagged pairs feed both phases — pin once
+    tagged = compact(blocked_self_join(lsh.union(auth), _dual_verify_pair_fn,
+                                       _TAGGED_PAIR_SCHEMA, cap=192))
 
-    d2 = compact(_group_with_labels(nodes, _labels_for_pairs(fuzzy_pairs),
-                                    _phase1_group))
-    surv = set()
-    for bt in d2.select_columns(["id"]).iter_batches(batch_format="pyarrow"):
-        surv.update(bt["id"].to_pylist())
-    sim = [(a, b) for a, b in similar_pairs if a in surv and b in surv]
-    return _group_with_labels(d2, _labels_for_pairs(sim), _phase2_group)
+    labels1 = connected_components(
+        tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))
+    d2 = compact(_tag_and_group(nodes, labels1, _phase1_group,
+                                broadcast_threshold))
+
+    surv_ids = compact(d2.select_columns(["id"]))
+    sim = tagged.map_batches(_filter_kind("s"), batch_format="pyarrow")
+    kw = {} if broadcast_threshold is None else {
+        "broadcast_threshold": broadcast_threshold}
+    sim = semi_join_keys(sim, surv_ids, "a", **kw)
+    sim = semi_join_keys(sim, surv_ids, "b", **kw)
+    labels2 = connected_components(sim)
+    return _tag_and_group(d2, labels2, _phase2_group, broadcast_threshold)

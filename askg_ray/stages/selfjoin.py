@@ -15,26 +15,39 @@ reference corpus had 69.8% of entities in one category,
      only in diagonal cells, cross-bucket pairs only in their one
      off-diagonal cell → no duplicate pairs across salt replicas.
 
-The hot-block map is tiny (only keys with count > cap) and is
-broadcast via ``ray.put``. Replication cost is s copies per hot row —
-bounded by the block size the cluster can pair anyway.
+The hot-block map is tiny BY CONSTRUCTION (only keys with count > cap
+rows — a cluster that can pair an n-row block can hold its key) and is
+broadcast via ``ray.put``. Singleton-block pruning (typically the vast
+majority of LSH bands) is done through a fixed-size Bloom filter over
+the pairable keys, built distributedly (per-batch bitmaps OR-folded —
+the driver holds only the bitmap, never the key set). A Bloom false
+positive lets a singleton row through to the cell shuffle, where its
+1-row group emits no pairs — pure wasted work, never wrong output.
+Replication cost is s copies per hot row — bounded by the block size
+the cluster can pair anyway.
 """
 
 from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..arrowutil import table_of
 
+_BLOOM_HASHES = 4
+_BLOOM_BITS_PER_KEY = 12  # ~0.5% fp at k=4
 
-def _hot_sizes(exploded, cap: int) -> dict[str, int]:
-    """Block sizes via per-batch partial counters — one map pass, no
-    sort shuffle. The driver folds the partials; for corpora where the
-    distinct-key set itself outgrows driver memory, swap the fold for a
-    space-saving top-k sketch (only keys over ``cap`` matter)."""
+
+def _block_counts(exploded):
+    """Dataset[(k, n)] of per-block row counts. Per-batch partial
+    counters shrink the shuffle to distinct-keys-per-batch before one
+    groupby-sum — the distributed replacement for a driver fold."""
     import collections
+
+    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         c = collections.Counter(t["block_key"].to_pylist())
@@ -45,12 +58,46 @@ def _hot_sizes(exploded, cap: int) -> dict[str, int]:
         return pa.table({"k": pa.array(list(ks)),
                          "n": pa.array(list(vs), pa.int64())})
 
-    acc: collections.Counter = collections.Counter()
-    for b in (exploded.map_batches(partial, batch_format="pyarrow")
+    return (exploded.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+
+def _bloom_positions(key, m_bits: int) -> list[int]:
+    s = str(key).encode()
+    h1 = zlib.crc32(s)
+    h2 = zlib.crc32(s, 0x9E3779B9) | 1
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_HASHES)]
+
+
+def _bloom_build(counts, n_keys: int) -> tuple[bytes, int]:
+    """Bloom bitmap over keys with n >= 2, OR-folded from per-batch
+    bitmaps — driver memory is the fixed bitmap size regardless of the
+    number of distinct keys."""
+    m_bits = 1 << max(14, (n_keys * _BLOOM_BITS_PER_KEY).bit_length())
+
+    def partial_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        ks = t["k"].to_pylist()
+        ns = t["n"].to_pylist()
+        for k, n in zip(ks, ns):
+            if n >= 2:
+                for p in _bloom_positions(k, m_bits):
+                    bm[p >> 3] |= 1 << (p & 7)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in (counts.map_batches(partial_bitmap, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
-        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
-            acc[k] += n
-    return {k: n for k, n in acc.items() if n > cap}
+        for raw in b["bm"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+    return acc.tobytes(), m_bits
+
+
+def _bloom_contains(bm: bytes, m_bits: int, key) -> bool:
+    for p in _bloom_positions(key, m_bits):
+        if not (bm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
 
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
@@ -68,18 +115,28 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     """
     import ray
 
-    # exploded is consumed twice (hot-count pass + cells); it is a cheap
-    # map off a materialized upstream, so re-execution beats pinning it
-    counts = _hot_sizes(exploded, 0)
-    hot = {k: n for k, n in counts.items() if n > cap}
-    # singleton blocks can never pair — drop them before the shuffle
-    # (typically the vast majority of LSH bands). At corpus sizes where
-    # the pairable-key set outgrows a broadcast, swap for a Bloom filter.
-    pairable = frozenset(k for k, n in counts.items() if n >= 2)
-    hot_ref = ray.put(({k: -(-n // cap) for k, n in hot.items()}, pairable))
+    from ..rayutil import compact
+
+    # exploded is consumed twice (count pass + cells); it is a cheap
+    # map off a materialized upstream, so re-execution beats pinning it.
+    # counts is consumed three times (count + hot filter + bloom) — pin.
+    counts = compact(_block_counts(exploded))
+    n_keys = counts.count()
+    if n_keys == 0:
+        import ray.data as rd
+        return rd.from_arrow(out_schema.empty_table())
+
+    # hot keys (n > cap) are few by construction — safe to collect
+    hot: dict = {}
+    for b in (counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], cap)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")):
+        hot.update(zip(b["k"].to_pylist(), b["n"].to_pylist()))
+    bloom, m_bits = _bloom_build(counts, n_keys)
+    hot_ref = ray.put(({k: -(-n // cap) for k, n in hot.items()}, bloom))
 
     def to_cells(batch: pa.Table) -> pa.Table:
-        smap, keep = ray.get(hot_ref)
+        smap, bm = ray.get(hot_ref)
         cols = batch.column_names
         data = {c: batch[c].to_pylist() for c in cols}
         out = {c: [] for c in cols}
@@ -87,7 +144,7 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         out["bucket"] = []
         for i in range(batch.num_rows):
             key = data["block_key"][i]
-            if key not in keep:
+            if not _bloom_contains(bm, m_bits, key):
                 continue
             s = smap.get(key, 1)
             b = zlib.crc32(str(data["id"][i]).encode()) % s

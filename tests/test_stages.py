@@ -144,3 +144,108 @@ def test_near_dedup_equals_two_pass(ray_session):
     two_pass = {r["id"] for b in compact(merge_similar(compact(dedup_fuzzy(d1))))
                 .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
     assert fused == two_pass
+
+
+def test_attach_labels_broadcast_equals_distributed(ray_session):
+    """labeljoin.attach_labels: both physical plans, identical output."""
+    import ray.data as rd
+
+    from askg_ray.stages.labeljoin import attach_labels
+
+    ids = rd.from_arrow(pa.table({
+        "id": [f"n{i}" for i in range(12)],
+        "payload": list(range(12)),
+    })).materialize()
+    labels = rd.from_arrow(pa.table({
+        "node": ["n2", "n3", "n7"], "component": ["n2", "n2", "n2"]}))
+
+    def default(v):
+        return "\0" + v
+
+    results = []
+    for thr in (10_000, 0):  # broadcast vs partitioned shuffle join
+        out = attach_labels(ids, labels, "id", default,
+                            broadcast_threshold=thr, comp_type=pa.string())
+        results.append(sorted(
+            (r["id"], r["comp"], r["payload"])
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()))
+    assert results[0] == results[1]
+    comp = dict((i, c) for i, c, _ in results[0])
+    assert comp["n2"] == comp["n3"] == comp["n7"] == "n2"
+    assert comp["n0"] == "\0n0"  # sentinel default
+
+
+def test_semi_join_keys_both_paths(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.labeljoin import semi_join_keys
+
+    pairs = rd.from_arrow(pa.table({
+        "a": ["x", "y", "z", "x"], "b": ["p", "q", "r", "s"]})).materialize()
+    keys = rd.from_arrow(pa.table({"id": ["x", "z"]}))
+    for thr in (10_000, 0):
+        got = sorted((r["a"], r["b"])
+                     for b in semi_join_keys(pairs, keys, "a",
+                                             broadcast_threshold=thr)
+                     .iter_batches(batch_format="pyarrow")
+                     for r in b.to_pylist())
+        assert got == [("x", "p"), ("x", "s"), ("z", "r")]
+
+
+def test_near_dedup_distributed_labels_match(ray_session):
+    """Forcing the partitioned label join (threshold=0) must reproduce
+    the broadcast path's survivor set exactly."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.dedup_exact import dedup_exact
+    from askg_ray.stages.dedup_near import near_dedup
+
+    pages = rd.from_arrow(gen_pages(50, seed=11))
+    d1 = compact(dedup_exact(compact(extract_entities(pages))))
+    default = {r["id"] for b in compact(near_dedup(d1))
+               .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    forced = {r["id"] for b in compact(near_dedup(d1, broadcast_threshold=0))
+              .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert forced == default
+
+
+def test_doc_dedup_distributed_labels_match(ray_session):
+    """ops/dedup assignment via the partitioned label join == broadcast."""
+    from askg_ray.ops.dedup import minhash_dedup
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted((r["doc_id"], r["rep_id"])
+                  for b in minhash_dedup(sf).iter_batches(batch_format="pyarrow")
+                  for r in b.to_pylist())
+    forced = sorted((r["doc_id"], r["rep_id"])
+                    for b in minhash_dedup(sf, broadcast_threshold=0)
+                    .iter_batches(batch_format="pyarrow")
+                    for r in b.to_pylist())
+    assert base == forced
+    assert any(d != r for d, r in base)  # corpus does contain near-dups
+
+
+def test_blocked_self_join_prunes_singletons(ray_session):
+    """A singleton-heavy key space (the LSH-band regime the bloom filter
+    targets) still yields exactly the pairable block's pairs."""
+    import ray.data as rd
+
+    from askg_ray.stages.selfjoin import blocked_self_join
+
+    rows = [{"block_key": f"solo{i}", "id": f"s{i:03d}"} for i in range(200)]
+    rows += [{"block_key": "dense", "id": f"d{i}"} for i in range(4)]
+    t = pa.table({c: [r[c] for r in rows] for c in ("block_key", "id")})
+    out_schema = pa.schema([("pair", pa.string())])
+
+    def pair_fn(r1, r2):
+        return [{"pair": f"{r1['id']}|{r2['id']}"}]
+
+    got = sorted(r["pair"]
+                 for b in blocked_self_join(rd.from_arrow(t), pair_fn,
+                                            out_schema, cap=10)
+                 .iter_batches(batch_format="pyarrow") for r in b.to_pylist())
+    assert got == ["d0|d1", "d0|d2", "d0|d3", "d1|d2", "d1|d3", "d2|d3"]
