@@ -295,8 +295,72 @@ def oracle_sql() -> dict[str, str]:
             "e.vec_id) AS rank, e.vec_id, e.label "
             "FROM embeddings e WHERE e.vec_id <> 0 "
             "ORDER BY rank LIMIT 10",
-        # langid / near-dup family / LSH-ANN / media / KG pipeline entries:
-        # intentionally no SQL (non-SQL-expressible; rows-only check).
-        # KG correctness is covered by tests/test_parity.py against the
-        # reference-semantics oracle.
+        # Exact word-3-shingle Jaccard >= 0.5 closure: all-pairs in SQL vs
+        # LSH-blocked + exact-verify in Ray (blocking can only drop pairs;
+        # a hash-match means LSH recall was exact on this corpus).
+        "dedup_ngram_jaccard":
+            "WITH RECURSIVE "
+            "w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN [] "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "FOR i IN range(1, len(ws) - 1)]) END AS s FROM w), "
+            "e AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_distinct(a.s || b.s)) > 0 "
+            "AND len(list_intersect(a.s, b.s))::DOUBLE "
+            "/ len(list_distinct(a.s || b.s)) >= 0.5), "
+            "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "walk(node, reach) AS (SELECT DISTINCT a, a FROM und "
+            "UNION SELECT w2.node, u.b FROM walk w2 JOIN und u "
+            "ON u.a = w2.reach), "
+            "lab AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
+            "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep_id "
+            "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node",
+        # Exact cosine >= 0.95 closure vs hyperplane-LSH-blocked Ray path.
+        "dedup_embedding":
+            "WITH RECURSIVE "
+            "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+            "e AS (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95), "
+            "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+            "walk(node, reach) AS (SELECT DISTINCT a, a FROM und "
+            "UNION SELECT w2.node, u.b FROM walk w2 JOIN und u "
+            "ON u.a = w2.reach), "
+            "lab AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
+            "SELECT v.vec_id AS doc_id, coalesce(l.rep, v.vec_id) AS rep_id "
+            "FROM v LEFT JOIN lab l ON v.vec_id = l.node",
+        # Bigram-table language ID: argmax over integer hit counts with
+        # lang-ascending tie-break — mirrors ops/text.LangId exactly.
+        "langid":
+            "WITH g AS (SELECT doc_id, lower(text) AS t FROM documents), "
+            "grams AS (SELECT doc_id, [substr(t, i, 2) "
+            "FOR i IN range(1, greatest(length(t) - 1, 0) + 1)] AS gs FROM g), "
+            "scored AS (SELECT doc_id, l.lang, "
+            "len(list_filter(gs, x -> list_contains(l.bs, x))) AS s "
+            "FROM grams, (VALUES "
+            "('de', ['en','er','ch','de','ei','ie','in','te','nd','un']), "
+            "('en', ['th','he','in','er','an','re','on','at','en','nd']), "
+            "('es', ['de','es','en','el','la','os','ar','ue','ra','as']), "
+            "('fr', ['es','le','de','en','re','nt','on','ou','ai','it']), "
+            "('zh', ['zh','sh','ng','ia','uo','ji','xi','qi','ao','ei'])"
+            ") AS l(lang, bs)), "
+            "best AS (SELECT doc_id, lang, s, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn FROM scored) "
+            "SELECT doc_id, lang AS lang_pred, s AS bigram_hits "
+            "FROM best WHERE rn = 1",
+        # Deterministic fake decoder over documents-derived payloads:
+        # sha256/octet_length reproduce it exactly in SQL.
+        "media_features":
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+            "octet_length(encode(text)) AS n_bytes, "
+            "substr(sha256(text), 1, 16) AS fp16 FROM documents",
+        # dedup_minhash (estimated-Jaccard on minhash permutations),
+        # dedup_simhash (64-bit simhash bit mixing) and ann_lsh_top10
+        # (approximate by design) are not SQL-expressible; the KG family
+        # is covered by tests/test_parity.py against the
+        # reference-semantics oracle (rows-only here).
     }

@@ -29,6 +29,7 @@ FEATURE_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),
     ("n_bytes", pa.int64()),
+    ("fp16", pa.string()),                   # sha256 hex prefix — SQL-checkable
     ("feature", pa.list_(pa.float32(), 8)),  # fixed-size feature vector
 ])
 
@@ -70,15 +71,17 @@ class MediaFeaturizer:
                 / 255.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats, nbytes = [], []
+        feats, nbytes, fps = [], [], []
         for payload, kind in zip(batch["payload"].to_pylist(),
                                  batch["kind"].to_pylist()):
             feats.append(self._decode(payload, kind).tolist())
             nbytes.append(len(payload))
+            fps.append(hashlib.sha256(payload).hexdigest()[:16])
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
             "n_bytes": pa.array(nbytes, pa.int64()),
+            "fp16": pa.array(fps, pa.string()),
             "feature": pa.array(feats, pa.list_(pa.float32(), 8)),
         }, schema=FEATURE_SCHEMA)
 
@@ -89,9 +92,40 @@ def featurize_media(media_ds, concurrency: int = 2, batch_size: int = 16):
                                 concurrency=concurrency, batch_size=batch_size)
 
 
-def media_features(sf_dir: str):
-    """queries() entry: synthetic media corpus → features (rows-only)."""
+def media_from_documents(sf_dir: str):
+    """Media corpus derived from the documents table — payload = the
+    document's UTF-8 bytes (an opaque blob as far as this stage is
+    concerned), media_id = doc_id, kind alternating by parity. Being
+    table-derived makes the decode output DuckDB-checkable (sha256 /
+    octet_length reproduce the deterministic fake decoder)."""
     import ray.data as rd
 
-    ds = rd.from_arrow(synth_media_table(64))
-    return featurize_media(ds)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["image" if i % 2 == 0 else "audio"
+                              for i in ids]),
+            "payload": pa.array([(t or "").encode() for t in texts],
+                                pa.binary()),
+            "mime": pa.array(["image/png" if i % 2 == 0 else "audio/wav"
+                              for i in ids]),
+            "width": pa.array([64] * len(ids), pa.int32()),
+            "height": pa.array([64] * len(ids), pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str):
+    """queries() entry: documents-derived media corpus → decoded
+    features; the SQL-checkable projection (floats dropped — the DuckDB
+    hash compare is exact-value, and fp16 covers the same decode)."""
+    feats = featurize_media(media_from_documents(sf_dir))
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "kind", "n_bytes", "fp16"]),
+        batch_format="pyarrow")
