@@ -152,6 +152,13 @@ def _kg_sample_per_registry(sf_dir):
     return sample_per_registry(_kg(sf_dir)["nodes"], n=5)
 
 
+def _kg_categories(sf_dir):
+    """Ontology dimension table (reference main.py:21-94), flat
+    projection for the SQL hash-compare."""
+    from askg_ray.ontology import categories_flat
+    return categories_flat()
+
+
 def _repo_links(sf_dir):
     """M6 link-extraction over a deterministic awesome-list corpus
     rendered from the same entity universe."""
@@ -228,15 +235,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_id_tiers": _kg_id_tiers,
         "kg_dedup_stats": _kg_dedup_stats,
         "kg_sample_per_registry": _kg_sample_per_registry,
+        "kg_categories": _kg_categories,
         "repo_links": _repo_links,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.text import STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
+        "kg_categories": categories_oracle_sql(),
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

@@ -13,6 +13,16 @@ import pyarrow as pa
 # ("first wins" dedup, pair direction) — SURVEY.md §2.11.
 CANON_SORT = ("reg_prio", "warc_ts", "id", "source_url")
 
+# Capability structs (SURVEY.md §1.3): MCPTool{name, description,
+# parameters} → struct with parameters carried as JSON text
+# (/root/reference/src/models.py:41-44). Resources/prompts follow the
+# same shape when a source provides them.
+TOOLS_TYPE = pa.list_(pa.struct([
+    ("name", pa.string()),
+    ("description", pa.string()),
+    ("parameters_json", pa.string()),
+]))
+
 # nodes-table schema after enrichment (stages/extract.py + keys).
 NODES_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -30,6 +40,8 @@ NODES_SCHEMA = pa.schema([
     ("download_count", pa.int64()),
     ("data_types", pa.list_(pa.string())),
     ("tool_names", pa.list_(pa.string())),
+    ("tools", TOOLS_TYPE),
+    ("raw_metadata_json", pa.large_string()),
     ("registry_source", pa.string()),
     ("source_url", pa.string()),
     ("reg_prio", pa.int32()),

@@ -240,6 +240,13 @@ def extract_entity_from_doc(url: str, doc: PageDoc, registry: str) -> dict | Non
         "download_count": 0,
         "data_types": tags,
         "tool_names": doc.tools,
+        # capability structs (models.py:41-44): page HTML carries only
+        # tool names — description/parameters arrive via the JSON
+        # projectors (stages/ingest.py M10); raw_metadata likewise
+        # (reference HTML detail scrape sets no raw_metadata).
+        "tools": [{"name": t, "description": None, "parameters_json": None}
+                  for t in doc.tools],
+        "raw_metadata_json": None,
         "registry_source": registry,
         "source_url": url,
     }

@@ -50,7 +50,9 @@ def merge_phase1(base: dict, dup: dict) -> dict:
     out["categories"] = _union_sorted(base.get("categories"), dup.get("categories"))
     out["operations"] = _union_sorted(base.get("operations"), dup.get("operations"))
     out["data_types"] = _union_sorted(base.get("data_types"), dup.get("data_types"))
-    # union tools by name, base first (301-307)
+    # union tools by name, base first (301-307) — applied to the plain
+    # name list AND the capability structs (MCPTool union, base's struct
+    # wins on a name collision, mirroring "existing_tool_names" gating)
     tools = list(base.get("tool_names") or [])
     seen = set(tools)
     for t in dup.get("tool_names") or []:
@@ -58,6 +60,16 @@ def merge_phase1(base: dict, dup: dict) -> dict:
             tools.append(t)
             seen.add(t)
     out["tool_names"] = tools
+    structs = list(base.get("tools") or [])
+    seen_s = {t["name"] for t in structs if t}
+    for t in dup.get("tools") or []:
+        if t and t.get("name") not in seen_s:
+            structs.append(t)
+            seen_s.add(t.get("name"))
+    out["tools"] = structs
+    # raw_metadata: keep base's, fill from dup when base has none
+    if not out.get("raw_metadata_json") and dup.get("raw_metadata_json"):
+        out["raw_metadata_json"] = dup["raw_metadata_json"]
     out["popularity_score"] = _max_truthy(base.get("popularity_score"), dup.get("popularity_score"))
     out["download_count"] = _max_truthy(base.get("download_count"), dup.get("download_count"))
     lu_b, lu_d = base.get("warc_ts"), dup.get("warc_ts")

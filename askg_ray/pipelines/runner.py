@@ -27,8 +27,8 @@ from ..state.manifest import (
 # bump a stage's version when its semantics change — invalidates its
 # checkpoint and everything downstream (fingerprints chain).
 STAGE_VERSIONS = {
-    "entities": "v1",
-    "nodes": "v1",
+    "entities": "v2",  # v2: + tools capability structs, raw_metadata_json
+    "nodes": "v2",
     "edges": "v1",
     "membership": "v1",
 }

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowutil import TOOLS_TYPE
 from ..classify import categorize, determine_operations
 from ..html_extract import extract_entity_from_doc, parse_html
 from ..normalize import (
@@ -46,6 +47,8 @@ _ENTITY_FIELDS = [
     ("download_count", pa.int64()),
     ("data_types", pa.list_(pa.string())),
     ("tool_names", pa.list_(pa.string())),
+    ("tools", TOOLS_TYPE),
+    ("raw_metadata_json", pa.large_string()),
     ("registry_source", pa.string()),
     ("source_url", pa.string()),
 ]

@@ -172,8 +172,14 @@ def parse_glama_record(server_data: dict) -> dict | None:
     if not name:
         return None
     tools = server_data.get("tools", [])
-    tool_names = [t.get("name", "") for t in tools
-                  if isinstance(t, dict)] if isinstance(tools, list) else []
+    tool_structs = [
+        {"name": t.get("name", ""),
+         "description": t.get("description"),
+         "parameters_json": (json.dumps(t["parameters"], sort_keys=True)
+                             if t.get("parameters") is not None else None)}
+        for t in tools if isinstance(t, dict)
+    ] if isinstance(tools, list) else []
+    tool_names = [t["name"] for t in tool_structs]
     slug = name.lower().replace(" ", "_").replace("-", "_")
     return {
         "id": f"glama_api_{slug}",
@@ -186,6 +192,11 @@ def parse_glama_record(server_data: dict) -> dict | None:
         "categories": categorize(name, server_data.get("description")),
         "operations": determine_operations(tool_names),
         "tool_names": tool_names,
+        # capability structs + open-schema blob (scrapers.py:841-849,
+        # 869-870: mcp_tools=..., raw_metadata=server_data)
+        "tools": tool_structs,
+        "raw_metadata_json": json.dumps(server_data, sort_keys=True,
+                                        default=str),
         "registry_source": "glama",
         "source_url": f"https://glama.ai/mcp/servers/{name.lower().replace(' ', '-')}",
     }

@@ -249,3 +249,60 @@ def test_blocked_self_join_prunes_singletons(ray_session):
                                             out_schema, cap=10)
                  .iter_batches(batch_format="pyarrow") for r in b.to_pylist())
     assert got == ["d0|d1", "d0|d2", "d0|d3", "d1|d2", "d1|d3", "d2|d3"]
+
+
+def test_merge_phase1_tools_structs():
+    """Capability structs union by name, base-first, base wins collisions
+    (deduplication.py:301-307 on MCPTool objects)."""
+    from askg_ray.merge import merge_phase1
+
+    base = {"tool_names": ["t1"], "categories": [], "operations": [],
+            "data_types": [],
+            "tools": [{"name": "t1", "description": "base t1",
+                       "parameters_json": None}],
+            "raw_metadata_json": None}
+    dup = {"tool_names": ["t1", "t2"], "categories": [], "operations": [],
+           "data_types": [],
+           "tools": [{"name": "t1", "description": "dup t1",
+                      "parameters_json": "{}"},
+                     {"name": "t2", "description": "d2",
+                      "parameters_json": None}],
+           "raw_metadata_json": '{"x": 1}'}
+    m = merge_phase1(base, dup)
+    assert [t["name"] for t in m["tools"]] == ["t1", "t2"]
+    assert m["tools"][0]["description"] == "base t1"   # base wins collision
+    assert m["raw_metadata_json"] == '{"x": 1}'        # fill-empty
+
+
+def test_ontology_categories_shape():
+    from askg_ray.ontology import ONTOLOGY_CATEGORIES, categories_table
+    from askg_ray.vocab import CATEGORIES
+
+    t = categories_table()
+    assert t.num_rows == 7
+    ids = t["id"].to_pylist()
+    assert ids[0] == "database" and ids[-1] == "communication"
+    # all roots (reference sets no parents, main.py:21-94)
+    assert all(p is None for p in t["parent_category_id"].to_pylist())
+    # overlap with the 12-value classifier vocabulary: every ontology id
+    # except "filesystem" (classifier uses "file_system") is shared
+    overlap = set(ids) & set(CATEGORIES)
+    assert overlap == {"database", "api_integration", "development_tools",
+                       "data_processing", "cloud_services", "communication"}
+    assert all(c["data_domains"] for c in ONTOLOGY_CATEGORIES)
+
+
+def test_tools_structs_flow_through_pipeline(ray_session):
+    """tools/raw_metadata columns survive extract → dedup → merge."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import canonical_nodes
+    from askg_ray.sources.synth import gen_pages
+
+    nodes = canonical_nodes(rd.from_arrow(gen_pages(40, seed=5)))
+    rows = [r for b in nodes.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+    with_tools = [r for r in rows if r["tools"]]
+    assert with_tools, "no node carried capability structs"
+    for r in with_tools:
+        assert [t["name"] for t in r["tools"]] == r["tool_names"]
