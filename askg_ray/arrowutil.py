@@ -55,14 +55,18 @@ NODES_SCHEMA = pa.schema([
     ("gid_candidate", pa.string()),
 ])
 
+# rel_type is dictionary-encoded (4 distinct predicates — SURVEY §1.3);
+# created_at is the reference's ServerRelationship.created_at
+# (models.py:122), carried as a deterministic build timestamp.
 EDGES_SCHEMA = pa.schema([
     ("id", pa.string()),
     ("src", pa.string()),
     ("dst", pa.string()),
-    ("rel_type", pa.string()),
+    ("rel_type", pa.dictionary(pa.int8(), pa.string())),
     ("confidence", pa.float64()),
     ("description", pa.string()),
     ("evidence", pa.list_(pa.string())),
+    ("created_at", pa.timestamp("us")),
 ])
 
 

@@ -49,8 +49,34 @@ def completeness_by_registry(nodes):
 
 
 def id_tier_histogram(nodes):
-    """M20: global-id shape analysis (repo/author-name/name/hash)."""
-    return nodes.groupby("gid_tier").count()
+    """M20: global-id shape analysis — per-tier count plus 3 example ids
+    (the reference prints 3 examples per tier,
+    /root/reference/src/id_standardization.py:208-247). Partial rows per
+    batch (count + 3 smallest ids) keep the shuffle at tiers×batches."""
+    _SCHEMA = pa.schema([("gid_tier", pa.int32()), ("n", pa.int64()),
+                         ("examples", pa.string())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        by_tier: dict[int, list] = {}
+        for tier, nid in zip(t["gid_tier"].to_pylist(), t["id"].to_pylist()):
+            by_tier.setdefault(tier, []).append(nid)
+        rows = [(tier, len(ids), ",".join(sorted(ids)[:3]))
+                for tier, ids in sorted(by_tier.items())]
+        return pa.table({"gid_tier": [r[0] for r in rows],
+                         "n": [r[1] for r in rows],
+                         "examples": [r[2] for r in rows]}, schema=_SCHEMA)
+
+    def fold(t: pa.Table) -> pa.Table:
+        tier = t["gid_tier"][0].as_py()
+        n = sum(t["n"].to_pylist())
+        ex = sorted({e for s in t["examples"].to_pylist()
+                     for e in s.split(",") if e})[:3]
+        return pa.table({"gid_tier": [tier], "n": [n],
+                         "examples": [",".join(ex)]}, schema=_SCHEMA)
+
+    return (nodes.select_columns(["gid_tier", "id"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("gid_tier").map_groups(fold, batch_format="pyarrow"))
 
 
 def dedup_stats(pages, entities, nodes):

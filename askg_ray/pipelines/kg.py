@@ -77,12 +77,17 @@ def membership_table(nodes):
             .map_batches(_explode_membership, batch_format="pyarrow"))
 
 
-def build_kg(pages, edge_cap: int = 400) -> dict:
-    """Full build. Returns dict of Datasets: nodes, edges, membership."""
+def build_kg(pages, edge_cap: int = 400,
+             max_out_degree: int | None = None) -> dict:
+    """Full build. Returns dict of Datasets: nodes, edges, membership.
+
+    ``max_out_degree``: optional scale-run edge truncation (see
+    stages/edges.infer_edges); None = exact reference parity."""
     nodes = canonical_nodes(pages)
     # edges/membership are consumed by several downstream queries —
     # materialize once (they are entity-scale, not page-scale)
-    edges = infer_edges(nodes, cap=edge_cap).materialize()
+    edges = infer_edges(nodes, cap=edge_cap,
+                        max_out_degree=max_out_degree).materialize()
     return {
         "nodes": nodes,
         "edges": edges,

@@ -29,7 +29,7 @@ from ..state.manifest import (
 STAGE_VERSIONS = {
     "entities": "v2",  # v2: + tools capability structs, raw_metadata_json
     "nodes": "v2",
-    "edges": "v1",
+    "edges": "v2",  # v2: + created_at, dictionary-encoded rel_type
     "membership": "v1",
 }
 

@@ -27,6 +27,7 @@ are sorted (the reference iterates Python sets — randomized order).
 
 from __future__ import annotations
 
+from datetime import datetime
 from itertools import combinations
 
 import numpy as np
@@ -135,16 +136,25 @@ def _ordered_ids(lc, rc, i, j):
     return a2, b2
 
 
+# Deterministic stand-in for ServerRelationship.created_at
+# (/root/reference/src/models.py:122, set to datetime.now() at build);
+# fixed so every rerun over the same corpus is byte-identical.
+EDGE_CREATED_AT = datetime(2025, 3, 1)
+
+
 def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
     edge_ids = [f"{x}_{tag}_{y}" for x, y in zip(ids_a, ids_b)]
+    n = len(edge_ids)
     return pa.table({
         "id": pa.array(edge_ids, pa.string()),
         "src": pa.array(list(ids_a), pa.string()),
         "dst": pa.array(list(ids_b), pa.string()),
-        "rel_type": pa.array([rel] * len(edge_ids), pa.string()),
+        "rel_type": pa.array([rel] * n).dictionary_encode().cast(
+            EDGES_SCHEMA.field("rel_type").type),
         "confidence": pa.array(conf, pa.float64()),
         "description": pa.array(desc, pa.string()),
         "evidence": pa.array(evid, pa.list_(pa.string())),
+        "created_at": pa.array([EDGE_CREATED_AT] * n, pa.timestamp("us")),
     }, schema=EDGES_SCHEMA)
 
 
@@ -266,13 +276,45 @@ def _explode_all(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def infer_edges(nodes, cap: int = 400):
-    """nodes (final canonical, materialized) → edges Dataset."""
+def infer_edges(nodes, cap: int = 400, max_out_degree: int | None = None):
+    """nodes (final canonical, materialized) → edges Dataset.
+
+    ``max_out_degree`` is the documented scale-run truncation policy
+    (SURVEY.md §2.6 "cap with documented truncation"): the reference
+    semantics are quadratic within a block (n nodes sharing a category
+    emit ~n² edges, /root/reference/src/neo4j_integration.py:558-631) —
+    exact at research scale, ruinous at 100× corpus size. When set,
+    only the k highest-confidence outgoing edges per src survive
+    (ties: dst ascending, then rel_type — fully deterministic).
+    Default None preserves exact reference parity."""
     slim = nodes.select_columns(
         ["id", "author", "implementation_language", "categories", "operations"])
     exploded = slim.map_batches(_explode_all, batch_format="pyarrow")
-    return blocked_self_join(exploded, None, EDGES_SCHEMA, cap=cap,
-                             cell_fn=_dispatch_cell)
+    edges = blocked_self_join(exploded, None, EDGES_SCHEMA, cap=cap,
+                              cell_fn=_dispatch_cell)
+    if max_out_degree is not None:
+        edges = truncate_out_degree(edges, max_out_degree)
+    return edges
+
+
+def truncate_out_degree(edges, k: int):
+    """Keep the top-k edges per src by (confidence desc, dst, rel_type).
+
+    One groupby(src) shuffle of the edge set — only paid when the knob
+    is on. Degree is bounded per DIRECTION (src side); a node may also
+    appear as dst of up to k edges from each of its partners, so the
+    total-degree bound is 2k against adversarial skew."""
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        conf = t["confidence"].to_pylist()
+        dst = t["dst"].to_pylist()
+        rel = t["rel_type"].to_pylist()
+        order = sorted(range(t.num_rows),
+                       key=lambda r: (-conf[r], dst[r], rel[r]))[:k]
+        return t.take(sorted(order))
+
+    return edges.groupby("src").map_groups(topk, batch_format="pyarrow")
 
 
 _CELL_DISPATCH.update({"a": _author_cell, "c": _category_cell, "o": _oppair_cell})

@@ -41,7 +41,8 @@ def test_checkpoint_resume(ray_session, tmp_path_factory):
     with open(os.path.join(ckpt, "nodes", "manifest.json")) as f:
         m = json.load(f)
     assert m["rows"] == nodes1
-    assert m["stage_version"] == "v1"
+    from askg_ray.pipelines.runner import STAGE_VERSIONS
+    assert m["stage_version"] == STAGE_VERSIONS["nodes"]
     assert m["partitions"]
     assert "build_wall_s" in m["metrics"]
 

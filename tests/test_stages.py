@@ -306,3 +306,31 @@ def test_tools_structs_flow_through_pipeline(ray_session):
     assert with_tools, "no node carried capability structs"
     for r in with_tools:
         assert [t["name"] for t in r["tools"]] == r["tool_names"]
+
+
+def test_truncate_out_degree(ray_session):
+    import ray.data as rd
+
+    from askg_ray.arrowutil import EDGES_SCHEMA
+    from askg_ray.stages.edges import EDGE_CREATED_AT, truncate_out_degree
+
+    rows = []
+    for d in range(5):
+        rows.append({"id": f"s_x_t{d}", "src": "s", "dst": f"t{d}",
+                     "rel_type": "similar_functionality",
+                     "confidence": 0.1 * d, "description": "",
+                     "evidence": [], "created_at": EDGE_CREATED_AT})
+    rows.append({"id": "u_x_t0", "src": "u", "dst": "t0",
+                 "rel_type": "same_author", "confidence": 1.0,
+                 "description": "", "evidence": [],
+                 "created_at": EDGE_CREATED_AT})
+    t = pa.table({f.name: [r[f.name] for r in rows] for f in EDGES_SCHEMA},
+                 schema=EDGES_SCHEMA)
+    out = [r for b in truncate_out_degree(rd.from_arrow(t), 2)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()]
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["dst"])
+    # top-2 by confidence desc for the fan-out node, untouched small node
+    assert sorted(by_src["s"]) == ["t3", "t4"]
+    assert by_src["u"] == ["t0"]
