@@ -152,6 +152,16 @@ def _kg_sample_per_registry(sf_dir):
     return sample_per_registry(_kg(sf_dir)["nodes"], n=5)
 
 
+def _kg_semantic_search(sf_dir):
+    """Text2Query hook (reference text2cypher.py:94-129 control flow)
+    through the offline StubClient — LLM-plan path with probe-run and
+    keyword fallback, deterministic end to end."""
+    from askg_ray.functions.text2query import StubClient, Text2Query, semantic_search
+    return semantic_search(_kg(sf_dir)["nodes"], "find database query tools",
+                           limit=10, min_confidence=0.0,
+                           converter=Text2Query(StubClient()))
+
+
 def _kg_categories(sf_dir):
     """Ontology dimension table (reference main.py:21-94), flat
     projection for the SQL hash-compare."""
@@ -236,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dedup_stats": _kg_dedup_stats,
         "kg_sample_per_registry": _kg_sample_per_registry,
         "kg_categories": _kg_categories,
+        "kg_semantic_search": _kg_semantic_search,
         "repo_links": _repo_links,
     }
 

@@ -85,3 +85,64 @@ def test_server_relationships(ray_session):
     }))
     rows = _rows(server_relationships(edges, "a"))
     assert [r["id"] for r in rows] == ["e2", "e1"]  # confidence desc
+
+
+def test_text2query_llm_path_and_fallbacks(ray_session):
+    """Probe-run control flow (mcp/server.py:367-420): LLM plan used
+    when it yields rows; empty LLM result and client exceptions both
+    route through the SAME fallback the reference uses."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from askg_ray.functions.text2query import (
+        FailingClient,
+        StubClient,
+        Text2Query,
+        run_plan,
+        semantic_search,
+    )
+
+    nodes = rd.from_arrow(pa.table({
+        "id": ["a", "b", "c"],
+        "name": ["postgres helper", "file reader", "misc"],
+        "description": ["sql database tool", "reads files", None],
+        "categories": [["database"], ["file_system"], []],
+        "operations": [["query"], ["read"], []],
+        "popularity_score": [10, 5, 1],
+    })).materialize()
+
+    # 1. stub-LLM path: plan parses, probe-run returns rows → LLM plan used
+    conv = Text2Query(StubClient())
+    plan = conv.convert("find database servers", limit=5, min_confidence=0.0)
+    assert plan["kind"] == "structured" and plan["model"] == "stub-local"
+    got = semantic_search(nodes, "find database servers", limit=5,
+                          min_confidence=0.0, converter=conv)
+    assert "a" in {r["id"] for r in got.take_all()}
+
+    # 2. client raises → convert returns the keyword fallback plan
+    conv_fail = Text2Query(FailingClient())
+    plan2 = conv_fail.convert("find database servers", 5, 0.0)
+    assert plan2 == conv_fail.fallback_plan("find database servers", 5, 0.0)
+    assert plan2["query"] == "database"  # stoplist removed find/servers
+
+    # 3. probe-run empty → fallback re-run (LLM plan matches nothing)
+    class NoHitClient:
+        model = "nohit"
+
+        def __call__(self, p):
+            return json.dumps({"kind": "structured", "query": "zzz-nothing",
+                               "min_confidence": 99.0})
+
+    got3 = semantic_search(nodes, "postgres", limit=5, min_confidence=0.0,
+                           converter=Text2Query(NoHitClient()))
+    assert {r["id"] for r in got3.take_all()} == {"a"}  # keyword fallback hit
+
+    # 4. no converter configured → structured scorer branch
+    got4 = semantic_search(nodes, "find database servers", limit=5)
+    assert len(got4.take_all()) > 0
+
+    # 5. run_plan executes both plan kinds
+    assert run_plan(nodes, {"kind": "keyword", "query": "postgres",
+                            "limit": 3, "min_confidence": 0.0}).count() == 1
