@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq": relational.token_freq,
         # -- text analysis -------------------------------------------------
         "token_stats": text.token_stats,
+        "doc_quality": text.quality,
         "doc_fingerprints": fingerprints_sql_cols,
         "langid": text.langid,
         # -- dedup family --------------------------------------------------
@@ -306,6 +307,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents",
         "doc_fingerprints":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_quality":
+            "WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS ws, "
+            "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "
+            "AS n_punct, "
+            "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+            "AS n_upper FROM documents), "
+            "r AS (SELECT doc_id, n_punct, n_upper, "
+            f"(len(list_filter(ws, x -> x IN ({stoplist}))) * 100) "
+            "// len(ws) AS stop_ratio_pct, len(ws) AS n_tokens FROM s) "
+            "SELECT doc_id, n_punct, n_upper, stop_ratio_pct, "
+            "CASE WHEN n_tokens >= 50 AND stop_ratio_pct BETWEEN 5 AND 60 "
+            "THEN 'good' ELSE 'low' END AS quality FROM r",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id, md5(text) AS fp FROM documents "
             "GROUP BY md5(text)",

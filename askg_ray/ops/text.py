@@ -101,6 +101,38 @@ class LangId:
         })
 
 
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring signals (training-data staple): punctuation /
+    uppercase counts, stopword ratio, and a bucketed verdict. Integer
+    and string outputs only, so the DuckDB oracle hash-matches."""
+    import re
+
+    punct_re = re.compile(r"[.,!?;:]")
+    upper_re = re.compile(r"[A-Z]")
+    stop = set(STOPWORDS)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n_punct, n_upper, ratio, verdict = [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = t.split(" ")
+        np_ = len(punct_re.findall(t))
+        nu = len(upper_re.findall(t))
+        ns = sum(1 for w in toks if w in stop)
+        rp = (ns * 100) // len(toks) if toks else 0
+        n_punct.append(np_)
+        n_upper.append(nu)
+        ratio.append(rp)
+        verdict.append("good" if len(toks) >= 50 and 5 <= rp <= 60 else "low")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_punct": pa.array(n_punct, pa.int64()),
+        "n_upper": pa.array(n_upper, pa.int64()),
+        "stop_ratio_pct": pa.array(ratio, pa.int64()),
+        "quality": pa.array(verdict, pa.string()),
+    })
+
+
 def token_stats(sf_dir: str):
     import ray.data as rd
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -111,6 +143,12 @@ def fingerprints(sf_dir: str):
     import ray.data as rd
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def quality(sf_dir: str):
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(quality_batch, batch_format="pyarrow")
 
 
 def langid(sf_dir: str):
