@@ -252,6 +252,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Exact word-3-shingle Jaccard >= 0.5 connected-component closure —
+# shared oracle for dedup_ngram_jaccard (exact verify) and dedup_minhash
+# (estimated verify; see the comment at its dict entry).
+_NGRAM_CLOSURE_SQL = (
+    "WITH RECURSIVE "
+    "w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN [] "
+    "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "FOR i IN range(1, len(ws) - 1)]) END AS s FROM w), "
+    "e AS (SELECT a.doc_id AS a, b.doc_id AS b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE len(list_distinct(a.s || b.s)) > 0 "
+    "AND len(list_intersect(a.s, b.s))::DOUBLE "
+    "/ len(list_distinct(a.s || b.s)) >= 0.5), "
+    "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
+    "walk(node, reach) AS (SELECT DISTINCT a, a FROM und "
+    "UNION SELECT w2.node, u.b FROM walk w2 JOIN und u "
+    "ON u.a = w2.reach), "
+    "lab AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
+    "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep_id "
+    "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node")
+
+
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.text import STOPWORDS
@@ -332,26 +357,14 @@ def oracle_sql() -> dict[str, str]:
         # Exact word-3-shingle Jaccard >= 0.5 closure: all-pairs in SQL vs
         # LSH-blocked + exact-verify in Ray (blocking can only drop pairs;
         # a hash-match means LSH recall was exact on this corpus).
-        "dedup_ngram_jaccard":
-            "WITH RECURSIVE "
-            "w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
-            "FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN [] "
-            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
-            "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
-            "FOR i IN range(1, len(ws) - 1)]) END AS s FROM w), "
-            "e AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE len(list_distinct(a.s || b.s)) > 0 "
-            "AND len(list_intersect(a.s, b.s))::DOUBLE "
-            "/ len(list_distinct(a.s || b.s)) >= 0.5), "
-            "und AS (SELECT a, b FROM e UNION SELECT b, a FROM e), "
-            "walk(node, reach) AS (SELECT DISTINCT a, a FROM und "
-            "UNION SELECT w2.node, u.b FROM walk w2 JOIN und u "
-            "ON u.a = w2.reach), "
-            "lab AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node) "
-            "SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep_id "
-            "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node",
+        # MinHash estimates shingle Jaccard; on this corpus every dup
+        # pair sits far from the 0.5 boundary (planted near-dups are
+        # J≈0.9, unrelated docs ≈0), so the estimated-Jaccard closure
+        # equals the exact one — the oracle below IS the exact closure
+        # (same SQL as dedup_ngram_jaccard). A boundary-straddling pair
+        # would flag here first, which is the point of the check.
+        "dedup_minhash": _NGRAM_CLOSURE_SQL,
+        "dedup_ngram_jaccard": _NGRAM_CLOSURE_SQL,
         # Exact cosine >= 0.95 closure vs hyperplane-LSH-blocked Ray path.
         "dedup_embedding":
             "WITH RECURSIVE "

@@ -82,6 +82,24 @@ def table_of(records: list[dict], schema: pa.Schema) -> pa.Table:
                     schema=schema)
 
 
+def list_col_matrix(col: "pa.ChunkedArray | pa.Array", dtype=None) -> "object":
+    """list<float> column → (n, dim) numpy matrix without a Python-list
+    round trip: flatten the Arrow child buffer and reshape. Falls back
+    to to_pylist() for ragged rows (never the case for embeddings)."""
+    import numpy as np
+
+    dtype = dtype or np.float64
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    offsets = arr.offsets.to_numpy()
+    widths = offsets[1:] - offsets[:-1]
+    if (widths == widths[0]).all() and arr.null_count == 0:
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+        return flat.reshape(len(arr), widths[0])
+    return np.array(arr.to_pylist(), dtype=dtype)
+
+
 def canon_key(rec: dict) -> tuple:
     """Sort key for the canonical record order; None-safe."""
     return (rec.get("reg_prio") if rec.get("reg_prio") is not None else 99,

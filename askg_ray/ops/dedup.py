@@ -218,8 +218,10 @@ def _hyperplanes(dim: int, nbits: int = 32, seed: int = 11) -> np.ndarray:
 
 
 def _embed_blocks(batch: pa.Table) -> pa.Table:
+    from ..arrowutil import list_col_matrix
+
     ids = batch["vec_id"].to_pylist()
-    vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    vecs = list_col_matrix(batch["embedding"])
     planes = _hyperplanes(vecs.shape[1])
     bits = (vecs @ planes.T) > 0  # n × 32
     out_key, out_id, out_vec = [], [], []

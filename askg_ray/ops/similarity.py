@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrowutil import list_col_matrix
+
 _SIM_SCHEMA = pa.schema([("rank", pa.int64()), ("vec_id", pa.int64()),
                          ("label", pa.int32())])
 
@@ -36,7 +38,7 @@ def _score_batches(embs, q: np.ndarray):
 
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(qref)
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = list_col_matrix(batch["embedding"])
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         sims = (vecs @ qv) / norms
@@ -49,6 +51,34 @@ def _score_batches(embs, q: np.ndarray):
     return embs.map_batches(score, batch_format="pyarrow")
 
 
+def _topk_merge(scored, query_id: int, k: int):
+    """Top-k without a global sort: each block keeps only its own k best
+    (a cheap in-block sort_indices + take), then the driver merges the
+    tiny per-block heads (≤ k rows × n_blocks — bounded and small at any
+    corpus size; at 10⁶ blocks × k=10 that is 10⁷ 3-column rows, and a
+    second partial-top-k pass would bound it further if ever needed)."""
+    import ray.data as rd
+
+    sort_keys = [("sim", "descending"), ("vec_id", "ascending")]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["vec_id"], query_id))
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx[:k])
+
+    heads = scored.map_batches(partial_topk, batch_format="pyarrow")
+    tables = list(heads.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return rd.from_arrow(_SIM_SCHEMA.empty_table())
+    merged = pa.concat_tables(tables)
+    merged = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(range(1, merged.num_rows + 1), pa.int64()),
+        "vec_id": merged["vec_id"].cast(pa.int64()),
+        "label": merged["label"].cast(pa.int32()),
+    }, schema=_SIM_SCHEMA))
+
+
 def ann_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     """Exact cosine top-k (excluding the query row itself)."""
     import ray.data as rd
@@ -57,18 +87,7 @@ def ann_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding", "label"])
     scored = _score_batches(embs, q)
-    top = (scored
-           .map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], query_id)),
-                        batch_format="pyarrow")
-           .sort(["sim", "vec_id"], descending=[True, False])
-           .limit(k))
-    rows = [r for b in top.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()]
-    return rd.from_arrow(pa.table({
-        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
-        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
-        "label": pa.array([r["label"] for r in rows], pa.int32()),
-    }, schema=_SIM_SCHEMA))
+    return _topk_merge(scored, query_id, k)
 
 
 @functools.lru_cache(maxsize=8)
@@ -105,7 +124,7 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     q_bands = set(_ann_band_signature(q[None, :])[0].tolist())
 
     def in_query_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        vecs = list_col_matrix(batch["embedding"])
         codes = _ann_band_signature(vecs)
         hit = np.zeros(len(vecs), dtype=bool)
         for band in range(codes.shape[1]):
@@ -114,15 +133,4 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
 
     candidates = embs.map_batches(in_query_buckets, batch_format="pyarrow")
     scored = _score_batches(candidates, q)
-    top = (scored
-           .map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], query_id)),
-                        batch_format="pyarrow")
-           .sort(["sim", "vec_id"], descending=[True, False])
-           .limit(k))
-    rows = [r for b in top.iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()]
-    return rd.from_arrow(pa.table({
-        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
-        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
-        "label": pa.array([r["label"] for r in rows], pa.int32()),
-    }, schema=_SIM_SCHEMA))
+    return _topk_merge(scored, query_id, k)
