@@ -140,6 +140,18 @@ def _ordered_ids(lc, rc, i, j):
 # (/root/reference/src/models.py:122, set to datetime.now() at build);
 # fixed so every rerun over the same corpus is byte-identical.
 EDGE_CREATED_AT = datetime(2025, 3, 1)
+_CREATED_AT_SCALAR = pa.scalar(EDGE_CREATED_AT, pa.timestamp("us"))
+_REL_SCALARS = {}  # rel string → 1-row dictionary array, reused per n
+
+
+def _const_rel(rel: str, n: int) -> pa.DictionaryArray:
+    """Constant rel_type column without a 14M-element Python list:
+    int8 zero indices (numpy) over a 1-entry dictionary."""
+    dic = _REL_SCALARS.get(rel)
+    if dic is None:
+        dic = _REL_SCALARS[rel] = pa.array([rel], pa.string())
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int8)), dic)
 
 
 def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
@@ -149,12 +161,11 @@ def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
         "id": pa.array(edge_ids, pa.string()),
         "src": pa.array(list(ids_a), pa.string()),
         "dst": pa.array(list(ids_b), pa.string()),
-        "rel_type": pa.array([rel] * n).dictionary_encode().cast(
-            EDGES_SCHEMA.field("rel_type").type),
+        "rel_type": _const_rel(rel, n),
         "confidence": pa.array(conf, pa.float64()),
         "description": pa.array(desc, pa.string()),
         "evidence": pa.array(evid, pa.list_(pa.string())),
-        "created_at": pa.array([EDGE_CREATED_AT] * n, pa.timestamp("us")),
+        "created_at": pa.repeat(_CREATED_AT_SCALAR, n),
     }, schema=EDGES_SCHEMA)
 
 
