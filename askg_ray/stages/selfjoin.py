@@ -115,10 +115,18 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     """
     import ray
 
-    from ..rayutil import compact
+    from ..rayutil import compact, default_nblocks
 
-    # exploded is consumed twice (count pass + cells); it is a cheap
-    # map off a materialized upstream, so re-execution beats pinning it.
+    # exploded is consumed twice (count pass + cells) — pin it, and
+    # guarantee the pair-verify groupby at least CPU-count reduce tasks:
+    # the verify kernels are the CPU-heavy stages of the pipeline, and a
+    # narrow (few-block, shuffle-optimized) upstream would otherwise
+    # serialize them. Only ever repartition UP — large exploded sets
+    # keep their natural block count.
+    exploded = exploded.materialize()
+    nb = default_nblocks()
+    if exploded.num_blocks() < nb:
+        exploded = exploded.repartition(nb).materialize()
     # counts is consumed three times (count + hot filter + bloom) — pin.
     counts = compact(_block_counts(exploded))
     n_keys = counts.count()
@@ -166,11 +174,16 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         ci, cj = (int(x) for x in cell.rsplit("|", 2)[-2:])
         key = cell.rsplit("|", 2)[0]
         recs = batch.to_pylist()
-        # dedupe by id within the cell (identical exploded rows can repeat)
+        # dedupe identical exploded rows within the cell (a record whose
+        # band keys collide lands in the same block twice). Keyed on
+        # (id, __uid): the optional __uid column disambiguates DISTINCT
+        # records that share a candidate id (ids are only made unique
+        # later, stages/ids.py) — keying on id alone silently dropped
+        # one of them per cell.
         by_id = {}
         for r in recs:
-            by_id.setdefault(r["id"], r)
-        recs = sorted(by_id.values(), key=lambda r: r["id"])
+            by_id.setdefault((r["id"], r.get("__uid")), r)
+        recs = sorted(by_id.values(), key=lambda r: (r["id"], str(r.get("__uid"))))
         if ci == cj:
             return key, [r for r in recs if r["bucket"] == ci], None
         return (key,
@@ -202,4 +215,39 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         return out if out is not None else out_schema.empty_table()
 
     fn = cell_pairs_vec if cell_fn is not None else cell_pairs
-    return celled.groupby("cell_key").map_groups(fn, batch_format="pyarrow")
+
+    # Group cells through coarse hash buckets instead of one map_groups
+    # call per cell: the per-group wrapper (~1 ms of slicing + dispatch)
+    # dominates wall time when there are tens of thousands of small
+    # cells. One bucket group holds many cells; runs are split with one
+    # vectorized sort + adjacent-compare, and singleton runs (no pairs
+    # possible) are skipped without touching Python records.
+    n_cell_buckets = 32 * default_nblocks()
+
+    def add_cell_bucket(t: pa.Table) -> pa.Table:
+        bs = [zlib.crc32(k.encode()) % n_cell_buckets
+              for k in t["cell_key"].to_pylist()]
+        return t.append_column("__cb", pa.array(bs, pa.int32()))
+
+    def bucket_cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.take(pc.sort_indices(t, sort_keys=[("cell_key", "ascending")]))
+        ks = np.asarray(t["cell_key"].to_pylist(), dtype=object)
+        change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+        starts = np.concatenate(([0], change)).tolist()
+        ends = np.concatenate((change, [len(ks)])).tolist()
+        parts = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            out = fn(t.slice(s, e - s))
+            if out is not None and out.num_rows:
+                parts.append(out)
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return (celled.map_batches(add_cell_bucket, batch_format="pyarrow")
+            .groupby("__cb")
+            .map_groups(bucket_cells, batch_format="pyarrow"))
