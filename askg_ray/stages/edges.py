@@ -32,6 +32,7 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..arrowutil import EDGES_SCHEMA
 from ..vocab import (
@@ -155,16 +156,28 @@ def _const_rel(rel: str, n: int) -> pa.DictionaryArray:
 
 
 def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
-    edge_ids = [f"{x}_{tag}_{y}" for x, y in zip(ids_a, ids_b)]
-    n = len(edge_ids)
+    """Columns may arrive as numpy arrays / Arrow arrays / Python lists;
+    everything constant or derivable is built with Arrow kernels — no
+    per-edge Python string formatting (14M edges at sf0.1)."""
+    src = pa.array(ids_a, pa.string())
+    dst = pa.array(ids_b, pa.string())
+    n = len(src)
+    edge_ids = pc.binary_join_element_wise(
+        src, pa.repeat(pa.scalar(tag, pa.string()), n), dst, "_")
+    if not isinstance(conf, (pa.Array, pa.ChunkedArray)):
+        conf = pa.array(np.asarray(conf, dtype=np.float64), pa.float64())
+    if not isinstance(desc, (pa.Array, pa.ChunkedArray)):
+        desc = pa.array(desc, pa.string())
+    if not isinstance(evid, (pa.Array, pa.ChunkedArray)):
+        evid = pa.array(evid, pa.list_(pa.string()))
     return pa.table({
-        "id": pa.array(edge_ids, pa.string()),
-        "src": pa.array(list(ids_a), pa.string()),
-        "dst": pa.array(list(ids_b), pa.string()),
+        "id": edge_ids,
+        "src": src,
+        "dst": dst,
         "rel_type": _const_rel(rel, n),
-        "confidence": pa.array(conf, pa.float64()),
-        "description": pa.array(desc, pa.string()),
-        "evidence": pa.array(evid, pa.list_(pa.string())),
+        "confidence": conf,
+        "description": desc.cast(pa.string()),
+        "evidence": evid.cast(pa.list_(pa.string())),
         "created_at": pa.repeat(_CREATED_AT_SCALAR, n),
     }, schema=EDGES_SCHEMA)
 
@@ -177,9 +190,11 @@ def _author_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     a, b = _ordered_ids(lc, rc, i, j)
     author = key.split("|", 1)[1]
     n = len(a)
-    conf = [1.0] * n
-    desc = [f"Both servers created by {author}"] * n
-    evid = [[f"Author: {author}"]] * n
+    conf = np.ones(n)
+    desc = pa.repeat(pa.scalar(f"Both servers created by {author}",
+                               pa.string()), n)
+    evid = pa.repeat(pa.scalar([f"Author: {author}"],
+                               pa.list_(pa.string())), n)
     return _table(a, b, "same_author", REL_SAME_AUTHOR, conf, desc, evid)
 
 
@@ -203,21 +218,20 @@ def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     conf = n_common / np.maximum(len_l, len_r)
     a, b = _ordered_ids(lc, rc, i, j)
 
-    cache: dict[int, tuple[str, list[str]]] = {}
-
     def strings(m: int):
-        if m not in cache:
-            names = _names_from_mask(m, CATEGORIES)
-            cache[m] = (f"Share {len(names)} common categories",
-                        [f"Common categories: {', '.join(names)}"])
-        return cache[m]
+        names = _names_from_mask(m, CATEGORIES)
+        return (f"Share {len(names)} common categories",
+                [f"Common categories: {', '.join(names)}"])
 
-    desc, evid = [], []
-    for m in inter.tolist():
-        d, e = strings(m)
-        desc.append(d)
-        evid.append(e)
-    out = _table(a, b, "similar", REL_SIMILAR, conf.tolist(), desc, evid)
+    # per-edge strings via take over the few distinct masks — the string
+    # formatting runs once per mask value, not once per edge
+    uniq, inv = np.unique(inter, return_inverse=True)
+    pairs = [strings(int(m)) for m in uniq]
+    desc = pc.take(pa.array([p[0] for p in pairs], pa.string()),
+                   pa.array(inv, pa.int64()))
+    evid = pc.take(pa.array([p[1] for p in pairs], pa.list_(pa.string())),
+                   pa.array(inv, pa.int64()))
+    out = _table(a, b, "similar", REL_SIMILAR, conf, desc, evid)
 
     # alternative_to: same non-null language + shared categories (616-629)
     langs_l = np.array([x or "" for x in lc["implementation_language"]], dtype=object)
@@ -226,9 +240,16 @@ def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     if same_lang.any():
         ia, ib = a[same_lang], b[same_lang]
         lang_vals = langs_l[i][same_lang]
-        conf2 = [0.6] * len(ia)
-        desc2 = [f"Alternative implementations in {lv}" for lv in lang_vals]
-        evid2 = [[f"Same language: {lv}", "Similar categories"] for lv in lang_vals]
+        lu, linv = np.unique(lang_vals, return_inverse=True)
+        conf2 = np.full(len(ia), 0.6)
+        desc2 = pc.take(
+            pa.array([f"Alternative implementations in {lv}" for lv in lu],
+                     pa.string()),
+            pa.array(linv, pa.int64()))
+        evid2 = pc.take(
+            pa.array([[f"Same language: {lv}", "Similar categories"]
+                      for lv in lu], pa.list_(pa.string())),
+            pa.array(linv, pa.int64()))
         out = pa.concat_tables([
             out, _table(ia, ib, "alternative", REL_ALTERNATIVE, conf2, desc2, evid2)])
     return out
@@ -256,21 +277,18 @@ def _oppair_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     conf = (_popcount(inter) / np.maximum(_popcount(om_l)[i2], _popcount(om_r)[j2])) * 0.8
     a, b = _ordered_ids(lc, rc, i2, j2)
 
-    cache: dict[int, tuple[str, list[str]]] = {}
-
     def strings(m: int):
-        if m not in cache:
-            names = _names_from_mask(m, OPERATIONS)
-            cache[m] = (f"Share {len(names)} common operations",
-                        [f"Common operations: {', '.join(names)}"])
-        return cache[m]
+        names = _names_from_mask(m, OPERATIONS)
+        return (f"Share {len(names)} common operations",
+                [f"Common operations: {', '.join(names)}"])
 
-    desc, evid = [], []
-    for m in inter.tolist():
-        d, e = strings(m)
-        desc.append(d)
-        evid.append(e)
-    return _table(a, b, "complementary", REL_COMPLEMENTARY, conf.tolist(), desc, evid)
+    uniq, inv = np.unique(inter, return_inverse=True)
+    pairs = [strings(int(m)) for m in uniq]
+    desc = pc.take(pa.array([p[0] for p in pairs], pa.string()),
+                   pa.array(inv, pa.int64()))
+    evid = pc.take(pa.array([p[1] for p in pairs], pa.list_(pa.string())),
+                   pa.array(inv, pa.int64()))
+    return _table(a, b, "complementary", REL_COMPLEMENTARY, conf, desc, evid)
 
 
 _CELL_DISPATCH = {}  # filled below; block-key prefix → cell kernel
