@@ -124,20 +124,32 @@ _MH_PERM = 64
 _MH_BANDS = 16
 
 
+def _owns(r1: dict, r2: dict) -> bool:
+    """Band-ownership: a candidate pair meets in EVERY shared band; only
+    the minimum shared band verifies (and emits) it. Each unique pair is
+    verified exactly once — no duplicate SequenceMatcher/cosine work and
+    no duplicate pair rows into connected components."""
+    shared = set(r1["bands"]).intersection(r2["bands"])
+    return bool(shared) and r1["block_key"] == min(shared)
+
+
 def _minhash_blocks(batch: pa.Table, keep_shingles: bool) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    out_key, out_id, out_sig, out_sh = [], [], [], []
+    out_key, out_bands, out_id, out_sig, out_sh = [], [], [], [], []
     for did, t in zip(ids, texts):
         sh = shingle_ids(word_shingles((t or "").lower(), k=3))
         sig = minhash_signature(sh, _MH_PERM)
-        for bk in band_keys(sig, _MH_BANDS):
+        bks = band_keys(sig, _MH_BANDS)
+        for bk in bks:
             out_key.append(bk)
+            out_bands.append(bks)
             out_id.append(did)
             out_sig.append(sig.tobytes())
             out_sh.append(sh.tobytes() if keep_shingles else b"")
     return pa.table({
         "block_key": pa.array(out_key, pa.int64()),
+        "bands": pa.array(out_bands, pa.list_(pa.int64())),
         "doc_id": pa.array(out_id, pa.int64()),
         "sig": pa.array(out_sig, pa.binary()),
         "sh": pa.array(out_sh, pa.binary()),
@@ -145,12 +157,16 @@ def _minhash_blocks(batch: pa.Table, keep_shingles: bool) -> pa.Table:
 
 
 def _verify_est_jaccard(r1, r2, thresh=0.5) -> bool:
+    if not _owns(r1, r2):
+        return False
     s1 = np.frombuffer(r1["sig"], dtype=np.uint64)
     s2 = np.frombuffer(r2["sig"], dtype=np.uint64)
     return float(np.mean(s1 == s2)) >= thresh
 
 
 def _verify_exact_jaccard(r1, r2, thresh=0.5) -> bool:
+    if not _owns(r1, r2):
+        return False
     a = set(np.frombuffer(r1["sh"], dtype=np.uint64).tolist())
     b = set(np.frombuffer(r2["sh"], dtype=np.uint64).tolist())
     if not a and not b:
@@ -178,23 +194,28 @@ def ngram_jaccard_dedup(sf_dir: str, broadcast_threshold=None):
 def _simhash_blocks(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    out_key, out_id, out_h = [], [], []
+    out_key, out_bands, out_id, out_h = [], [], [], []
     for did, t in zip(ids, texts):
         toks = shingle_ids([w for w in (t or "").lower().split(" ") if w])
         h = simhash64(toks)
-        for band in range(4):  # 4 × 16-bit bands
-            seg = (h >> (band * 16)) & 0xFFFF
-            out_key.append((band << 16) | seg)
+        bks = [(band << 16) | ((h >> (band * 16)) & 0xFFFF)
+               for band in range(4)]  # 4 × 16-bit bands
+        for bk in bks:
+            out_key.append(bk)
+            out_bands.append(bks)
             out_id.append(did)
             out_h.append(h - (1 << 64) if h >= (1 << 63) else h)  # store signed
     return pa.table({
         "block_key": pa.array(out_key, pa.int64()),
+        "bands": pa.array(out_bands, pa.list_(pa.int64())),
         "doc_id": pa.array(out_id, pa.int64()),
         "sim": pa.array(out_h, pa.int64()),
     })
 
 
 def _verify_hamming(r1, r2, maxd=3) -> bool:
+    if not _owns(r1, r2):
+        return False
     h1, h2 = r1["sim"] & ((1 << 64) - 1), r2["sim"] & ((1 << 64) - 1)
     return hamming64(h1, h2) <= maxd
 
@@ -224,23 +245,28 @@ def _embed_blocks(batch: pa.Table) -> pa.Table:
     vecs = list_col_matrix(batch["embedding"])
     planes = _hyperplanes(vecs.shape[1])
     bits = (vecs @ planes.T) > 0  # n × 32
-    out_key, out_id, out_vec = [], [], []
+    out_key, out_bands, out_id, out_vec = [], [], [], []
     for row, did, v in zip(bits, ids, vecs):
         word = int(np.packbits(row, bitorder="little")[:4].view(np.uint32)[0]) \
             if row.size >= 32 else 0
-        for band in range(4):  # 4 × 8-bit bands of the 32-bit sketch
-            seg = (word >> (band * 8)) & 0xFF
-            out_key.append((band << 8) | seg)
+        bks = [(band << 8) | ((word >> (band * 8)) & 0xFF)
+               for band in range(4)]  # 4 × 8-bit bands of the 32-bit sketch
+        for bk in bks:
+            out_key.append(bk)
+            out_bands.append(bks)
             out_id.append(did)
             out_vec.append(v.tobytes())
     return pa.table({
         "block_key": pa.array(out_key, pa.int64()),
+        "bands": pa.array(out_bands, pa.list_(pa.int64())),
         "doc_id": pa.array(out_id, pa.int64()),
         "vec": pa.array(out_vec, pa.binary()),
     })
 
 
 def _verify_cosine(r1, r2, thresh=0.95) -> bool:
+    if not _owns(r1, r2):
+        return False
     v1 = np.frombuffer(r1["vec"], dtype=np.float64)
     v2 = np.frombuffer(r2["vec"], dtype=np.float64)
     denom = np.linalg.norm(v1) * np.linalg.norm(v2)

@@ -37,19 +37,35 @@ def _seed_members(batch: pa.Table) -> pa.Table:
     return pa.table({"node": nodes, "member": members}, schema=_MEMBER_SCHEMA)
 
 
-def _hash_to_min_round(batch: pa.Table) -> pa.Table:
-    node = batch["node"][0].as_py()
-    members = set(batch["member"].to_pylist())
+def _round_multi(recs: list[dict]) -> list[dict]:
+    """hash-to-min round for one node's member set (≥2 rows)."""
+    node = recs[0]["node"]
+    members = {r["member"] for r in recs}
     members.add(node)
     m = min(members)
-    out_nodes, out_members = [], []
+    out = []
     for u in members:
-        out_nodes.append(u)
-        out_members.append(m)
+        out.append({"node": u, "member": m})
         if u != m:
-            out_nodes.append(m)
-            out_members.append(u)
-    return pa.table({"node": out_nodes, "member": out_members}, schema=_MEMBER_SCHEMA)
+            out.append({"node": m, "member": u})
+    return out
+
+
+def _round_single(t: pa.Table) -> pa.Table:
+    """Vectorized hash-to-min round for all 1-member nodes of a bucket:
+    m = min(node, member); emit (member, m) plus (m, member) when they
+    differ — exactly _round_multi's output for a singleton set."""
+    import numpy as np
+
+    nodes = np.asarray(t["node"].to_pylist(), dtype=object)
+    mem = np.asarray(t["member"].to_pylist(), dtype=object)
+    m = np.minimum(nodes, mem)
+    diff = mem != m
+    out_nodes = np.concatenate((mem, m[diff]))
+    out_members = np.concatenate((m, mem[diff]))
+    return pa.table({"node": pa.array(out_nodes, pa.string()),
+                     "member": pa.array(out_members, pa.string())},
+                    schema=_MEMBER_SCHEMA)
 
 
 def _label_checksum(batch: pa.Table) -> pa.Table:
@@ -65,7 +81,12 @@ def _min_labels(members_ds):
     return agg
 
 
-def connected_components(pairs, driver_threshold: int = 100_000, max_rounds: int = 12):
+# Driver union-find is bounded by PAIR-SET memory, not corpus size:
+# 2M pairs ≈ a few hundred MB of Python strings — trivially safe on the
+# driver, and pair sets are already duplicate-free (band ownership) and
+# proportional to dup density, not corpus rows. Beyond the threshold the
+# iterative hash-to-min path takes over (forced in tests).
+def connected_components(pairs, driver_threshold: int = 2_000_000, max_rounds: int = 12):
     """pairs: Dataset[(a,b)] → Dataset[(node, component)].
 
     Only nodes that appear in some pair get a label.
@@ -80,11 +101,13 @@ def connected_components(pairs, driver_threshold: int = 100_000, max_rounds: int
     if n_pairs < driver_threshold:
         return _driver_union_find(pairs)
 
+    from .runs import merge_runs
+
     members = pairs.map_batches(_seed_members, batch_format="pyarrow")
     prev_sum = None
     for _ in range(max_rounds):
-        members = compact(members.groupby("node").map_groups(
-            _hash_to_min_round, batch_format="pyarrow"))
+        members = compact(merge_runs(members, "node", _round_multi,
+                                     _MEMBER_SCHEMA, single_fn=_round_single))
         labels = _min_labels(members)
         h = sum(b["h"].to_pylist()[0] for b in labels.map_batches(
             _label_checksum, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))

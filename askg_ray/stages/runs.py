@@ -39,12 +39,15 @@ def _bucket_of(vals: list, nbuckets: int) -> pa.Array:
 
 
 def merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
-               nbuckets: int = 256):
+               nbuckets: int = 256, single_fn=None):
     """ds + key column → per-key merge with singleton passthrough.
 
     ds must contain ``key`` (non-null; callers sentinel-fill) plus
-    exactly out_schema's columns. multi_fn: list[dict] (all rows of one
-    key, unordered) → list[dict] rows to emit for that key.
+    exactly out_schema's columns (the key may itself be one of them).
+    multi_fn: list[dict] (all rows of one key, unordered) → list[dict]
+    rows to emit for that key. ``single_fn``: optional VECTORIZED
+    transform (table → table, out_schema) applied to all singleton-run
+    rows of a bucket at once; default passthrough.
     """
     out_cols = [f.name for f in out_schema]
 
@@ -66,7 +69,8 @@ def merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
         data = t.select(out_cols)
         parts = []
         if single.any():
-            parts.append(data.take(pa.array(starts[single], pa.int64())))
+            taken = data.take(pa.array(starts[single], pa.int64()))
+            parts.append(single_fn(taken) if single_fn is not None else taken)
         merged: list[dict] = []
         for s, e in zip(starts[~single], ends[~single]):
             merged.extend(multi_fn(records_of(data.slice(s, e - s))))

@@ -334,3 +334,86 @@ def test_truncate_out_degree(ray_session):
     # top-2 by confidence desc for the fan-out node, untouched small node
     assert sorted(by_src["s"]) == ["t3", "t4"]
     assert by_src["u"] == ["t0"]
+
+
+def test_merge_runs_singletons_and_groups(ray_session):
+    import ray.data as rd
+
+    from askg_ray.stages.runs import merge_runs
+
+    schema = pa.schema([("id", pa.string()), ("v", pa.int64())])
+    t = pa.table({
+        "id": [f"i{n}" for n in range(8)],
+        "v": [1, 2, 3, 4, 5, 6, 7, 8],
+        "k": ["a", "a", "b", "c", "c", "c", "d", "e"],
+    })
+
+    def multi(recs):
+        # sum the run into one record keyed by min id
+        return [{"id": min(r["id"] for r in recs),
+                 "v": sum(r["v"] for r in recs)}]
+
+    out = {r["id"]: r["v"]
+           for b in merge_runs(rd.from_arrow(t), "k", multi, schema,
+                               nbuckets=3)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    # runs: a={i0,i1} -> 3; b=i2 passthrough; c={i3,i4,i5} -> 15; d,e pass
+    assert out == {"i0": 3, "i2": 3, "i3": 15, "i6": 7, "i7": 8}
+
+
+def test_pair_ownership_exactly_once(ray_session):
+    """Every unique candidate pair is verified exactly once across the
+    LSH-band and author block families — the ownership rule drops the
+    redundant re-verifications without losing any pair."""
+    import ray.data as rd
+
+    from askg_ray.stages import dedup_near as dn
+    from askg_ray.stages.selfjoin import blocked_self_join
+
+    rows = []
+    for i, (name, author, reg) in enumerate([
+            ("alpha file server", "ann", "github"),
+            ("alpha file servr", "ann", "glama.ai"),     # fuzzy variant
+            ("alpha file server", "bob", "mcp.so"),      # same name, other author
+            ("beta tool kit", "ann", "github"),          # same author only
+            ("gamma thing", "carol", "github"),          # unrelated
+    ]):
+        rows.append({
+            "id": f"id{i}", "source_url": f"https://x/{i}",
+            "name": name, "norm_name": name.replace(" ", ""),
+            "author": author, "description": f"{name} desc shared words",
+            "categories": ["Database"], "implementation_language": "py",
+            "repository": f"https://github.com/{author}/{name.replace(' ', '-')}",
+            "registry_source": reg,
+        })
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    nodes = rd.from_arrow(pa.table(cols)).materialize()
+    lsh = nodes.map_batches(dn._explode_bands, batch_format="pyarrow")
+    auth = nodes.map_batches(dn._explode_author, batch_format="pyarrow")
+    exploded = lsh.union(auth)
+
+    seen = []
+
+    def count_all(r1, r2):
+        return [{"a": r1["id"], "b": r2["id"], "kind": "n"}]
+
+    def count_owned(r1, r2):
+        if dn._owns_pair(r1, r2):
+            return [{"a": r1["id"], "b": r2["id"], "kind": "n"}]
+        return []
+
+    def pairs_of(fn):
+        t = blocked_self_join(exploded, fn, dn._TAGGED_PAIR_SCHEMA,
+                              cap=16).materialize()
+        out = [(r["a"], r["b"]) for b in t.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()]
+        return out
+
+    owned = pairs_of(count_owned)
+    everything = pairs_of(count_all)
+    # exactly once: no duplicates in the owned stream
+    assert len(owned) == len(set(owned))
+    # nothing lost: same unique pair set as the exhaustive stream
+    assert set(owned) == set(everything)
+    # and the exhaustive stream really was redundant (sanity)
+    assert len(everything) > len(set(everything))
