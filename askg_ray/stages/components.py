@@ -2,9 +2,10 @@
 
 Implements the union-find pass SURVEY.md §2.5 mandates for transitive
 merge groups: candidate-pair edges → (node, component=min reachable
-node) labels, as iterative ``groupby(node).map_groups`` rounds (the
-"hash-to-min" algorithm, Rastogi et al. 2013, public) — no joins, no
-driver-side graph.
+node) labels, as iterative bucketed-run rounds over ``node``
+(stages/runs.merge_runs; the "hash-to-min" algorithm, Rastogi et al.
+2013, public) — no joins, no driver-side graph, no per-node task
+overhead (singleton member-sets go through one vectorized kernel).
 
 Each round every node v with membership set C(v):
   m = min(C(v) ∪ {v}); emit (u, m) for u ∈ C(v) and (m, u) for u ∈ C(v).

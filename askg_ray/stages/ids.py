@@ -19,27 +19,41 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..arrowutil import records_of, sort_canonical
-
 IDS_EXTRA = [("registry_id", pa.string())]
 
 
-def _assign_group(batch: pa.Table) -> pa.Table:
-    recs = sort_canonical(records_of(batch))
+def _assign_run(recs: list[dict]) -> list[dict]:
+    """Collision run (≥2 records sharing a candidate): suffix in
+    canonical order OF THE ORIGINAL ids (pre-assignment ids live in
+    registry_id — the batch-wide pre-pass already set id = candidate)."""
+    from ..arrowutil import canon_key
+
+    recs = sorted(recs, key=lambda r: canon_key({**r, "id": r["registry_id"]}))
     cand = recs[0]["gid_candidate"]
     out = []
     for i, r in enumerate(recs):
         r = dict(r)
-        r["registry_id"] = r["id"]
         r["id"] = cand if i == 0 else f"{cand}-{i}"
         out.append(r)
-    schema = batch.schema
-    if "registry_id" not in schema.names:
-        schema = schema.append(pa.field("registry_id", pa.string()))
-    from ..arrowutil import table_of
-    return table_of(out, schema)
+    return out
 
 
 def assign_global_ids(nodes):
-    return nodes.groupby("gid_candidate").map_groups(
-        _assign_group, batch_format="pyarrow")
+    """Collision-free candidates (the vast majority: the reference
+    measured 100% unique ids on its corpus) pass through the bucketed
+    run split without touching Python; only collision runs pay the
+    record round-trip. The vectorized pre-pass moves the original id to
+    registry_id and installs the bare candidate as id — exactly right
+    for singletons, re-suffixed per run otherwise."""
+    from ..arrowutil import NODES_SCHEMA
+    from .runs import merge_runs
+
+    out_schema = NODES_SCHEMA.append(pa.field("registry_id", pa.string()))
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.append_column("registry_id", t["id"])
+        idx = t.schema.get_field_index("id")
+        return t.set_column(idx, "id", t["gid_candidate"].cast(pa.string()))
+
+    pre_ds = nodes.map_batches(pre, batch_format="pyarrow")
+    return merge_runs(pre_ds, "gid_candidate", _assign_run, out_schema)

@@ -39,26 +39,32 @@ from ..arrowutil import table_of
 
 _BLOOM_HASHES = 4
 _BLOOM_BITS_PER_KEY = 12  # ~0.5% fp at k=4
+# Below this many exploded rows the hot-count + bloom pass folds
+# per-batch partial counters on the driver (distinct keys bounded by the
+# row count) instead of paying a count shuffle + three more executions.
+SMALL_EXPLODED_ROWS = 2_000_000
+
+
+def _partial_counts(t: pa.Table) -> pa.Table:
+    import collections
+
+    c = collections.Counter(t["block_key"].to_pylist())
+    if not c:
+        return pa.table({"k": pa.array([], t.schema.field("block_key").type),
+                         "n": pa.array([], pa.int64())})
+    ks, vs = zip(*c.items())
+    return pa.table({"k": pa.array(list(ks)),
+                     "n": pa.array(list(vs), pa.int64())})
 
 
 def _block_counts(exploded):
     """Dataset[(k, n)] of per-block row counts. Per-batch partial
     counters shrink the shuffle to distinct-keys-per-batch before one
     groupby-sum — the distributed replacement for a driver fold."""
-    import collections
-
     from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table) -> pa.Table:
-        c = collections.Counter(t["block_key"].to_pylist())
-        if not c:
-            return pa.table({"k": pa.array([], t.schema.field("block_key").type),
-                             "n": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"k": pa.array(list(ks)),
-                         "n": pa.array(list(vs), pa.int64())})
-
-    return (exploded.map_batches(partial, batch_format="pyarrow")
+    return (exploded.select_columns(["block_key"])
+            .map_batches(_partial_counts, batch_format="pyarrow")
             .groupby("k").aggregate(Sum("n", alias_name="n")))
 
 
@@ -127,21 +133,50 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     nb = default_nblocks()
     if exploded.num_blocks() < nb:
         exploded = exploded.repartition(nb).materialize()
-    # counts is consumed three times (count + hot filter + bloom) — pin.
-    counts = compact(_block_counts(exploded))
-    n_keys = counts.count()
-    if n_keys == 0:
+
+    n_rows = exploded.count()
+    if n_rows == 0:
         import ray.data as rd
         return rd.from_arrow(out_schema.empty_table())
 
-    # hot keys (n > cap) are few by construction — safe to collect
-    hot: dict = {}
-    for b in (counts.map_batches(
-            lambda t: t.filter(pc.greater(t["n"], cap)),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow")):
-        hot.update(zip(b["k"].to_pylist(), b["n"].to_pylist()))
-    bloom, m_bits = _bloom_build(counts, n_keys)
-    hot_ref = ray.put(({k: -(-n // cap) for k, n in hot.items()}, bloom))
+    if n_rows < SMALL_EXPLODED_ROWS:
+        # Small-side shortcut (same sanction as components' driver
+        # union-find): fold the per-batch partial counters on the driver
+        # — distinct keys ≤ n_rows < threshold bounds the transient dict
+        # — and build hot map + bloom in one pass instead of a count
+        # shuffle plus three more executions. The distributed path below
+        # runs beyond the threshold and is forced in tests.
+        import collections
+
+        c: collections.Counter = collections.Counter()
+        for b in (exploded.select_columns(["block_key"])
+                  .map_batches(_partial_counts, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            # iterated batches can concatenate several partial outputs,
+            # so the same key may repeat within one batch — fold row-wise
+            for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+                c[k] += n
+        hot = {k: -(-n // cap) for k, n in c.items() if n > cap}
+        m_bits = 1 << max(14, (len(c) * _BLOOM_BITS_PER_KEY).bit_length())
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        for k, n in c.items():
+            if n >= 2:
+                for p in _bloom_positions(k, m_bits):
+                    bm[p >> 3] |= 1 << (p & 7)
+        bloom = bm.tobytes()
+    else:
+        # counts consumed three times (count + hot filter + bloom) — pin
+        counts = compact(_block_counts(exploded))
+        n_keys = counts.count()
+        # hot keys (n > cap) are few by construction — safe to collect
+        hot = {}
+        for b in (counts.map_batches(
+                lambda t: t.filter(pc.greater(t["n"], cap)),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow")):
+            hot.update(zip(b["k"].to_pylist(), b["n"].to_pylist()))
+        hot = {k: -(-n // cap) for k, n in hot.items()}
+        bloom, m_bits = _bloom_build(counts, n_keys)
+    hot_ref = ray.put((hot, bloom))
 
     def to_cells(batch: pa.Table) -> pa.Table:
         smap, bm = ray.get(hot_ref)

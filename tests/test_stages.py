@@ -417,3 +417,32 @@ def test_pair_ownership_exactly_once(ray_session):
     assert set(owned) == set(everything)
     # and the exhaustive stream really was redundant (sanity)
     assert len(everything) > len(set(everything))
+
+
+def test_blocked_self_join_distributed_counts(ray_session, monkeypatch):
+    """Force the distributed hot-count + bloom path (the 100TB route)
+    and check it matches the small-side driver fold."""
+    import ray.data as rd
+
+    from askg_ray.stages import selfjoin
+
+    t = pa.table({
+        "block_key": ["k1"] * 5 + ["k2"] * 2 + [f"s{n}" for n in range(6)],
+        "id": [f"i{n}" for n in range(13)],
+    })
+    pair_schema = pa.schema([("pair", pa.string())])
+
+    def pair_fn(r1, r2):
+        return [{"pair": f"{r1['id']}|{r2['id']}"}]
+
+    def run():
+        return sorted(
+            r["pair"] for b in selfjoin.blocked_self_join(
+                rd.from_arrow(t), pair_fn, pair_schema, cap=3)
+            .iter_batches(batch_format="pyarrow") for r in b.to_pylist())
+
+    small = run()
+    monkeypatch.setattr(selfjoin, "SMALL_EXPLODED_ROWS", 0)
+    assert run() == small
+    # k1 (5 rows, salted at cap=3) gives C(5,2)=10, k2 gives 1 pair
+    assert len(small) == 11
