@@ -21,9 +21,34 @@ stages/extract.py). The ``warc_ts`` column plays the reference's ``last_updated`
 from __future__ import annotations
 
 from difflib import SequenceMatcher
+from functools import lru_cache
 from urllib.parse import urlparse
 
 from .normalize import normalize_name
+
+_norm_cached = lru_cache(maxsize=1 << 16)(normalize_name)
+
+
+@lru_cache(maxsize=1 << 16)
+def _sm_ratio(a: str, b: str) -> float:
+    """SequenceMatcher.ratio with an identical-string cheap-out and a
+    bounded memo: the verify predicates compare the same author /
+    description / name strings for every pair in a duplicate cluster, so
+    the distinct-ARGUMENT space is tiny relative to the pair space.
+    Pure-function cache — results are bit-identical to direct calls."""
+    if a == b:
+        return 1.0
+    return SequenceMatcher(None, a, b).ratio()
+
+
+@lru_cache(maxsize=1 << 16)
+def _repo_netloc(u: str) -> str | None:
+    """Cached netloc; None = malformed URL (no domain credit, matching
+    the reference's ValueError-swallow)."""
+    try:
+        return urlparse(u).netloc
+    except ValueError:
+        return None
 
 _FILL_EMPTY_P1 = ("description", "version", "license", "homepage")
 _FILL_EMPTY_P2 = ("description", "version", "license", "homepage",
@@ -100,11 +125,11 @@ def servers_are_similar(s1: dict, s2: dict) -> bool:
     """deduplication.py:223-262 — weighted multi-signal similarity > 0.7."""
     score = 0.0
     if s1.get("author") and s2.get("author"):
-        score += SequenceMatcher(None, normalize_name(s1["author"]),
-                                 normalize_name(s2["author"])).ratio() * 0.3
+        score += _sm_ratio(_norm_cached(s1["author"]),
+                           _norm_cached(s2["author"])) * 0.3
     if s1.get("description") and s2.get("description"):
-        score += SequenceMatcher(None, s1["description"].lower()[:100],
-                                 s2["description"].lower()[:100]).ratio() * 0.2
+        score += _sm_ratio(s1["description"].lower()[:100],
+                           s2["description"].lower()[:100]) * 0.2
     c1, c2 = s1.get("categories") or [], s2.get("categories") or []
     common = set(c1) & set(c2)
     if c1 and c2:
@@ -124,22 +149,20 @@ def similarity_score(s1: dict, s2: dict) -> float:
     """deduplication.py:384-426."""
     score = 0.0
     if s1.get("name") and s2.get("name"):
-        score += SequenceMatcher(None, normalize_name(s1["name"]),
-                                 normalize_name(s2["name"])).ratio() * 0.4
+        score += _sm_ratio(_norm_cached(s1["name"]),
+                           _norm_cached(s2["name"])) * 0.4
     if s1.get("author") and s2.get("author"):
-        score += SequenceMatcher(None, normalize_name(s1["author"]),
-                                 normalize_name(s2["author"])).ratio() * 0.2
+        score += _sm_ratio(_norm_cached(s1["author"]),
+                           _norm_cached(s2["author"])) * 0.2
     r1, r2 = s1.get("repository"), s2.get("repository")
     if r1 and r2:
-        try:
-            if urlparse(str(r1)).netloc == urlparse(str(r2)).netloc:
-                score += 0.2
-        except ValueError:
-            pass  # malformed URL — no domain credit
+        n1, n2 = _repo_netloc(str(r1)), _repo_netloc(str(r2))
+        if n1 is not None and n1 == n2:
+            score += 0.2
 
     if s1.get("description") and s2.get("description"):
-        score += SequenceMatcher(None, s1["description"].lower(),
-                                 s2["description"].lower()).ratio() * 0.1
+        score += _sm_ratio(s1["description"].lower(),
+                           s2["description"].lower()) * 0.1
     c1, c2 = set(s1.get("categories") or []), set(s2.get("categories") or [])
     if c1 and c2:
         total = c1 | c2

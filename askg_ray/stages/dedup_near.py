@@ -34,7 +34,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..arrowutil import NODES_SCHEMA, records_of, sort_canonical, table_of
-from ..merge import are_highly_similar, fuzzy_name_match, merge_multiple, servers_are_similar
+from ..merge import (are_highly_similar, fuzzy_name_match, merge_multiple,
+                     servers_are_similar, similarity_score)
 from ..minhash import band_keys, char_shingles, minhash_signature, shingle_ids
 from .components import PAIR_SCHEMA, connected_components
 
@@ -105,11 +106,139 @@ def _owns_pair(r1: dict, r2: dict) -> bool:
     return bk == min(shared) if shared else False
 
 
+def _pair_gate(left: list[dict], right: list[dict] | None, key: str):
+    """Vectorized per-cell candidate gate (selfjoin gate_fn contract).
+
+    Replaces ~O(n²) Python ``_owns_pair`` + cheap-out evaluations per
+    cell — the measured dominant near-dedup cost (62M pair evaluations
+    at the repl=24 bench corpus) — with numpy boolean masks:
+
+      * pair ownership: band keys are index-salted (minhash.band_keys
+        puts the band index in the top byte), so "this cell's key is
+        the MINIMUM shared band" is exactly "no positional band match
+        at any earlier index" — an int64 equality mask per prior band.
+        Author cells (bit 62 set) own a pair iff NO band position
+        matches.
+      * ratio upper bound: 2·min(len)/(len₁+len₂) > 0.75 — the
+        real_quick_ratio arithmetic from _name_ratio, pairwise.
+      * equal-name × same-registry pairs can satisfy neither phase
+        predicate (fuzzy needs distinct names, similar needs cross
+        registry) — masked out.
+
+    Returns (x, y) index pairs; the Python verifier runs only on
+    survivors. Lossless: every mask is an upper bound on (or exact
+    restatement of) a predicate the pair verifier applies anyway.
+    """
+    import numpy as np
+
+    bk = int(key)
+    diag = right is None
+    rhs = left if diag else right
+    nl, nr = len(left), len(rhs)
+    if nl == 0 or nr == 0:
+        return []
+    BL = np.array([r["bands"] for r in left], dtype=np.int64)
+    BR = BL if diag else np.array([r["bands"] for r in rhs], dtype=np.int64)
+    limit = BL.shape[1] if bk & _AUTHOR_FLAG else (bk >> 56)
+    owned = np.ones((nl, nr), dtype=bool)
+    for j in range(limit):
+        owned &= BL[:, j][:, None] != BR[:, j][None, :]
+
+    nnl = [r.get("norm_name") or "" for r in left]
+    nnr = nnl if diag else [r.get("norm_name") or "" for r in rhs]
+    names, codes = np.unique(
+        np.array(nnl + ([] if diag else nnr), dtype=object),
+        return_inverse=True)
+    cl = codes[:nl]
+    cr = cl if diag else codes[nl:]
+    eq = cl[:, None] == cr[None, :]
+    ll = np.array([len(s) for s in nnl], dtype=np.float64)
+    lr = ll if diag else np.array([len(s) for s in nnr], dtype=np.float64)
+    tot = ll[:, None] + lr[None, :]
+    bound_ok = 2.0 * np.minimum(ll[:, None], lr[None, :]) > 0.75 * tot
+
+    regs: dict = {}
+    rl = np.array([regs.setdefault(r.get("registry_source"), len(regs))
+                   for r in left], dtype=np.int64)
+    rr = rl if diag else np.array(
+        [regs.setdefault(r.get("registry_source"), len(regs))
+         for r in rhs], dtype=np.int64)
+    same_reg = rl[:, None] == rr[None, :]
+
+    mask = owned & (eq | bound_ok) & ~(eq & same_reg)
+    if diag:
+        mask &= np.tri(nl, nr, k=-1, dtype=bool).T
+    if not mask.any():
+        return []
+
+    # quick_ratio, vectorized: difflib.quick_ratio is exactly
+    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂). Build per-UNIQUE-
+    # name char-count matrices once per cell and evaluate the bound for
+    # all pairs as C-speed min-sums — this was the dominant per-pair
+    # cost (a Counter build per comparison) in dense author blocks.
+    u = len(names)
+    if u > 1 and mask.sum() > 64:
+        chars = sorted({c for s in names for c in s})
+        cidx = {c: k for k, c in enumerate(chars)}
+        M = np.zeros((u, max(len(chars), 1)), dtype=np.int32)
+        for k, s in enumerate(names):
+            for ch in s:
+                M[k, cidx[ch]] += 1
+        qsum = np.minimum(M[:, None, :], M[None, :, :]).sum(axis=2)
+        ulen = np.array([len(s) for s in names], dtype=np.float64)
+        utot = ulen[:, None] + ulen[None, :]
+        qr_ok = 2.0 * qsum > 0.75 * utot  # u×u; equal names pass (qr=1)
+        mask &= qr_ok[cl[:, None], cr[None, :]]
+        if not mask.any():
+            return []
+
+    # final refinement: full SequenceMatcher ratio ONCE per unique
+    # surviving name pair (lru-cached across cells); both phase
+    # predicates require ratio > 0.75, so this is lossless and leaves
+    # the Python verifier only genuinely similar-name pairs.
+    xs, ys = np.nonzero(mask)
+    pkey = cl[xs] * np.int64(u + 1) + cr[ys]
+    uk, inv = np.unique(pkey, return_inverse=True)
+    ok = np.empty(len(uk), dtype=bool)
+    for k, code in enumerate(uk):
+        a, b = names[code // (u + 1)], names[code % (u + 1)]
+        ok[k] = a == b or _name_ratio(a, b, 0.75) > 0.75
+    keep = ok[inv]
+    return np.stack([xs[keep], ys[keep]], axis=1)
+
+
+def _gated_dual_verify(r1: dict, r2: dict) -> list[dict]:
+    """_dual_verify_pair_fn minus the ownership gate (the selfjoin
+    gate_fn already applied it vectorized). servers_are_similar is
+    shared across the two phase predicates — computed at most once."""
+    out = []
+    nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
+    ratio = _name_ratio(nn1, nn2, 0.75)
+    ss = None
+    if nn1 != nn2 and ratio > 0.85:
+        ss = servers_are_similar(r1, r2)
+        if ss:
+            out.append({"a": r1["id"], "b": r2["id"], "kind": "f"})
+    if (r1.get("registry_source") != r2.get("registry_source")
+            and ratio > 0.75):
+        if ss is None:
+            ss = servers_are_similar(r1, r2)
+        if ss and similarity_score(r1, r2) > 0.9:
+            out.append({"a": r1["id"], "b": r2["id"], "kind": "s"})
+    return out
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
     """SequenceMatcher.ratio with lossless cheap-outs: identical names
     short-circuit to 1.0; the pure-arithmetic real_quick_ratio bound
     (2·min(len)/total, an upper bound on ratio) skips SequenceMatcher
-    construction entirely for length-mismatched names."""
+    construction entirely for length-mismatched names. lru_cached —
+    pure function, and duplicate clusters re-compare the same name pair
+    in every cell that owns one of its pairs."""
     from difflib import SequenceMatcher
 
     if nn1 == nn2:
@@ -123,7 +252,7 @@ def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
     return sm.ratio()
 
 
-def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
+def _verify_pair(kind: str, r1: dict, r2: dict, owned: bool = False) -> bool:
     """Exact reference predicates behind lossless cheap gates.
 
     quick_ratio/the real_quick_ratio arithmetic are UPPER bounds on
@@ -132,8 +261,9 @@ def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
     on the algebraic bound name_sim > 0.75 (score > 0.9 requires
     name_sim*0.4 > 0.9 - 0.2 - 0.2 - 0.1 - 0.1, deduplication.py:384-426)
     and on cross-registry first (375-379, cheapest check).
-    """
-    if not _owns_pair(r1, r2):
+    ``owned=True``: the caller (gate_fn path) already applied the
+    ownership rule vectorized."""
+    if not owned and not _owns_pair(r1, r2):
         return False
     nn1, nn2 = r1.get("norm_name") or "", r2.get("norm_name") or ""
     if kind == "fuzzy":
@@ -148,11 +278,11 @@ def _verify_pair(kind: str, r1: dict, r2: dict) -> bool:
     return are_highly_similar(r1, r2)
 
 
-def _make_pair_fn(kind: str):
+def _make_pair_fn(kind: str, owned: bool = False):
     """pair_fn for blocked_self_join: verified candidate (a,b) rows."""
 
     def fn(r1: dict, r2: dict) -> list[dict]:
-        if _verify_pair(kind, r1, r2):
+        if _verify_pair(kind, r1, r2, owned=owned):
             return [{"a": r1["id"], "b": r2["id"]}]
         return []
 
@@ -193,8 +323,8 @@ def _candidate_pairs(nodes, kind: str, cap: int = 192):
     # nodes is materialized by the callers (fork: LSH + author + tag)
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
-    return blocked_self_join(lsh.union(auth), _make_pair_fn(kind),
-                             PAIR_SCHEMA, cap=cap)
+    return blocked_self_join(lsh.union(auth), _make_pair_fn(kind, owned=True),
+                             PAIR_SCHEMA, cap=cap, gate_fn=_pair_gate)
 
 
 def _sentinel(node_id: str) -> str:
@@ -324,8 +454,9 @@ def near_dedup(nodes, broadcast_threshold=None):
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
     # tagged pairs feed both phases — pin once
-    tagged = compact(blocked_self_join(lsh.union(auth), _dual_verify_pair_fn,
-                                       _TAGGED_PAIR_SCHEMA, cap=192))
+    tagged = compact(blocked_self_join(lsh.union(auth), _gated_dual_verify,
+                                       _TAGGED_PAIR_SCHEMA, cap=192,
+                                       gate_fn=_pair_gate))
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))

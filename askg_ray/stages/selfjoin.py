@@ -107,7 +107,7 @@ def _bloom_contains(bm: bytes, m_bits: int, key) -> bool:
 
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
-                      cell_fn=None):
+                      cell_fn=None, gate_fn=None):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
 
     Two pair-generation modes:
@@ -117,6 +117,16 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         vectorized whole-cell kernel (numpy over column arrays), used by
         the hot edge-inference families. left/right are dicts of column
         lists sorted by id; right is None for diagonal cells.
+
+    ``gate_fn(left_recs, right_recs_or_None, block_key_str) ->
+    iterable[(x, y)]`` (pair_fn mode only): a vectorized per-cell
+    prefilter that names the candidate index pairs to hand to pair_fn —
+    (x, y) into left×left with x < y for diagonal cells, left×right
+    otherwise. Without it every O(n²) cell pair pays a Python pair_fn
+    call; a numpy gate (e.g. the LSH pair-ownership rule + cheap
+    similarity bounds in stages/dedup_near._pair_gate) turns the
+    quadratic part into C-speed boolean masks and leaves Python only
+    the survivors.
     Returns a Dataset with out_schema rows.
     """
     import ray
@@ -226,9 +236,15 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
                 [r for r in recs if r["bucket"] == cj])
 
     def cell_pairs(batch: pa.Table) -> pa.Table:
-        _, left, right = _split_cell(batch)
+        key, left, right = _split_cell(batch)
         edges: list[dict] = []
-        if right is None:
+        if gate_fn is not None:
+            rhs = left if right is None else right
+            for x, y in gate_fn(left, right, key):
+                r1, r2 = left[x], rhs[y]
+                a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
+                edges.extend(pair_fn(a, b))
+        elif right is None:
             for x in range(len(left)):
                 for y in range(x + 1, len(left)):
                     edges.extend(pair_fn(left[x], left[y]))
