@@ -129,12 +129,29 @@ def _pair_index(left: dict, right: dict | None):
 
 
 def _ordered_ids(lc, rc, i, j):
-    a = np.array(lc["id"], dtype=object)[i]
-    b = np.array(rc["id"], dtype=object)[j]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    return a2, b2
+    """(src, dst) Arrow string arrays with src < dst per pair — WITHOUT
+    per-pair string comparisons (an object-dtype ``a > b`` ran a Python
+    compare per edge: ~7 µs/edge × 19.5M edges dominated inference).
+
+    Cells arrive id-sorted (selfjoin._split_cell), so diagonal pairs
+    (i < j) are already ordered — pure ``take``. Off-diagonal: one
+    O(n₂ log n₁) searchsorted ranks right ids among left ids (grid
+    buckets partition ids disjointly, so equality can't occur), and the
+    swap becomes an index select over the concatenated id array."""
+    L = pa.array(lc["id"], pa.string())
+    if rc is lc:
+        return (pc.take(L, pa.array(i, pa.int64())),
+                pc.take(L, pa.array(j, pa.int64())))
+    R = pa.array(rc["id"], pa.string())
+    pos = np.searchsorted(np.asarray(lc["id"], dtype=object),
+                          np.asarray(rc["id"], dtype=object), side="left")
+    swap = pos[j] <= i  # ⟺ R[j] < L[i]
+    n1 = len(L)
+    comb = pa.concat_arrays([L, R])
+    ai = np.where(swap, j + n1, i)
+    bi = np.where(swap, i, j + n1)
+    return (pc.take(comb, pa.array(ai, pa.int64())),
+            pc.take(comb, pa.array(bi, pa.int64())))
 
 
 # Deterministic stand-in for ServerRelationship.created_at
@@ -159,8 +176,10 @@ def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
     """Columns may arrive as numpy arrays / Arrow arrays / Python lists;
     everything constant or derivable is built with Arrow kernels — no
     per-edge Python string formatting (14M edges at sf0.1)."""
-    src = pa.array(ids_a, pa.string())
-    dst = pa.array(ids_b, pa.string())
+    src = (ids_a if isinstance(ids_a, (pa.Array, pa.ChunkedArray))
+           else pa.array(ids_a, pa.string()))
+    dst = (ids_b if isinstance(ids_b, (pa.Array, pa.ChunkedArray))
+           else pa.array(ids_b, pa.string()))
     n = len(src)
     edge_ids = pc.binary_join_element_wise(
         src, pa.repeat(pa.scalar(tag, pa.string()), n), dst, "_")
@@ -238,7 +257,8 @@ def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     langs_r = np.array([x or "" for x in rc["implementation_language"]], dtype=object)
     same_lang = (langs_l[i] == langs_r[j]) & (langs_l[i] != "")
     if same_lang.any():
-        ia, ib = a[same_lang], b[same_lang]
+        sl = pa.array(same_lang)
+        ia, ib = a.filter(sl), b.filter(sl)
         lang_vals = langs_l[i][same_lang]
         lu, linv = np.unique(lang_vals, return_inverse=True)
         conf2 = np.full(len(ia), 0.6)

@@ -299,6 +299,14 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
             return out_schema.empty_table()
         return pa.concat_tables(parts)
 
+    # map_groups parallelism equals the grouped dataset's BLOCK count,
+    # not the bucket count: with a 32-block input the UDF-heavy cell
+    # kernels ran as 32 reduce tasks and one straggler block holding a
+    # few hot cells serialized the stage (measured 24 s of a 30 s edge
+    # inference). The celled table is slim (ids + masks + block keys),
+    # so repartitioning UP to 4× CPU-blocks is cheap and spreads the
+    # ~n² cells across 4× more reduce tasks.
+    celled = celled.repartition(4 * nb)
     return (celled.map_batches(add_cell_bucket, batch_format="pyarrow")
             .groupby("__cb")
             .map_groups(bucket_cells, batch_format="pyarrow"))
