@@ -106,8 +106,10 @@ def _owns_pair(r1: dict, r2: dict) -> bool:
     return bk == min(shared) if shared else False
 
 
-def _pair_gate(left: list[dict], right: list[dict] | None, key: str):
-    """Vectorized per-cell candidate gate (selfjoin gate_fn contract).
+def _pair_gate(left, right, key: str):
+    """Vectorized per-cell candidate gate (selfjoin gate_fn contract:
+    ``left``/``right`` are Arrow tables, id-sorted; right None for
+    diagonal cells).
 
     Replaces ~O(n²) Python ``_owns_pair`` + cheap-out evaluations per
     cell — the measured dominant near-dedup cost (62M pair evaluations
@@ -117,8 +119,9 @@ def _pair_gate(left: list[dict], right: list[dict] | None, key: str):
         puts the band index in the top byte), so "this cell's key is
         the MINIMUM shared band" is exactly "no positional band match
         at any earlier index" — an int64 equality mask per prior band.
-        Author cells (bit 62 set) own a pair iff NO band position
-        matches.
+        The bands column is fixed-width (one value per band), so the
+        matrix is a zero-copy flatten + reshape of the Arrow list
+        column — no per-row Python lists.
       * ratio upper bound: 2·min(len)/(len₁+len₂) > 0.75 — the
         real_quick_ratio arithmetic from _name_ratio, pairwise.
       * equal-name × same-registry pairs can satisfy neither phase
@@ -134,50 +137,79 @@ def _pair_gate(left: list[dict], right: list[dict] | None, key: str):
     bk = int(key)
     diag = right is None
     rhs = left if diag else right
-    nl, nr = len(left), len(rhs)
+    nl, nr = left.num_rows, rhs.num_rows
     if nl == 0 or nr == 0:
         return []
-    BL = np.array([r["bands"] for r in left], dtype=np.int64)
-    BR = BL if diag else np.array([r["bands"] for r in rhs], dtype=np.int64)
-    limit = BL.shape[1] if bk & _AUTHOR_FLAG else (bk >> 56)
-    owned = np.ones((nl, nr), dtype=bool)
-    for j in range(limit):
-        owned &= BL[:, j][:, None] != BR[:, j][None, :]
 
-    nnl = [r.get("norm_name") or "" for r in left]
-    nnr = nnl if diag else [r.get("norm_name") or "" for r in rhs]
+    nnl = [s or "" for s in left["norm_name"].to_pylist()]
+    nnr = nnl if diag else [s or "" for s in rhs["norm_name"].to_pylist()]
     names, codes = np.unique(
         np.array(nnl + ([] if diag else nnr), dtype=object),
         return_inverse=True)
     cl = codes[:nl]
     cr = cl if diag else codes[nl:]
-    eq = cl[:, None] == cr[None, :]
-    ll = np.array([len(s) for s in nnl], dtype=np.float64)
-    lr = ll if diag else np.array([len(s) for s in nnr], dtype=np.float64)
-    tot = ll[:, None] + lr[None, :]
-    bound_ok = 2.0 * np.minimum(ll[:, None], lr[None, :]) > 0.75 * tot
 
-    regs: dict = {}
-    rl = np.array([regs.setdefault(r.get("registry_source"), len(regs))
-                   for r in left], dtype=np.int64)
-    rr = rl if diag else np.array(
-        [regs.setdefault(r.get("registry_source"), len(regs))
-         for r in rhs], dtype=np.int64)
-    same_reg = rl[:, None] == rr[None, :]
+    # Every name-derived mask runs at UNIQUE-NAME granularity (u×u) and
+    # is expanded to record pairs at the end: bands are a pure function
+    # of norm_name, so same-name records have identical band rows, and
+    # a duplicate-heavy cell (the common case in a near-dup join) has
+    # u ≪ n — the old n×n ownership loop paid ~limit·n² regardless.
+    def bands_mat(t):
+        arr = t["bands"].combine_chunks()
+        return arr.flatten().to_numpy(zero_copy_only=False).reshape(
+            t.num_rows, -1)
 
-    mask = owned & (eq | bound_ok) & ~(eq & same_reg)
+    # first record index per unique name (np.unique(return_index) over
+    # the concatenated code array would re-sort; argmax over one-hot is
+    # O(n·u) — use the sorted property of codes' uniques instead)
+    first_l = np.zeros(len(names), dtype=np.int64)
+    first_l[cl[::-1]] = np.arange(nl)[::-1]
+    BL_all = bands_mat(left)
+    u = len(names)
     if diag:
-        mask &= np.tri(nl, nr, k=-1, dtype=bool).T
-    if not mask.any():
+        BU_l = BL_all[first_l]
+        BU_r = BU_l
+    else:
+        BR_all = bands_mat(rhs)
+        # a unique name may occur only on one side; take its bands from
+        # whichever side has it (identical by construction when both do)
+        first_r = np.full(u, -1, dtype=np.int64)
+        first_r[cr[::-1]] = np.arange(nr)[::-1]
+        has_l = np.zeros(u, dtype=bool)
+        has_l[cl] = True
+        BU = np.empty((u, BL_all.shape[1]), dtype=BL_all.dtype)
+        BU[has_l] = BL_all[first_l[has_l]]
+        BU[~has_l] = BR_all[first_r[~has_l]]
+        BU_l = BU_r = BU
+    limit = BU_l.shape[1] if bk & _AUTHOR_FLAG else (bk >> 56)
+    owned_u = np.ones((u, u), dtype=bool)
+    for j in range(limit):
+        owned_u &= BU_l[:, j][:, None] != BU_r[:, j][None, :]
+    # diagonal = same-name pairs: every band position matches, so the
+    # loop zeroed it for limit > 0. The ownership rule sends a same-name
+    # pair to its band-0 block (the minimum shared band VALUE — index
+    # in the top byte makes band 0's value the smallest), and never to
+    # the author block (shared bands non-empty).
+    if bk & _AUTHOR_FLAG:
+        np.fill_diagonal(owned_u, False)
+    else:
+        np.fill_diagonal(owned_u, BU_l[:, 0] == bk)
+
+    # ratio upper bound 2·min(len)/total > 0.75 per unique name pair;
+    # equal names always pass (ratio = 1, incl. empty-name pairs)
+    ulen = np.array([len(s) for s in names], dtype=np.float64)
+    utot = ulen[:, None] + ulen[None, :]
+    bound_u = 2.0 * np.minimum(ulen[:, None], ulen[None, :]) > 0.75 * utot
+    np.fill_diagonal(bound_u, True)
+    mask_u = owned_u & bound_u
+    if not mask_u.any():
         return []
 
     # quick_ratio, vectorized: difflib.quick_ratio is exactly
-    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂). Build per-UNIQUE-
-    # name char-count matrices once per cell and evaluate the bound for
-    # all pairs as C-speed min-sums — this was the dominant per-pair
-    # cost (a Counter build per comparison) in dense author blocks.
-    u = len(names)
-    if u > 1 and mask.sum() > 64:
+    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂) — per-unique-name
+    # char-count matrix, C-speed min-sums instead of a Counter build
+    # per comparison.
+    if u > 1 and mask_u.sum() > 16:
         chars = sorted({c for s in names for c in s})
         cidx = {c: k for k, c in enumerate(chars)}
         M = np.zeros((u, max(len(chars), 1)), dtype=np.int32)
@@ -185,26 +217,47 @@ def _pair_gate(left: list[dict], right: list[dict] | None, key: str):
             for ch in s:
                 M[k, cidx[ch]] += 1
         qsum = np.minimum(M[:, None, :], M[None, :, :]).sum(axis=2)
-        ulen = np.array([len(s) for s in names], dtype=np.float64)
-        utot = ulen[:, None] + ulen[None, :]
-        qr_ok = 2.0 * qsum > 0.75 * utot  # u×u; equal names pass (qr=1)
-        mask &= qr_ok[cl[:, None], cr[None, :]]
-        if not mask.any():
+        qr_ok = 2.0 * qsum > 0.75 * utot
+        np.fill_diagonal(qr_ok, True)
+        mask_u &= qr_ok
+        if not mask_u.any():
             return []
 
-    # final refinement: full SequenceMatcher ratio ONCE per unique
-    # surviving name pair (lru-cached across cells); both phase
-    # predicates require ratio > 0.75, so this is lossless and leaves
-    # the Python verifier only genuinely similar-name pairs.
+    # final refinement: full SequenceMatcher ratio ONCE per surviving
+    # unique name pair (lru-cached across cells); both phase predicates
+    # require ratio > 0.75, so this is lossless and leaves the Python
+    # verifier only genuinely similar-name pairs.
+    # ratio is symmetric and names (np.unique output) are sorted, so
+    # evaluating only x < y keeps one canonical argument order — the
+    # lru cache key stays stable across cells and the mirrored entry is
+    # patched for free.
+    ux, uy = np.nonzero(np.triu(mask_u | mask_u.T, k=1))
+    for x, y in zip(ux.tolist(), uy.tolist()):
+        if _name_ratio(names[x], names[y], 0.75) <= 0.75:
+            mask_u[x, y] = False
+            mask_u[y, x] = False
+    if not mask_u.any():
+        return []
+
+    # expand to record pairs: equal-name × same-registry pairs can
+    # satisfy neither phase predicate (fuzzy needs distinct names,
+    # similar needs cross registry) — masked out at record level.
+    regs: dict = {}
+    rl = np.array([regs.setdefault(r, len(regs))
+                   for r in left["registry_source"].to_pylist()],
+                  dtype=np.int64)
+    rr = rl if diag else np.array(
+        [regs.setdefault(r, len(regs))
+         for r in rhs["registry_source"].to_pylist()], dtype=np.int64)
+    mask = mask_u[cl[:, None], cr[None, :]]
+    eq = cl[:, None] == cr[None, :]
+    mask &= ~(eq & (rl[:, None] == rr[None, :]))
+    if diag:
+        mask &= np.tri(nl, nr, k=-1, dtype=bool).T
     xs, ys = np.nonzero(mask)
-    pkey = cl[xs] * np.int64(u + 1) + cr[ys]
-    uk, inv = np.unique(pkey, return_inverse=True)
-    ok = np.empty(len(uk), dtype=bool)
-    for k, code in enumerate(uk):
-        a, b = names[code // (u + 1)], names[code % (u + 1)]
-        ok[k] = a == b or _name_ratio(a, b, 0.75) > 0.75
-    keep = ok[inv]
-    return np.stack([xs[keep], ys[keep]], axis=1)
+    if not len(xs):
+        return []
+    return np.stack([xs, ys], axis=1)
 
 
 def _gated_dual_verify(r1: dict, r2: dict) -> list[dict]:
@@ -231,7 +284,7 @@ def _gated_dual_verify(r1: dict, r2: dict) -> list[dict]:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=1 << 17)
+@lru_cache(maxsize=1 << 20)
 def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
     """SequenceMatcher.ratio with lossless cheap-outs: identical names
     short-circuit to 1.0; the pure-arithmetic real_quick_ratio bound

@@ -133,7 +133,7 @@ def _ordered_ids(lc, rc, i, j):
     per-pair string comparisons (an object-dtype ``a > b`` ran a Python
     compare per edge: ~7 µs/edge × 19.5M edges dominated inference).
 
-    Cells arrive id-sorted (selfjoin._split_cell), so diagonal pairs
+    Cells arrive id-sorted (selfjoin._cell_tables), so diagonal pairs
     (i < j) are already ordered — pure ``take``. Off-diagonal: one
     O(n₂ log n₁) searchsorted ranks right ids among left ids (grid
     buckets partition ids disjointly, so equality can't occur), and the

@@ -46,15 +46,9 @@ SMALL_EXPLODED_ROWS = 2_000_000
 
 
 def _partial_counts(t: pa.Table) -> pa.Table:
-    import collections
-
-    c = collections.Counter(t["block_key"].to_pylist())
-    if not c:
-        return pa.table({"k": pa.array([], t.schema.field("block_key").type),
-                         "n": pa.array([], pa.int64())})
-    ks, vs = zip(*c.items())
-    return pa.table({"k": pa.array(list(ks)),
-                     "n": pa.array(list(vs), pa.int64())})
+    g = pa.table({"k": t["block_key"]}).group_by("k").aggregate([([], "count_all")])
+    return pa.table({"k": g["k"],
+                     "n": g["count_all"].cast(pa.int64())})
 
 
 def _block_counts(exploded):
@@ -106,6 +100,136 @@ def _bloom_contains(bm: bytes, m_bits: int, key) -> bool:
     return True
 
 
+def _cell_tables(t: pa.Table):
+    """One sorted pass over a bucket group → (key, left_tbl,
+    right_tbl|None) per cell, entirely in Arrow.
+
+    Sort on (cell_key, id, __uid) replaces the old per-cell Python
+    record sort; duplicate exploded rows (a record whose band keys
+    collide lands in the same block twice — keyed on (id, __uid)
+    because DISTINCT records may share a candidate id before
+    stages/ids.py uniquifies) are dropped with one adjacent-equality
+    mask. Rows inside each cell stay id-sorted — the kernels'
+    precondition."""
+    has_uid = "__uid" in t.column_names
+    keys = [("cell_key", "ascending"), ("id", "ascending")]
+    if has_uid:
+        keys.append(("__uid", "ascending"))
+    t = t.take(pc.sort_indices(t, sort_keys=keys)).combine_chunks()
+    n = t.num_rows
+
+    def adj_eq(name):
+        a = t[name]
+        x, y = a.slice(1), a.slice(0, n - 1)
+        e = pc.equal(x, y)
+        # null-safe: null == null counts as equal for dedupe
+        return pc.coalesce(e, pc.and_(pc.is_null(x), pc.is_null(y))) \
+            .to_numpy(zero_copy_only=False)
+
+    if n > 1:
+        dup = adj_eq("cell_key") & adj_eq("id")
+        if has_uid:
+            dup &= adj_eq("__uid")
+        if dup.any():
+            t = t.filter(pa.array(np.concatenate(([True], ~dup))))
+            n = t.num_rows
+
+    ck = t["cell_key"].combine_chunks().dictionary_encode()
+    ki = ck.indices.to_numpy(zero_copy_only=False)
+    change = np.nonzero(ki[1:] != ki[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    buckets = t["bucket"].to_numpy(zero_copy_only=False)
+    cell_names = ck.dictionary.to_pylist()
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if e - s < 2:
+            continue
+        cell = cell_names[ki[s]]
+        key, ci, cj = cell.rsplit("|", 2)
+        sub = t.slice(s, e - s)
+        if ci == cj:
+            yield key, sub, None
+        else:
+            bseg = buckets[s:e]
+            left = sub.filter(pa.array(bseg == int(ci)))
+            right = sub.filter(pa.array(bseg == int(cj)))
+            if left.num_rows and right.num_rows:
+                yield key, left, right
+
+
+def _pairs_from_cell(key, left, right, pair_fn, gate_fn,
+                     out_schema) -> pa.Table | None:
+    """pair_fn/gate mode: Python records are built ONLY for rows the
+    vectorized gate lets through (the full to_pylist per cell was
+    the #2 cost of the join)."""
+    if gate_fn is not None:
+        pairs = gate_fn(left, right, key)
+        if len(pairs) == 0:
+            return None
+        xs = np.asarray([p[0] for p in pairs] if isinstance(pairs, list)
+                        else pairs[:, 0], dtype=np.int64)
+        ys = np.asarray([p[1] for p in pairs] if isinstance(pairs, list)
+                        else pairs[:, 1], dtype=np.int64)
+        lu = np.unique(xs)
+        lrecs = dict(zip(lu.tolist(),
+                         left.take(pa.array(lu)).to_pylist()))
+        if right is None:
+            rrecs = lrecs
+            ru = np.setdiff1d(np.unique(ys), lu)
+            if len(ru):
+                rrecs = dict(lrecs)
+                rrecs.update(zip(ru.tolist(),
+                                 left.take(pa.array(ru)).to_pylist()))
+        else:
+            ru = np.unique(ys)
+            rrecs = dict(zip(ru.tolist(),
+                             right.take(pa.array(ru)).to_pylist()))
+        edges: list[dict] = []
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            r1, r2 = lrecs[x], rrecs[y]
+            a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
+            edges.extend(pair_fn(a, b))
+        return table_of(edges, out_schema)
+    lrec = left.to_pylist()
+    edges = []
+    if right is None:
+        for x in range(len(lrec)):
+            for y in range(x + 1, len(lrec)):
+                edges.extend(pair_fn(lrec[x], lrec[y]))
+    else:
+        rrec = right.to_pylist()
+        for r1 in lrec:
+            for r2 in rrec:
+                a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
+                edges.extend(pair_fn(a, b))
+    return table_of(edges, out_schema)
+
+
+def _cols_of(tbl: pa.Table | None) -> dict | None:
+    if tbl is None:
+        return None
+    return {c: tbl[c].to_pylist() for c in tbl.column_names}
+
+
+def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
+                      out_schema) -> pa.Table:
+    """Reduce kernel for one __cb bucket group of cells."""
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    parts = []
+    for key, left, right in _cell_tables(t):
+        if cell_fn is not None:
+            out = cell_fn(_cols_of(left), _cols_of(right), key)
+        else:
+            out = _pairs_from_cell(key, left, right, pair_fn, gate_fn,
+                                   out_schema)
+        if out is not None and out.num_rows:
+            parts.append(out)
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
+
+
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
                       cell_fn=None, gate_fn=None):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
@@ -118,15 +242,15 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         the hot edge-inference families. left/right are dicts of column
         lists sorted by id; right is None for diagonal cells.
 
-    ``gate_fn(left_recs, right_recs_or_None, block_key_str) ->
+    ``gate_fn(left_tbl, right_tbl_or_None, block_key_str) ->
     iterable[(x, y)]`` (pair_fn mode only): a vectorized per-cell
-    prefilter that names the candidate index pairs to hand to pair_fn —
-    (x, y) into left×left with x < y for diagonal cells, left×right
-    otherwise. Without it every O(n²) cell pair pays a Python pair_fn
-    call; a numpy gate (e.g. the LSH pair-ownership rule + cheap
-    similarity bounds in stages/dedup_near._pair_gate) turns the
-    quadratic part into C-speed boolean masks and leaves Python only
-    the survivors.
+    prefilter over the id-sorted Arrow cell tables that names the
+    candidate index pairs to hand to pair_fn — (x, y) into left×left
+    with x < y for diagonal cells, left×right otherwise. Without it
+    every O(n²) cell pair pays a Python pair_fn call; a numpy gate
+    (e.g. the LSH pair-ownership rule + cheap similarity bounds in
+    stages/dedup_near._pair_gate) turns the quadratic part into C-speed
+    boolean masks, and Python records are built only for survivors.
     Returns a Dataset with out_schema rows.
     """
     import ray
@@ -156,20 +280,28 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         # — and build hot map + bloom in one pass instead of a count
         # shuffle plus three more executions. The distributed path below
         # runs beyond the threshold and is forced in tests.
-        import collections
-
-        c: collections.Counter = collections.Counter()
-        for b in (exploded.select_columns(["block_key"])
-                  .map_batches(_partial_counts, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
-            # iterated batches can concatenate several partial outputs,
-            # so the same key may repeat within one batch — fold row-wise
-            for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
-                c[k] += n
-        hot = {k: -(-n // cap) for k, n in c.items() if n > cap}
-        m_bits = 1 << max(14, (len(c) * _BLOOM_BITS_PER_KEY).bit_length())
+        # fold the per-batch partial count tables with ONE Arrow groupby
+        # on the driver (C speed) — the row-wise Counter fold here was a
+        # measured 8 s serial stall at 400k exploded rows
+        partials = list(exploded.select_columns(["block_key"])
+                        .map_batches(_partial_counts, batch_format="pyarrow")
+                        .iter_batches(batch_format="pyarrow"))
+        folded = (pa.concat_tables(partials).group_by("k")
+                  .aggregate([("n", "sum")])) if partials else None
+        if folded is None or folded.num_rows == 0:
+            ks, ns = [], np.array([], dtype=np.int64)
+        else:
+            ks = folded["k"].to_pylist()
+            ns = folded["n_sum"].to_numpy(zero_copy_only=False)
+        hotm = ns > cap
+        hot = {k: -(-int(n) // cap)
+               for k, n in zip(np.asarray(ks, dtype=object)[hotm].tolist(),
+                               ns[hotm].tolist())} if hotm.any() else {}
+        pair_ns = ns[ns >= 2].astype(np.float64)
+        est_pairs = int((pair_ns * (pair_ns - 1)).sum() // 2)
+        m_bits = 1 << max(14, (len(ks) * _BLOOM_BITS_PER_KEY).bit_length())
         bm = np.zeros(m_bits // 8, dtype=np.uint8)
-        for k, n in c.items():
+        for k, n in zip(ks, ns.tolist()):
             if n >= 2:
                 for p in _bloom_positions(k, m_bits):
                     bm[p >> 3] |= 1 << (p & 7)
@@ -180,92 +312,83 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         n_keys = counts.count()
         # hot keys (n > cap) are few by construction — safe to collect
         hot = {}
+        est_pairs = 0
         for b in (counts.map_batches(
-                lambda t: t.filter(pc.greater(t["n"], cap)),
+                lambda t: pa.table({
+                    "k": t["k"], "n": t["n"],
+                    "hot": pc.greater(t["n"], cap),
+                    "p": pc.multiply(
+                        pc.cast(t["n"], pa.float64()),
+                        pc.cast(pc.subtract(t["n"], 1), pa.float64())),
+                }),
                 batch_format="pyarrow").iter_batches(batch_format="pyarrow")):
-            hot.update(zip(b["k"].to_pylist(), b["n"].to_pylist()))
+            est_pairs += int(pc.sum(b["p"]).as_py() or 0) // 2
+            hb = b.filter(b["hot"])
+            hot.update(zip(hb["k"].to_pylist(), hb["n"].to_pylist()))
         hot = {k: -(-n // cap) for k, n in hot.items()}
         bloom, m_bits = _bloom_build(counts, n_keys)
     hot_ref = ray.put((hot, bloom))
 
     def to_cells(batch: pa.Table) -> pa.Table:
+        """Replicate each row to its grid cells — vectorized: the bloom
+        probe, salt lookup and cell-key formatting run once per DISTINCT
+        block key (45k distinct vs 400k rows at the bench corpus; the
+        old per-row Python loop was the #3 cost of the whole join)."""
         smap, bm = ray.get(hot_ref)
-        cols = batch.column_names
-        data = {c: batch[c].to_pylist() for c in cols}
-        out = {c: [] for c in cols}
-        out["cell_key"] = []
-        out["bucket"] = []
-        for i in range(batch.num_rows):
-            key = data["block_key"][i]
-            if not _bloom_contains(bm, m_bits, key):
-                continue
-            s = smap.get(key, 1)
-            b = zlib.crc32(str(data["id"][i]).encode()) % s
-            cells = {(min(b, j), max(b, j)) for j in range(s)}
-            for ci, cj in cells:
-                for c in cols:
-                    out[c].append(data[c][i])
-                out["cell_key"].append(f"{key}|{ci}|{cj}")
-                out["bucket"].append(b)
-        arrays = {c: pa.array(out[c], batch.schema.field(c).type) for c in cols}
-        arrays["cell_key"] = pa.array(out["cell_key"], pa.string())
-        arrays["bucket"] = pa.array(out["bucket"], pa.int32())
-        return pa.table(arrays)
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "cell_key", pa.array([], pa.string())).append_column(
+                "bucket", pa.array([], pa.int32()))
+        enc = batch["block_key"].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        salts = np.array(
+            [(smap.get(k, 1) if _bloom_contains(bm, m_bits, k) else 0)
+             for k in uniq], dtype=np.int32)
+        row_s = salts[enc.indices.to_numpy(zero_copy_only=False)]
+
+        parts = []
+        cold = row_s == 1
+        if cold.any():
+            t1 = batch.filter(pa.array(cold))
+            keys1 = pa.array([f"{k}|0|0" for k in uniq], pa.string())
+            idx1 = enc.indices.to_numpy(zero_copy_only=False)[cold]
+            t1 = t1.append_column("cell_key", pc.take(keys1, pa.array(idx1)))
+            t1 = t1.append_column(
+                "bucket", pa.array(np.zeros(len(idx1), dtype=np.int32)))
+            parts.append(t1)
+
+        hot_rows = row_s > 1
+        if hot_rows.any():
+            th = batch.filter(pa.array(hot_rows))
+            s_arr = row_s[hot_rows]
+            ids = th["id"].to_pylist()
+            kidx = enc.indices.to_numpy(zero_copy_only=False)[hot_rows]
+            b_arr = np.array([zlib.crc32(str(i).encode()) for i in ids],
+                             dtype=np.int64) % s_arr
+            # row r lands in cells (min(b,j), max(b,j)) for j in 0..s-1
+            take_idx, cks, bks = [], [], []
+            for r in range(len(ids)):
+                s, b, key = int(s_arr[r]), int(b_arr[r]), uniq[kidx[r]]
+                for j in range(s):
+                    take_idx.append(r)
+                    cks.append(f"{key}|{min(b, j)}|{max(b, j)}")
+                    bks.append(b)
+            th = th.take(pa.array(take_idx, pa.int64()))
+            th = th.append_column("cell_key", pa.array(cks, pa.string()))
+            th = th.append_column("bucket", pa.array(bks, pa.int32()))
+            parts.append(th)
+
+        if not parts:
+            empty = batch.slice(0, 0)
+            return empty.append_column(
+                "cell_key", pa.array([], pa.string())).append_column(
+                "bucket", pa.array([], pa.int32()))
+        return pa.concat_tables(parts).combine_chunks()
 
     celled = exploded.map_batches(to_cells, batch_format="pyarrow")
 
-    def _split_cell(batch: pa.Table):
-        cell = batch["cell_key"][0].as_py()
-        ci, cj = (int(x) for x in cell.rsplit("|", 2)[-2:])
-        key = cell.rsplit("|", 2)[0]
-        recs = batch.to_pylist()
-        # dedupe identical exploded rows within the cell (a record whose
-        # band keys collide lands in the same block twice). Keyed on
-        # (id, __uid): the optional __uid column disambiguates DISTINCT
-        # records that share a candidate id (ids are only made unique
-        # later, stages/ids.py) — keying on id alone silently dropped
-        # one of them per cell.
-        by_id = {}
-        for r in recs:
-            by_id.setdefault((r["id"], r.get("__uid")), r)
-        recs = sorted(by_id.values(), key=lambda r: (r["id"], str(r.get("__uid"))))
-        if ci == cj:
-            return key, [r for r in recs if r["bucket"] == ci], None
-        return (key,
-                [r for r in recs if r["bucket"] == ci],
-                [r for r in recs if r["bucket"] == cj])
-
-    def cell_pairs(batch: pa.Table) -> pa.Table:
-        key, left, right = _split_cell(batch)
-        edges: list[dict] = []
-        if gate_fn is not None:
-            rhs = left if right is None else right
-            for x, y in gate_fn(left, right, key):
-                r1, r2 = left[x], rhs[y]
-                a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
-                edges.extend(pair_fn(a, b))
-        elif right is None:
-            for x in range(len(left)):
-                for y in range(x + 1, len(left)):
-                    edges.extend(pair_fn(left[x], left[y]))
-        else:
-            for r1 in left:
-                for r2 in right:
-                    a, b = (r1, r2) if r1["id"] < r2["id"] else (r2, r1)
-                    edges.extend(pair_fn(a, b))
-        return table_of(edges, out_schema)
-
-    def _cols(recs: list[dict]) -> dict:
-        if not recs:
-            return {}
-        return {k: [r.get(k) for r in recs] for k in recs[0]}
-
-    def cell_pairs_vec(batch: pa.Table) -> pa.Table:
-        key, left, right = _split_cell(batch)
-        out = cell_fn(_cols(left), _cols(right) if right is not None else None, key)
-        return out if out is not None else out_schema.empty_table()
-
-    fn = cell_pairs_vec if cell_fn is not None else cell_pairs
+    def bucket_cells(t: pa.Table) -> pa.Table:
+        return bucket_cells_impl(t, cell_fn, pair_fn, gate_fn, out_schema)
 
     # Group cells through coarse hash buckets instead of one map_groups
     # call per cell: the per-group wrapper (~1 ms of slicing + dispatch)
@@ -276,37 +399,21 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     n_cell_buckets = 32 * default_nblocks()
 
     def add_cell_bucket(t: pa.Table) -> pa.Table:
-        bs = [zlib.crc32(k.encode()) % n_cell_buckets
-              for k in t["cell_key"].to_pylist()]
-        return t.append_column("__cb", pa.array(bs, pa.int32()))
-
-    def bucket_cells(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        t = t.take(pc.sort_indices(t, sort_keys=[("cell_key", "ascending")]))
-        ks = np.asarray(t["cell_key"].to_pylist(), dtype=object)
-        change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
-        starts = np.concatenate(([0], change)).tolist()
-        ends = np.concatenate((change, [len(ks)])).tolist()
-        parts = []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            out = fn(t.slice(s, e - s))
-            if out is not None and out.num_rows:
-                parts.append(out)
-        if not parts:
-            return out_schema.empty_table()
-        return pa.concat_tables(parts)
+        enc = t["cell_key"].combine_chunks().dictionary_encode()
+        per_uniq = pa.array(
+            np.array([zlib.crc32(k.encode()) for k in
+                      enc.dictionary.to_pylist()], dtype=np.int64)
+            % n_cell_buckets, pa.int32())
+        return t.append_column("__cb", pc.take(per_uniq, enc.indices))
 
     # map_groups parallelism equals the grouped dataset's BLOCK count,
-    # not the bucket count: with a 32-block input the UDF-heavy cell
-    # kernels ran as 32 reduce tasks and one straggler block holding a
-    # few hot cells serialized the stage (measured 24 s of a 30 s edge
-    # inference). The celled table is slim (ids + masks + block keys),
-    # so repartitioning UP to 4× CPU-blocks is cheap and spreads the
-    # ~n² cells across 4× more reduce tasks.
-    celled = celled.repartition(4 * nb)
+    # not the bucket count: a straggler block holding a few hot cells
+    # can serialize the reduce. Pair-heavy joins (est_pairs from the
+    # block counts) spread over 4× CPU-blocks; small joins skip the
+    # extra repartition barrier — at 8-vs-32 cpus the fixed barriers
+    # are exactly what caps scaling efficiency on small corpora.
+    if est_pairs > 2_000_000:
+        celled = celled.repartition(4 * nb)
     return (celled.map_batches(add_cell_bucket, batch_format="pyarrow")
             .groupby("__cb")
             .map_groups(bucket_cells, batch_format="pyarrow"))
