@@ -84,10 +84,14 @@ def build_kg(pages, edge_cap: int = 400,
     ``max_out_degree``: optional scale-run edge truncation (see
     stages/edges.infer_edges); None = exact reference parity."""
     nodes = canonical_nodes(pages)
-    # edges/membership are consumed by several downstream queries —
-    # materialize once (they are entity-scale, not page-scale)
-    edges = infer_edges(nodes, cap=edge_cap,
-                        max_out_degree=max_out_degree).materialize()
+    # edges stay LAZY: they are the quadratic-in-block-size output (4 GB
+    # at the repl=24 bench corpus, unboundedly larger at scale) — pinning
+    # them in the object store is pure non-scaling memory-bandwidth cost.
+    # Consumers stream them into a count/write/aggregate; anything that
+    # re-reads them more than once can materialize at its own risk. The
+    # upstream nodes table IS pinned, so a re-execution re-runs only the
+    # edge inference itself.
+    edges = infer_edges(nodes, cap=edge_cap, max_out_degree=max_out_degree)
     return {
         "nodes": nodes,
         "edges": edges,

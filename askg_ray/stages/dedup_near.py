@@ -52,7 +52,6 @@ _SLIM_COLS = ["id", "__uid", "name", "norm_name", "author", "description",
 
 _SLIM_SCHEMA = pa.schema([
     ("block_key", pa.int64()),
-    ("bands", pa.list_(pa.int64())),
     ("id", pa.string()),
     ("__uid", pa.string()),
     ("name", pa.string()),
@@ -66,24 +65,30 @@ _SLIM_SCHEMA = pa.schema([
 ])
 
 
-def _name_bands(nn: str | None) -> list[int]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
+def _name_bands(nn: str | None) -> tuple[int, ...]:
     # char-2 shingles: SequenceMatcher-similar names (transpositions,
-    # char swaps) keep much higher 2-shingle than 3-shingle Jaccard
+    # char swaps) keep much higher 2-shingle than 3-shingle Jaccard.
+    # Cached per process: bands are a pure function of norm_name, and
+    # names repeat heavily (duplicate clusters, 16 band rows per record)
+    # — this also lets the exploded rows NOT carry the 16×int64 band
+    # list (128 B/row of pure shuffle weight); consumers recompute.
     sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
-    return list(band_keys(sig, _BANDS))
+    return tuple(band_keys(sig, _BANDS))
 
 
 def _explode_bands(batch: pa.Table) -> pa.Table:
     cols = {c: batch["source_url" if c == "__uid" else c].to_pylist()
             for c in _SLIM_COLS}
-    out: dict[str, list] = {"block_key": [], "bands": []}
+    out: dict[str, list] = {"block_key": []}
     for c in _SLIM_COLS:
         out[c] = []
     for i, nn in enumerate(cols["norm_name"]):
-        bks = _name_bands(nn)
-        for bk in bks:
+        for bk in _name_bands(nn):
             out["block_key"].append(bk)
-            out["bands"].append(bks)
             for c in _SLIM_COLS:
                 out[c].append(cols[c][i])
     return table_of(
@@ -100,7 +105,8 @@ def _owns_pair(r1: dict, r2: dict) -> bool:
     component pass would absorb anyway) and duplicate verify CPU — the
     measured dominant near-dedup cost — are gone."""
     bk = r1["block_key"]
-    shared = set(r1["bands"]).intersection(r2["bands"])
+    shared = set(_name_bands(r1.get("norm_name") or "")).intersection(
+        _name_bands(r2.get("norm_name") or ""))
     if bk & _AUTHOR_FLAG:
         return not shared
     return bk == min(shared) if shared else False
@@ -153,34 +159,12 @@ def _pair_gate(left, right, key: str):
     # is expanded to record pairs at the end: bands are a pure function
     # of norm_name, so same-name records have identical band rows, and
     # a duplicate-heavy cell (the common case in a near-dup join) has
-    # u ≪ n — the old n×n ownership loop paid ~limit·n² regardless.
-    def bands_mat(t):
-        arr = t["bands"].combine_chunks()
-        return arr.flatten().to_numpy(zero_copy_only=False).reshape(
-            t.num_rows, -1)
-
-    # first record index per unique name (np.unique(return_index) over
-    # the concatenated code array would re-sort; argmax over one-hot is
-    # O(n·u) — use the sorted property of codes' uniques instead)
-    first_l = np.zeros(len(names), dtype=np.int64)
-    first_l[cl[::-1]] = np.arange(nl)[::-1]
-    BL_all = bands_mat(left)
+    # u ≪ n — a record-level ownership loop would pay ~limit·n²
+    # regardless. Band values come from the per-process _name_bands
+    # cache, not from a shipped column.
     u = len(names)
-    if diag:
-        BU_l = BL_all[first_l]
-        BU_r = BU_l
-    else:
-        BR_all = bands_mat(rhs)
-        # a unique name may occur only on one side; take its bands from
-        # whichever side has it (identical by construction when both do)
-        first_r = np.full(u, -1, dtype=np.int64)
-        first_r[cr[::-1]] = np.arange(nr)[::-1]
-        has_l = np.zeros(u, dtype=bool)
-        has_l[cl] = True
-        BU = np.empty((u, BL_all.shape[1]), dtype=BL_all.dtype)
-        BU[has_l] = BL_all[first_l[has_l]]
-        BU[~has_l] = BR_all[first_r[~has_l]]
-        BU_l = BU_r = BU
+    BU_l = BU_r = np.array([_name_bands(nm) for nm in names.tolist()],
+                           dtype=np.int64)
     limit = BU_l.shape[1] if bk & _AUTHOR_FLAG else (bk >> 56)
     owned_u = np.ones((u, u), dtype=bool)
     for j in range(limit):
@@ -356,7 +340,6 @@ def _explode_author(batch: pa.Table) -> pa.Table:
         r = {c: r.get("source_url" if c == "__uid" else c)
              for c in _SLIM_COLS}
         r["block_key"] = _AUTHOR_FLAG ^ (zlib_crc(f"author:{r['author']}"))
-        r["bands"] = _name_bands(r["norm_name"])
         rows.append(r)
     return table_of(rows, _SLIM_SCHEMA)
 
