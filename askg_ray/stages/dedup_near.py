@@ -189,21 +189,43 @@ def _pair_gate(left, right, key: str):
     if not mask_u.any():
         return []
 
+    ux, uy = np.nonzero(np.triu(mask_u | mask_u.T, k=1))
+
     # quick_ratio, vectorized: difflib.quick_ratio is exactly
-    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂) — per-unique-name
-    # char-count matrix, C-speed min-sums instead of a Counter build
-    # per comparison.
-    if u > 1 and mask_u.sum() > 16:
+    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂) — evaluated ONLY on
+    # the P pairs that survived ownership + length bound (P×C min-sums),
+    # never as a u×u×C matrix: that temp was 7–26 MB per cell, above
+    # glibc's mmap threshold, and this sandbox's first-touch page-fault
+    # latency (~0.3 ms/page) made each fresh mapping a multi-second
+    # stall — the measured serial floor of the whole near-dup reduce.
+    # Same applies at scale: per-cell temporaries must stay arena-sized.
+    if u > 1 and len(ux) > 16:
         chars = sorted({c for s in names for c in s})
         cidx = {c: k for k, c in enumerate(chars)}
         M = np.zeros((u, max(len(chars), 1)), dtype=np.int32)
         for k, s in enumerate(names):
             for ch in s:
                 M[k, cidx[ch]] += 1
-        qsum = np.minimum(M[:, None, :], M[None, :, :]).sum(axis=2)
-        qr_ok = 2.0 * qsum > 0.75 * utot
-        np.fill_diagonal(qr_ok, True)
-        mask_u &= qr_ok
+        # accumulate min-sums one char column at a time with reused
+        # P-sized buffers instead of a P×C gather — peak extra memory is
+        # 3 P-vectors, not 2 P×C matrices (dense cells have P ≈ u²/2
+        # when ownership can't prune, and a fresh multi-MB temp is what
+        # the slow-page-fault note above is about).
+        q = np.zeros(len(ux), dtype=np.int32)
+        t1 = np.empty(len(ux), dtype=np.int32)
+        t2 = np.empty(len(ux), dtype=np.int32)
+        for c in range(M.shape[1]):
+            col = np.ascontiguousarray(M[:, c])
+            np.take(col, ux, out=t1)
+            np.take(col, uy, out=t2)
+            np.minimum(t1, t2, out=t1)
+            q += t1
+        bad = 2.0 * q <= 0.75 * (ulen[ux] + ulen[uy])
+        if bad.any():
+            mask_u[ux[bad], uy[bad]] = False
+            mask_u[uy[bad], ux[bad]] = False
+            keep = ~bad
+            ux, uy = ux[keep], uy[keep]
         if not mask_u.any():
             return []
 
@@ -215,7 +237,6 @@ def _pair_gate(left, right, key: str):
     # evaluating only x < y keeps one canonical argument order — the
     # lru cache key stays stable across cells and the mirrored entry is
     # patched for free.
-    ux, uy = np.nonzero(np.triu(mask_u | mask_u.T, k=1))
     for x, y in zip(ux.tolist(), uy.tolist()):
         if _name_ratio(names[x], names[y], 0.75) <= 0.75:
             mask_u[x, y] = False
