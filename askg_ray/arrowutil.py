@@ -58,14 +58,27 @@ NODES_SCHEMA = pa.schema([
 # rel_type is dictionary-encoded (4 distinct predicates — SURVEY §1.3);
 # created_at is the reference's ServerRelationship.created_at
 # (models.py:122), carried as a deterministic build timestamp.
+# SURVEY §1.3 edge table. src/dst/description/evidence are
+# dictionary-encoded (same sanction as nodes' registry_source "string
+# (dict-encoded)"): an edge block drawn from a node cell references a
+# few thousand distinct node ids / description strings but emits
+# millions of pairs — plain string columns were 211 B/edge (4.1 GB at
+# the sf0.1 bench corpus), and on this sandbox every freshly-allocated
+# output page costs ~0.3 ms of first-touch fault time; dictionary
+# indices cut the edge block to ~1/4 the bytes with zero information
+# loss. evidence is a LIST OF dictionary items (not a dictionary of
+# lists): Arrow implements concat/unification and parquet writes for
+# nested-item dictionaries, but not for dictionaries with nested
+# VALUE types — and Ray's batch iterator combines chunks across
+# blocks, which requires unification.
 EDGES_SCHEMA = pa.schema([
     ("id", pa.string()),
-    ("src", pa.string()),
-    ("dst", pa.string()),
+    ("src", pa.dictionary(pa.int32(), pa.string())),
+    ("dst", pa.dictionary(pa.int32(), pa.string())),
     ("rel_type", pa.dictionary(pa.int8(), pa.string())),
     ("confidence", pa.float64()),
-    ("description", pa.string()),
-    ("evidence", pa.list_(pa.string())),
+    ("description", pa.dictionary(pa.int32(), pa.string())),
+    ("evidence", pa.list_(pa.dictionary(pa.int32(), pa.string()))),
     ("created_at", pa.timestamp("us")),
 ])
 

@@ -29,7 +29,7 @@ from ..state.manifest import (
 STAGE_VERSIONS = {
     "entities": "v2",  # v2: + tools capability structs, raw_metadata_json
     "nodes": "v2",
-    "edges": "v2",  # v2: + created_at, dictionary-encoded rel_type
+    "edges": "v3",  # v3: dict-encoded src/dst/desc/evidence, hash ids
     "membership": "v1",
 }
 

@@ -32,7 +32,6 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..arrowutil import EDGES_SCHEMA
 from ..vocab import (
@@ -129,19 +128,19 @@ def _pair_index(left: dict, right: dict | None):
 
 
 def _ordered_ids(lc, rc, i, j):
-    """(src, dst) Arrow string arrays with src < dst per pair — WITHOUT
-    per-pair string comparisons (an object-dtype ``a > b`` ran a Python
-    compare per edge: ~7 µs/edge × 19.5M edges dominated inference).
+    """(ai, bi, pool) — per-pair indices into the cell's small id pool
+    with pool[ai] < pool[bi], WITHOUT per-pair string work of any kind
+    (the edge columns stay dictionary-encoded over ``pool``; expanding
+    to plain strings was 211 B/edge × 19.5M edges of fresh allocations).
 
     Cells arrive id-sorted (selfjoin._cell_tables), so diagonal pairs
-    (i < j) are already ordered — pure ``take``. Off-diagonal: one
-    O(n₂ log n₁) searchsorted ranks right ids among left ids (grid
-    buckets partition ids disjointly, so equality can't occur), and the
-    swap becomes an index select over the concatenated id array."""
+    (i < j) are already ordered. Off-diagonal: one O(n₂ log n₁)
+    searchsorted ranks right ids among left ids (grid buckets partition
+    ids disjointly, so equality can't occur) and the swap becomes an
+    index select over the concatenated pool."""
     L = pa.array(lc["id"], pa.string())
     if rc is lc:
-        return (pc.take(L, pa.array(i, pa.int64())),
-                pc.take(L, pa.array(j, pa.int64())))
+        return i, j, L
     R = pa.array(rc["id"], pa.string())
     pos = np.searchsorted(np.asarray(lc["id"], dtype=object),
                           np.asarray(rc["id"], dtype=object), side="left")
@@ -150,8 +149,94 @@ def _ordered_ids(lc, rc, i, j):
     comb = pa.concat_arrays([L, R])
     ai = np.where(swap, j + n1, i)
     bi = np.where(swap, i, j + n1)
-    return (pc.take(comb, pa.array(ai, pa.int64())),
-            pc.take(comb, pa.array(bi, pa.int64())))
+    return ai, bi, comb
+
+
+_HEXTAB = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _pool_hashes(pool: pa.Array) -> np.ndarray:
+    """Stable 64-bit hash per unique node id (pool is cell-small)."""
+    from hashlib import blake2b
+
+    return np.array([int.from_bytes(blake2b(s.encode(), digest_size=8)
+                                    .digest(), "little")
+                     for s in pool.to_pylist()], dtype=np.uint64)
+
+
+def _edge_ids(ai, bi, pool: pa.Array, tag: str) -> pa.Array:
+    """Deterministic 128-bit (32 hex chars) edge id per (src, rel, dst)
+    — a pure function of the node id strings and relationship tag, so
+    reruns are byte-identical. Built fully vectorized: 64-bit mixes in
+    numpy, nibble-table hex, and the Arrow StringArray assembled
+    directly from fixed-stride offset + data buffers (no per-edge
+    Python strings; the old ``src_tag_dst`` join was ~65 B/edge — 1.3 GB
+    of the 4.1 GB edge block at the bench corpus)."""
+    from hashlib import blake2b
+
+    hp = _pool_hashes(pool)
+    t = np.uint64(int.from_bytes(blake2b(tag.encode(), digest_size=8)
+                                 .digest(), "little"))
+    hs, hd = hp[ai], hp[bi]
+    h1 = _splitmix(hs ^ _splitmix(hd ^ t))
+    h2 = _splitmix(h1 ^ hd ^ np.uint64(0xD6E8FEB86659FD93))
+    n = len(h1)
+    b = np.empty((n, 16), dtype=np.uint8)
+    b[:, :8] = h1.byteswap().view(np.uint8).reshape(n, 8)
+    b[:, 8:] = h2.byteswap().view(np.uint8).reshape(n, 8)
+    chars = np.empty((n, 32), dtype=np.uint8)
+    chars[:, 0::2] = _HEXTAB[b >> 4]
+    chars[:, 1::2] = _HEXTAB[b & 0xF]
+    offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets), pa.py_buffer(chars.reshape(-1)))
+
+
+def _dict32(indices: np.ndarray, pool: pa.Array) -> pa.DictionaryArray:
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.ascontiguousarray(indices, dtype=np.int32)), pool)
+
+
+def _evid_list(inv: np.ndarray, pool_lists: list[list[str]]) -> pa.ListArray:
+    """evidence column: list over dictionary-encoded items. ``inv`` maps
+    each edge to its pool entry (a small list of evidence strings);
+    expansion is offsets + index gathers — never per-edge strings."""
+    strings: list[str] = []
+    sid: dict = {}
+    enc = []
+    for lst in pool_lists:
+        ids = []
+        for s in lst:
+            k = sid.get(s)
+            if k is None:
+                k = sid[s] = len(strings)
+                strings.append(s)
+            ids.append(k)
+        enc.append(np.array(ids, dtype=np.int32))
+    lens = np.array([len(e) for e in enc], dtype=np.int32)
+    per_edge = lens[inv]
+    offsets = np.empty(len(inv) + 1, dtype=np.int32)
+    offsets[0] = 0
+    np.cumsum(per_edge, out=offsets[1:])
+    if (lens == 1).all():
+        items = np.concatenate(enc)[inv]
+    else:
+        flat = np.concatenate(enc)
+        starts = np.cumsum(lens) - lens
+        idx = (np.repeat(starts[inv], per_edge)
+               + np.arange(int(per_edge.sum()), dtype=np.int64)
+               - np.repeat(offsets[:-1], per_edge))
+        items = flat[idx]
+    item_arr = pa.DictionaryArray.from_arrays(
+        pa.array(items), pa.array(strings, pa.string()))
+    return pa.ListArray.from_arrays(pa.array(offsets), item_arr)
 
 
 # Deterministic stand-in for ServerRelationship.created_at
@@ -172,33 +257,31 @@ def _const_rel(rel: str, n: int) -> pa.DictionaryArray:
         pa.array(np.zeros(n, dtype=np.int8)), dic)
 
 
-def _table(ids_a, ids_b, tag, rel, conf, desc, evid) -> pa.Table:
-    """Columns may arrive as numpy arrays / Arrow arrays / Python lists;
-    everything constant or derivable is built with Arrow kernels — no
-    per-edge Python string formatting (14M edges at sf0.1)."""
-    src = (ids_a if isinstance(ids_a, (pa.Array, pa.ChunkedArray))
-           else pa.array(ids_a, pa.string()))
-    dst = (ids_b if isinstance(ids_b, (pa.Array, pa.ChunkedArray))
-           else pa.array(ids_b, pa.string()))
-    n = len(src)
-    edge_ids = pc.binary_join_element_wise(
-        src, pa.repeat(pa.scalar(tag, pa.string()), n), dst, "_")
+def _table(ai, bi, pool, tag, rel, conf, desc, evid) -> pa.Table:
+    """ai/bi: per-pair indices into the cell's id ``pool`` (src < dst);
+    desc/evid: DictionaryArrays over the cell's few distinct strings.
+    Every column is either dictionary-encoded or fixed-width — no
+    per-edge Python objects and ~4× fewer output bytes than plain
+    string columns (19.5M edges at the sf0.1 bench corpus)."""
+    n = len(ai)
     if not isinstance(conf, (pa.Array, pa.ChunkedArray)):
         conf = pa.array(np.asarray(conf, dtype=np.float64), pa.float64())
-    if not isinstance(desc, (pa.Array, pa.ChunkedArray)):
-        desc = pa.array(desc, pa.string())
-    if not isinstance(evid, (pa.Array, pa.ChunkedArray)):
-        evid = pa.array(evid, pa.list_(pa.string()))
     return pa.table({
-        "id": edge_ids,
-        "src": src,
-        "dst": dst,
+        "id": _edge_ids(ai, bi, pool, tag),
+        "src": _dict32(ai, pool),
+        "dst": _dict32(bi, pool),
         "rel_type": _const_rel(rel, n),
         "confidence": conf,
-        "description": desc.cast(pa.string()),
-        "evidence": evid.cast(pa.list_(pa.string())),
+        "description": desc,
+        "evidence": evid,
         "created_at": pa.repeat(_CREATED_AT_SCALAR, n),
     }, schema=EDGES_SCHEMA)
+
+
+def _const_dict(value, typ: pa.DataType, n: int) -> pa.DictionaryArray:
+    """n copies of one value as zero indices over a 1-entry dictionary."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value], typ))
 
 
 def _author_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
@@ -206,15 +289,14 @@ def _author_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     if px is None:
         return None
     lc, rc, i, j = px
-    a, b = _ordered_ids(lc, rc, i, j)
+    ai, bi, pool = _ordered_ids(lc, rc, i, j)
     author = key.split("|", 1)[1]
-    n = len(a)
+    n = len(ai)
     conf = np.ones(n)
-    desc = pa.repeat(pa.scalar(f"Both servers created by {author}",
-                               pa.string()), n)
-    evid = pa.repeat(pa.scalar([f"Author: {author}"],
-                               pa.list_(pa.string())), n)
-    return _table(a, b, "same_author", REL_SAME_AUTHOR, conf, desc, evid)
+    desc = _const_dict(f"Both servers created by {author}", pa.string(), n)
+    evid = _evid_list(np.zeros(n, dtype=np.int64),
+                      [[f"Author: {author}"]])
+    return _table(ai, bi, pool, "same_author", REL_SAME_AUTHOR, conf, desc, evid)
 
 
 def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
@@ -235,43 +317,39 @@ def _category_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
     len_r = _popcount(cm_r)[j]
     n_common = _popcount(inter)
     conf = n_common / np.maximum(len_l, len_r)
-    a, b = _ordered_ids(lc, rc, i, j)
+    ai, bi, pool = _ordered_ids(lc, rc, i, j)
 
     def strings(m: int):
         names = _names_from_mask(m, CATEGORIES)
         return (f"Share {len(names)} common categories",
                 [f"Common categories: {', '.join(names)}"])
 
-    # per-edge strings via take over the few distinct masks — the string
-    # formatting runs once per mask value, not once per edge
+    # per-edge strings as dictionary indices over the few distinct
+    # masks — the string formatting runs once per mask value, and the
+    # edge column is int32 indices, never expanded strings
     uniq, inv = np.unique(inter, return_inverse=True)
     pairs = [strings(int(m)) for m in uniq]
-    desc = pc.take(pa.array([p[0] for p in pairs], pa.string()),
-                   pa.array(inv, pa.int64()))
-    evid = pc.take(pa.array([p[1] for p in pairs], pa.list_(pa.string())),
-                   pa.array(inv, pa.int64()))
-    out = _table(a, b, "similar", REL_SIMILAR, conf, desc, evid)
+    desc = _dict32(inv, pa.array([p[0] for p in pairs], pa.string()))
+    evid = _evid_list(inv, [p[1] for p in pairs])
+    out = _table(ai, bi, pool, "similar", REL_SIMILAR, conf, desc, evid)
 
     # alternative_to: same non-null language + shared categories (616-629)
     langs_l = np.array([x or "" for x in lc["implementation_language"]], dtype=object)
     langs_r = np.array([x or "" for x in rc["implementation_language"]], dtype=object)
     same_lang = (langs_l[i] == langs_r[j]) & (langs_l[i] != "")
     if same_lang.any():
-        sl = pa.array(same_lang)
-        ia, ib = a.filter(sl), b.filter(sl)
+        ia, ib = ai[same_lang], bi[same_lang]
         lang_vals = langs_l[i][same_lang]
         lu, linv = np.unique(lang_vals, return_inverse=True)
         conf2 = np.full(len(ia), 0.6)
-        desc2 = pc.take(
-            pa.array([f"Alternative implementations in {lv}" for lv in lu],
-                     pa.string()),
-            pa.array(linv, pa.int64()))
-        evid2 = pc.take(
-            pa.array([[f"Same language: {lv}", "Similar categories"]
-                      for lv in lu], pa.list_(pa.string())),
-            pa.array(linv, pa.int64()))
+        desc2 = _dict32(linv, pa.array(
+            [f"Alternative implementations in {lv}" for lv in lu],
+            pa.string()))
+        evid2 = _evid_list(linv, [[f"Same language: {lv}",
+                                   "Similar categories"] for lv in lu])
         out = pa.concat_tables([
-            out, _table(ia, ib, "alternative", REL_ALTERNATIVE, conf2, desc2, evid2)])
+            out, _table(ia, ib, pool, "alternative", REL_ALTERNATIVE,
+                        conf2, desc2, evid2)])
     return out
 
 
@@ -295,7 +373,7 @@ def _oppair_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
         return None
     i2, j2, inter = i[keep], j[keep], inter[keep]
     conf = (_popcount(inter) / np.maximum(_popcount(om_l)[i2], _popcount(om_r)[j2])) * 0.8
-    a, b = _ordered_ids(lc, rc, i2, j2)
+    ai, bi, pool = _ordered_ids(lc, rc, i2, j2)
 
     def strings(m: int):
         names = _names_from_mask(m, OPERATIONS)
@@ -304,11 +382,10 @@ def _oppair_cell(left: dict, right: dict | None, key: str) -> pa.Table | None:
 
     uniq, inv = np.unique(inter, return_inverse=True)
     pairs = [strings(int(m)) for m in uniq]
-    desc = pc.take(pa.array([p[0] for p in pairs], pa.string()),
-                   pa.array(inv, pa.int64()))
-    evid = pc.take(pa.array([p[1] for p in pairs], pa.list_(pa.string())),
-                   pa.array(inv, pa.int64()))
-    return _table(a, b, "complementary", REL_COMPLEMENTARY, conf, desc, evid)
+    desc = _dict32(inv, pa.array([p[0] for p in pairs], pa.string()))
+    evid = _evid_list(inv, [p[1] for p in pairs])
+    return _table(ai, bi, pool, "complementary", REL_COMPLEMENTARY,
+                  conf, desc, evid)
 
 
 _CELL_DISPATCH = {}  # filled below; block-key prefix → cell kernel
@@ -353,7 +430,13 @@ def truncate_out_degree(edges, k: int):
     is on. Degree is bounded per DIRECTION (src side); a node may also
     appear as dst of up to k edges from each of its partners, so the
     total-degree bound is 2k against adversarial skew."""
+    def add_key(t: pa.Table) -> pa.Table:
+        # plain-string shadow of the dictionary-encoded src: Ray's sort
+        # shuffle cannot range-partition on a dictionary column
+        return t.append_column("__src", t["src"].cast(pa.string()))
+
     def topk(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__src"])
         if t.num_rows <= k:
             return t
         conf = t["confidence"].to_pylist()
@@ -363,7 +446,8 @@ def truncate_out_degree(edges, k: int):
                        key=lambda r: (-conf[r], dst[r], rel[r]))[:k]
         return t.take(sorted(order))
 
-    return edges.groupby("src").map_groups(topk, batch_format="pyarrow")
+    return (edges.map_batches(add_key, batch_format="pyarrow")
+            .groupby("__src").map_groups(topk, batch_format="pyarrow"))
 
 
 _CELL_DISPATCH.update({"a": _author_cell, "c": _category_cell, "o": _oppair_cell})

@@ -51,6 +51,16 @@ def _partial_counts(t: pa.Table) -> pa.Table:
                      "n": g["count_all"].cast(pa.int64())})
 
 
+def _count_block(tbl: pa.Table) -> pa.Table:
+    return _partial_counts(tbl.select(["block_key"]))
+
+
+# lazy remote wrapper: defined at import, bound to Ray on first use
+import ray as _ray
+
+_count_block_task = _ray.remote(num_cpus=1)(_count_block)
+
+
 def _block_counts(exploded):
     """Dataset[(k, n)] of per-block row counts. Per-batch partial
     counters shrink the shuffle to distinct-keys-per-batch before one
@@ -262,9 +272,12 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # the verify kernels are the CPU-heavy stages of the pipeline, and a
     # narrow (few-block, shuffle-optimized) upstream would otherwise
     # serialize them. Only ever repartition UP — large exploded sets
-    # keep their natural block count.
-    exploded = exploded.materialize()
+    # keep their natural block count. Callers with entity-scale inputs
+    # append a lazy ``repartition(default_nblocks())`` to the exploded
+    # set themselves so the split folds into this first materialization
+    # and the second barrier below never fires.
     nb = default_nblocks()
+    exploded = exploded.materialize()
     if exploded.num_blocks() < nb:
         exploded = exploded.repartition(nb).materialize()
 
@@ -280,12 +293,13 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         # — and build hot map + bloom in one pass instead of a count
         # shuffle plus three more executions. The distributed path below
         # runs beyond the threshold and is forced in tests.
-        # fold the per-batch partial count tables with ONE Arrow groupby
-        # on the driver (C speed) — the row-wise Counter fold here was a
-        # measured 8 s serial stall at 400k exploded rows
-        partials = list(exploded.select_columns(["block_key"])
-                        .map_batches(_partial_counts, batch_format="pyarrow")
-                        .iter_batches(batch_format="pyarrow"))
+        # Partial counts run as direct block tasks over the already-
+        # materialized blocks: a Ray Data map + iter_batches here paid
+        # two extra operator launches (~3-6 s of pure floor at 32 cpus);
+        # the fold itself is ONE Arrow groupby on the driver (C speed).
+        partials = ray.get([_count_block_task.remote(ref)
+                            for ref in exploded.get_internal_block_refs()])
+        partials = [p for p in partials if p.num_rows]
         folded = (pa.concat_tables(partials).group_by("k")
                   .aggregate([("n", "sum")])) if partials else None
         if folded is None or folded.num_rows == 0:
