@@ -114,18 +114,29 @@ def _replica_page(doc_id: int, r: int) -> tuple[str, bytes]:
     return url, html.encode()
 
 
-def docs_to_pages_batch(batch: pa.Table, replication: int = 1) -> pa.Table:
+def docs_to_pages_batch(batch: pa.Table, replication: int = 1,
+                        uniq_mult: int = 1) -> pa.Table:
+    """``replication``: appearance pages per entity (duplicates the
+    dedup cascade must collapse — scales extraction/dedup work, keeps
+    the canonical node set fixed). ``uniq_mult``: DISTINCT entities
+    rendered per document row (doc_id → extended ids doc_id·m+k) —
+    scales the corpus the way real growth does: more unique entities,
+    linearly more near-dup clusters, quadratically more edges within
+    category blocks (the reference's own edge semantics)."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for doc_id, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist()):
         doc_id = int(doc_id)
-        pages = [_page_for_doc(doc_id, lang)]
-        pages += [_replica_page(doc_id, r) for r in range(1, replication)]
-        for r, (url, html) in enumerate(pages):
-            urls.append(url)
-            tss.append(_BASE_TS + timedelta(seconds=doc_id, milliseconds=r))
-            htmls.append(html)
-            texts.append(extract_text(html))
-            langs.append(lang)
+        exts = ([doc_id] if uniq_mult <= 1
+                else range(doc_id * uniq_mult, doc_id * uniq_mult + uniq_mult))
+        for ext in exts:
+            pages = [_page_for_doc(ext, lang)]
+            pages += [_replica_page(ext, r) for r in range(1, replication)]
+            for r, (url, html) in enumerate(pages):
+                urls.append(url)
+                tss.append(_BASE_TS + timedelta(seconds=ext, milliseconds=r))
+                htmls.append(html)
+                texts.append(extract_text(html))
+                langs.append(lang)
     return pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
@@ -135,7 +146,8 @@ def docs_to_pages_batch(batch: pa.Table, replication: int = 1) -> pa.Table:
     }, schema=PAGES_SCHEMA)
 
 
-def pages_from_documents(sf_dir: str, replication: int = 1):
+def pages_from_documents(sf_dir: str, replication: int = 1,
+                         uniq_mult: int = 1):
     """Ray Dataset of pages rendered from {sf_dir}/documents.parquet.
 
     The render (and the downstream HTML extraction) is CPU-bound per
@@ -145,15 +157,29 @@ def pages_from_documents(sf_dir: str, replication: int = 1):
     ``replication`` > 1 emits that many appearance pages per document
     (duplicates the pipeline must collapse) — the bench knob that makes
     the corpus compute-dominated instead of scheduling-floor-bound."""
+    import ray
     import ray.data as rd
+    import pyarrow.parquet as pq
 
     from ..rayutil import default_nblocks
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "lang"],
-                           override_num_blocks=default_nblocks() * 2)
-    return docs.map_batches(
-        lambda t: docs_to_pages_batch(t, replication=replication),
+    # The doc-id driver table is dimension-scale (KBs): read it on the
+    # driver and pre-split into 2×CPU object-store blocks. A
+    # read_parquet here runs as ONE streaming-generator task (single
+    # row group) that trickles its SplitBlocks output through the
+    # executor's bounded generator buffer — a measured ~3 s serial ramp
+    # before the CPU-bound render/extract stage reaches full width. At
+    # scale the real input is the pages corpus itself (many files →
+    # many read tasks); this path only renders pages FROM the id table.
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    nchunks = min(default_nblocks() * 2, max(1, docs.num_rows))
+    step = -(-docs.num_rows // nchunks)
+    refs = [ray.put(docs.slice(i, step))
+            for i in range(0, docs.num_rows, step)]
+    return rd.from_arrow_refs(refs).map_batches(
+        lambda t: docs_to_pages_batch(t, replication=replication,
+                                      uniq_mult=uniq_mult),
         batch_format="pyarrow")
 
 

@@ -29,6 +29,7 @@ the cluster can pair anyway.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -426,8 +427,15 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # block counts) spread over 4× CPU-blocks; small joins skip the
     # extra repartition barrier — at 8-vs-32 cpus the fixed barriers
     # are exactly what caps scaling efficiency on small corpora.
+    # DO NOT raise the fan-out: the sort shuffle pays O(M×N) partition
+    # fetches, and on the same input in the same session the verify
+    # join measured 53.5 s at fan=4 vs 337 s at fan=8 (32 cpus, 2M-row
+    # celled set) — reduce partitions beyond ~4×CPU turn the exchange
+    # into a small-object fetch storm. Straggler smoothing comes from
+    # the fine-grained cell buckets (below), not from more partitions.
     if est_pairs > 2_000_000:
-        celled = celled.repartition(4 * nb)
+        fan = int(os.environ.get("ASKG_SJ_FAN", "4"))
+        celled = celled.repartition(fan * nb)
     return (celled.map_batches(add_cell_bucket, batch_format="pyarrow")
             .groupby("__cb")
             .map_groups(bucket_cells, batch_format="pyarrow"))
