@@ -402,7 +402,8 @@ def _candidate_pairs(nodes, kind: str, cap: int = 192):
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
     exploded = lsh.union(auth).repartition(default_nblocks())
     return blocked_self_join(exploded, _make_pair_fn(kind, owned=True),
-                             PAIR_SCHEMA, cap=cap, gate_fn=_pair_gate)
+                             PAIR_SCHEMA, cap=cap, gate_fn=_pair_gate,
+                             salt_col="norm_name")
 
 
 def _sentinel(node_id: str) -> str:
@@ -534,10 +535,13 @@ def near_dedup(nodes, broadcast_threshold=None):
     lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
     auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
     exploded = lsh.union(auth).repartition(default_nblocks())
-    # tagged pairs feed both phases — pin once
+    # tagged pairs feed both phases — pin once; hot blocks salt by
+    # norm_name so a duplicate cluster's record pairs co-locate and the
+    # gate's unique-name machinery collapses them in one cell
     tagged = compact(blocked_self_join(exploded, _gated_dual_verify,
                                        _TAGGED_PAIR_SCHEMA, cap=192,
-                                       gate_fn=_pair_gate))
+                                       gate_fn=_pair_gate,
+                                       salt_col="norm_name"))
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))

@@ -242,7 +242,7 @@ def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
 
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
-                      cell_fn=None, gate_fn=None):
+                      cell_fn=None, gate_fn=None, salt_col: str = "id"):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
 
     Two pair-generation modes:
@@ -263,6 +263,16 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     stages/dedup_near._pair_gate) turns the quadratic part into C-speed
     boolean masks, and Python records are built only for survivors.
     Returns a Dataset with out_schema rows.
+
+    ``salt_col``: the column whose crc32 assigns rows of a HOT block to
+    grid buckets. Pair-exactly-once holds for any choice; the right
+    choice is the key the verify kernel dedupes on. Near-dup blocks
+    salt by ``norm_name``: a duplicate-heavy name pair has up to
+    |cluster|² record pairs, and id-salting scattered them over as many
+    grid cells — the per-name-pair ratio work (the dominant verify
+    cost) re-ran once per cell per worker process. Name-salting
+    co-locates every record pair of a name pair in ONE cell, so the
+    unique-name machinery in the gate collapses them all at once.
     """
     import ray
 
@@ -376,13 +386,13 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         if hot_rows.any():
             th = batch.filter(pa.array(hot_rows))
             s_arr = row_s[hot_rows]
-            ids = th["id"].to_pylist()
+            salts_v = th[salt_col].to_pylist()
             kidx = enc.indices.to_numpy(zero_copy_only=False)[hot_rows]
-            b_arr = np.array([zlib.crc32(str(i).encode()) for i in ids],
+            b_arr = np.array([zlib.crc32(str(v).encode()) for v in salts_v],
                              dtype=np.int64) % s_arr
             # row r lands in cells (min(b,j), max(b,j)) for j in 0..s-1
             take_idx, cks, bks = [], [], []
-            for r in range(len(ids)):
+            for r in range(len(salts_v)):
                 s, b, key = int(s_arr[r]), int(b_arr[r]), uniq[kidx[r]]
                 for j in range(s):
                     take_idx.append(r)
