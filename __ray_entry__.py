@@ -194,7 +194,7 @@ def _repo_links(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from askg_ray.ops import dedup, relational, similarity, text
+    from askg_ray.ops import curation, dedup, relational, similarity, text
     from askg_ray.ops.multimodal import media_features
 
     def fingerprints_sql_cols(sf_dir):
@@ -218,6 +218,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.quality,
         "doc_fingerprints": fingerprints_sql_cols,
         "langid": text.langid,
+        # -- training-data curation (SQL-checked) --------------------------
+        "decontaminate": curation.decontaminate,
+        "pii_scrub": curation.pii_scrub,
+        "doc_repetition": curation.repetition,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -279,11 +283,19 @@ _NGRAM_CLOSURE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
+    from askg_ray.ops.curation import (
+        DECON_ORACLE_SQL,
+        PII_ORACLE_SQL,
+        REP_ORACLE_SQL,
+    )
     from askg_ray.ops.text import STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "kg_categories": categories_oracle_sql(),
+        "decontaminate": DECON_ORACLE_SQL,
+        "pii_scrub": PII_ORACLE_SQL,
+        "doc_repetition": REP_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

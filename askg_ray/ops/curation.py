@@ -1,0 +1,196 @@
+"""Training-data curation operators over the ``documents`` table.
+
+Three large-corpus curation staples the reference lacks but a 100 TB
+training-data pipeline needs, each with an exact DuckDB oracle:
+
+  decontaminate   flag training docs sharing any 8-gram with a held-out
+                  eval slice (doc_id % EVAL_MOD == 0) — the standard
+                  benchmark-decontamination pass. Hash-partitioned
+                  semi-join on the gram key: both sides explode to
+                  (gram, doc_id, is_eval) rows, one groupby(gram)
+                  co-locates them, contaminated train ids come out of
+                  the group — no driver-side set, no broadcast of the
+                  (potentially huge) eval n-gram set.
+  pii_scrub       email/phone redaction with counts + a redacted-text
+                  md5. The synthetic corpus has no natural PII, so the
+                  op first plants a DETERMINISTIC contact trailer per
+                  row (pure function of doc_id, mirrored in the SQL
+                  oracle) — every row then exercises a real redaction.
+  repetition      Gopher-style repetition filter: duplicate-bigram
+                  fraction per doc, integer percent + verdict.
+
+Tokenization contract matches ops/text.py: split on single spaces
+(``text.split(' ')`` == DuckDB ``string_split(text, ' ')``).
+
+Scale notes: the gram explode multiplies rows ~n_tokens per doc; grams
+travel as md5 hex (16-byte key), never the raw text. At 100 TB the
+groupby(gram) is one all-to-all keyed shuffle — the same shape (and the
+same key) whether the eval side is 0.1% or 50% of the corpus. pii/
+repetition are stateless map_batches — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+EVAL_MOD = 10          # doc_id % EVAL_MOD == 0 → held-out eval slice
+DECON_N = 8            # n-gram width for contamination
+REP_THRESHOLD = 5      # dup-bigram percent above which a doc is 'repetitive'
+
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+PHONE_RE = re.compile(r"\b\d{3}-\d{4}\b")
+# RE2-compatible source strings for the DuckDB oracle (same patterns).
+EMAIL_PAT = EMAIL_RE.pattern
+PHONE_PAT = PHONE_RE.pattern
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+# ---- decontamination ------------------------------------------------------
+
+def _gram_rows(batch: pa.Table, n: int, eval_mod: int) -> pa.Table:
+    """Distinct n-grams per doc → (g=md5(gram), doc_id, is_eval) rows."""
+    out_g, out_id, out_ev = [], [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        grams = {" ".join(ws[i:i + n]) for i in range(max(0, len(ws) - n + 1))}
+        ev = int(did) % eval_mod == 0
+        for g in grams:
+            out_g.append(hashlib.md5(g.encode()).hexdigest())
+            out_id.append(int(did))
+            out_ev.append(ev)
+    return pa.table({
+        "g": pa.array(out_g, pa.string()),
+        "doc_id": pa.array(out_id, pa.int64()),
+        "is_eval": pa.array(out_ev, pa.bool_()),
+    })
+
+
+def _contaminated_in_group(group: pa.Table) -> pa.Table:
+    """All rows share one gram: emit each train doc_id once iff an eval
+    doc also carries the gram (train ids are already distinct per gram
+    — _gram_rows dedups within doc)."""
+    ev = group["is_eval"].to_numpy(zero_copy_only=False)
+    if not ev.any():
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": pa.array(ids[~ev], pa.int64())})
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N, eval_mod: int = EVAL_MOD):
+    """Train docs sharing ≥1 n-gram with the eval slice → (doc_id,
+    n_hit_grams = distinct shared grams). Oracle: SQL semi-join below."""
+    grams = _read_docs(sf_dir).map_batches(
+        lambda t: _gram_rows(t, n, eval_mod), batch_format="pyarrow")
+    hits = grams.groupby("g").map_groups(_contaminated_in_group,
+                                         batch_format="pyarrow")
+    counts = hits.groupby("doc_id").count()
+    return counts.map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_hit_grams"]),
+        batch_format="pyarrow")
+
+
+DECON_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+grams AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws,i,i+{DECON_N - 1}),' ') g
+          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws)-{DECON_N - 1},0)+1)) i)),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0)
+SELECT g.doc_id, count(*) AS n_hit_grams
+FROM grams g JOIN ev USING (g)
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+""".strip()
+
+
+# ---- PII scrub -------------------------------------------------------------
+
+def _augment(doc_id: int, text: str) -> str:
+    """Deterministic contact trailer (test fixture — the synthetic corpus
+    has no natural PII). Mirrored verbatim in PII_ORACLE_SQL."""
+    return (f"{text or ''} contact user{doc_id}@example.com phone "
+            f"555-0{doc_id % 1000:03d}-{(doc_id * 7) % 10000:04d}")
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n_em, n_ph, md5s = [], [], []
+    for did, t in zip(ids, texts):
+        aug = _augment(int(did), t)
+        n_em.append(len(EMAIL_RE.findall(aug)))
+        t1 = EMAIL_RE.sub("<EMAIL>", aug)
+        n_ph.append(len(PHONE_RE.findall(t1)))
+        t2 = PHONE_RE.sub("<PHONE>", t1)
+        md5s.append(hashlib.md5(t2.encode()).hexdigest())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_emails": pa.array(n_em, pa.int64()),
+        "n_phones": pa.array(n_ph, pa.int64()),
+        "redacted_md5": pa.array(md5s, pa.string()),
+    })
+
+
+def pii_scrub(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(pii_scrub_batch,
+                                          batch_format="pyarrow")
+
+
+PII_ORACLE_SQL = f"""
+WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com phone 555-0' ||
+             lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+             lpad(((doc_id*7) % 10000)::VARCHAR, 4, '0') AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{EMAIL_PAT}')) n_emails,
+       regexp_replace(t, '{EMAIL_PAT}', '<EMAIL>', 'g') t1 FROM aug),
+s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PHONE_PAT}')) n_phones,
+       regexp_replace(t1, '{PHONE_PAT}', '<PHONE>', 'g') t2 FROM s1)
+SELECT doc_id, n_emails, n_phones, md5(t2) AS redacted_md5 FROM s2
+""".strip()
+
+
+# ---- repetition filter -----------------------------------------------------
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    n_g, n_d, pct, verdict = [], [], [], []
+    for t in texts:
+        ws = (t or "").split(" ")
+        gs = [" ".join(ws[i:i + 2]) for i in range(max(0, len(ws) - 1))]
+        n, nd = len(gs), len(set(gs))
+        dp = ((n - nd) * 100) // n if n else 0
+        n_g.append(n)
+        n_d.append(nd)
+        pct.append(dp)
+        verdict.append("repetitive" if n and dp > REP_THRESHOLD else "ok")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_grams": pa.array(n_g, pa.int64()),
+        "n_distinct_grams": pa.array(n_d, pa.int64()),
+        "dup_pct": pa.array(pct, pa.int64()),
+        "verdict": pa.array(verdict, pa.string()),
+    })
+
+
+def repetition(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(repetition_batch,
+                                          batch_format="pyarrow")
+
+
+REP_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-1,0)+1),
+      i -> array_to_string(list_slice(ws,i,i+1),' ')) gs FROM toks)
+SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct_grams,
+       CASE WHEN len(gs) > 0 THEN ((len(gs)-len(list_distinct(gs)))*100)//len(gs) ELSE 0 END AS dup_pct,
+       CASE WHEN len(gs) > 0 AND ((len(gs)-len(list_distinct(gs)))*100)//len(gs) > {REP_THRESHOLD}
+            THEN 'repetitive' ELSE 'ok' END AS verdict
+FROM g
+""".strip()

@@ -125,3 +125,54 @@ def test_mention_linker(ray_session):
     rows = _rows(link_mentions(texts, aliases, concurrency=1))
     assert rows == [{"url": "u1", "alias": "fast-redis", "entity_id": "e1",
                      "score": 0.9}]
+
+
+def test_curation_vs_duckdb(ray_session):
+    """decontaminate / pii_scrub / repetition hash-match their oracles."""
+    import duckdb
+
+    from askg_ray.ops import curation
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    for fn, sql in [(curation.decontaminate, curation.DECON_ORACLE_SQL),
+                    (curation.pii_scrub, curation.PII_ORACLE_SQL),
+                    (curation.repetition, curation.REP_ORACLE_SQL)]:
+        got = fn(SF).to_pandas()
+        exp = con.sql(sql).df()
+        got = got[sorted(got.columns)].astype(str)
+        exp = exp[sorted(exp.columns)].astype(str)
+        gs = sorted("|".join(r) for r in got.itertuples(index=False))
+        es = sorted("|".join(r) for r in exp.itertuples(index=False))
+        assert gs == es, fn.__name__
+
+
+def test_decontaminate_planted(ray_session):
+    """A train doc sharing an 8-gram with an eval doc is flagged with the
+    right distinct-gram count; disjoint docs are not."""
+    import ray.data as rd
+
+    from askg_ray.ops.curation import _contaminated_in_group, _gram_rows
+
+    words = [f"w{i}" for i in range(20)]
+    eval_text = " ".join(words)              # doc 0 → eval (0 % 10 == 0)
+    train_hit = " ".join(words[:8] + ["x"] * 5 + words[8:16])  # shares 2 grams
+    train_miss = " ".join(f"z{i}" for i in range(20))
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": [eval_text, train_hit, train_miss]})
+    grams = _gram_rows(t, 8, 10)
+    hits = (rd.from_arrow(grams).groupby("g")
+            .map_groups(_contaminated_in_group, batch_format="pyarrow"))
+    counts = {}
+    for r in _rows(hits):
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    assert counts == {1: 2}
+
+
+def test_pii_scrub_batch_redacts():
+    from askg_ray.ops.curation import pii_scrub_batch
+
+    t = pa.table({"doc_id": [7], "text": ["mail bob@x.io or 555-1234 now"]})
+    out = pii_scrub_batch(t)
+    assert out["n_emails"][0].as_py() == 2   # bob@x.io + planted trailer
+    assert out["n_phones"][0].as_py() == 2   # 555-1234 + planted trailer
