@@ -176,69 +176,94 @@ def _pair_gate(left, right, key: str):
     # u ≪ n — a record-level ownership loop would pay ~limit·n²
     # regardless. Band values come from the per-process _name_bands
     # cache, not from a shipped column.
+    #
+    # Mask ORDER is selectivity-per-cost, and it differs by family:
+    #   LSH block: ownership first (limit ≤ band-index passes; it kills
+    #     the massive cross-band duplication of dup-heavy name clusters
+    #     for almost nothing), then the ratio bounds.
+    #   author block: ownership requires NO shared band at any of the
+    #     16 positions — it keeps ~94% of pairs (dissimilar names
+    #     rarely share a band), so running it first paid 16 u² passes
+    #     to prune nothing (the measured #1 cost of the whole join: one
+    #     12.5k-name author block = 78M candidate pairs, 85 real).
+    #     Author blocks run the ratio bounds first and check ownership
+    #     per-pair on the survivors (P ≈ dozens).
     u = len(names)
-    BU_l = BU_r = np.array([_name_bands(nm) for nm in names.tolist()],
-                           dtype=np.int64)
-    limit = BU_l.shape[1] if bk & _AUTHOR_FLAG else (bk >> 56)
-    owned_u = np.ones((u, u), dtype=bool)
-    for j in range(limit):
-        owned_u &= BU_l[:, j][:, None] != BU_r[:, j][None, :]
-    # diagonal = same-name pairs: every band position matches, so the
-    # loop zeroed it for limit > 0. The ownership rule sends a same-name
-    # pair to its band-0 block (the minimum shared band VALUE — index
-    # in the top byte makes band 0's value the smallest), and never to
-    # the author block (shared bands non-empty).
-    if bk & _AUTHOR_FLAG:
-        np.fill_diagonal(owned_u, False)
-    else:
-        np.fill_diagonal(owned_u, BU_l[:, 0] == bk)
+    BU = np.empty((u, _BANDS), dtype=np.int64)
+    for k, nm in enumerate(names.tolist()):
+        BU[k] = _name_bands(nm)
+    is_auth = bool(bk & _AUTHOR_FLAG)
+    limit = BU.shape[1] if is_auth else (bk >> 56)
 
     # ratio upper bound 2·min(len)/total > 0.75 per unique name pair;
     # equal names always pass (ratio = 1, incl. empty-name pairs)
     ulen = np.array([len(s) for s in names], dtype=np.float64)
     utot = ulen[:, None] + ulen[None, :]
-    bound_u = 2.0 * np.minimum(ulen[:, None], ulen[None, :]) > 0.75 * utot
-    np.fill_diagonal(bound_u, True)
-    mask_u = owned_u & bound_u
+    mask_u = 2.0 * np.minimum(ulen[:, None], ulen[None, :]) > 0.75 * utot
+    np.fill_diagonal(mask_u, True)
+
+    if is_auth:
+        # same-name pairs share every band → never author-owned
+        np.fill_diagonal(mask_u, False)
+    else:
+        owned_u = np.ones((u, u), dtype=bool)
+        for j in range(limit):
+            owned_u &= BU[:, j][:, None] != BU[:, j][None, :]
+        # diagonal = same-name pairs: every band position matches, so
+        # the loop zeroed it for limit > 0. The ownership rule sends a
+        # same-name pair to its band-0 block (the minimum shared band
+        # VALUE — index in the top byte makes band 0's value the
+        # smallest), and never to the author block.
+        np.fill_diagonal(owned_u, BU[:, 0] == bk)
+        mask_u &= owned_u
     if not mask_u.any():
         return []
 
+    # quick_ratio bound, matrix form: difflib.quick_ratio is exactly
+    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂), and
+    # 2·Σmin = len₁+len₂ − ‖count₁−count₂‖₁ — so the bound is one
+    # L1-distance matrix, accumulated one char column at a time as u²
+    # CONTIGUOUS adds (the previous per-pair 3×np.take gather loop was
+    # P-proportional with P ≈ u²/2 in author cells — 20 s of pure
+    # gather per bench run). Peak temp is 2 u² int32 arrays (~0.6 MB at
+    # cap 192·2 rows) — arena-sized, per the slow-first-touch-page
+    # constraint of this sandbox (and of any allocator at scale).
+    # BLAS form: min(a,b) ≤ √a·√b pointwise, so Σ_c min ≤ ⟨√cnt₁,√cnt₂⟩
+    # — ONE sgemm over the √count matrix bounds every pair at once,
+    # replacing a per-char-column elementwise accumulation (3 u² passes
+    # × ~36 columns of memory traffic — the measured #1 residual cost).
+    # Counts in short names are almost all 0/1, where √a·√b = min — the
+    # bound is near-exact here. 1e-3 slack absorbs float32 GEMM
+    # rounding (only ever ADMITS extra pairs); survivors hit
+    # _name_ratio below, whose quick_ratio recheck is exact.
+    if u > 1 and int(mask_u.sum()) > 16:
+        # count matrix without a per-char Python loop: utf-32 decode of
+        # the joined names gives exact code points vectorized; columns
+        # are the cell's distinct code points via np.unique remap
+        joined = "".join(names.tolist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        rows = np.repeat(np.arange(u), ulen.astype(np.int64))
+        _, col = np.unique(cp, return_inverse=True)
+        M = np.zeros((u, max(int(col.max()) + 1 if len(col) else 1, 1)),
+                     dtype=np.float32)
+        np.add.at(M, (rows, col), 1.0)
+        np.sqrt(M, out=M)
+        Q2 = 2.0 * (M @ M.T)
+        mask_u &= Q2 > 0.75 * utot - 1e-3
+        if not mask_u.any():
+            return []
+
     ux, uy = np.nonzero(np.triu(mask_u | mask_u.T, k=1))
 
-    # quick_ratio, vectorized: difflib.quick_ratio is exactly
-    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂) — evaluated ONLY on
-    # the P pairs that survived ownership + length bound (P×C min-sums),
-    # never as a u×u×C matrix: that temp was 7–26 MB per cell, above
-    # glibc's mmap threshold, and this sandbox's first-touch page-fault
-    # latency (~0.3 ms/page) made each fresh mapping a multi-second
-    # stall — the measured serial floor of the whole near-dup reduce.
-    # Same applies at scale: per-cell temporaries must stay arena-sized.
-    if u > 1 and len(ux) > 16:
-        chars = sorted({c for s in names for c in s})
-        cidx = {c: k for k, c in enumerate(chars)}
-        M = np.zeros((u, max(len(chars), 1)), dtype=np.int32)
-        for k, s in enumerate(names):
-            for ch in s:
-                M[k, cidx[ch]] += 1
-        # accumulate min-sums one char column at a time with reused
-        # P-sized buffers instead of a P×C gather — peak extra memory is
-        # 3 P-vectors, not 2 P×C matrices (dense cells have P ≈ u²/2
-        # when ownership can't prune, and a fresh multi-MB temp is what
-        # the slow-page-fault note above is about).
-        q = np.zeros(len(ux), dtype=np.int32)
-        t1 = np.empty(len(ux), dtype=np.int32)
-        t2 = np.empty(len(ux), dtype=np.int32)
-        for c in range(M.shape[1]):
-            col = np.ascontiguousarray(M[:, c])
-            np.take(col, ux, out=t1)
-            np.take(col, uy, out=t2)
-            np.minimum(t1, t2, out=t1)
-            q += t1
-        bad = 2.0 * q <= 0.75 * (ulen[ux] + ulen[uy])
-        if bad.any():
-            mask_u[ux[bad], uy[bad]] = False
-            mask_u[uy[bad], ux[bad]] = False
-            keep = ~bad
+    if is_auth and len(ux):
+        # deferred ownership, per surviving pair: author-owned ⟺ the
+        # names share NO band position (P×16 gathered compares, not
+        # 16 u² passes)
+        shared = (BU[ux] == BU[uy]).any(axis=1)
+        if shared.any():
+            mask_u[ux[shared], uy[shared]] = False
+            mask_u[uy[shared], ux[shared]] = False
+            keep = ~shared
             ux, uy = ux[keep], uy[keep]
         if not mask_u.any():
             return []
