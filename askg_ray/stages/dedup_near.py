@@ -236,6 +236,7 @@ def _pair_gate(left, right, key: str):
     # bound is near-exact here. 1e-3 slack absorbs float32 GEMM
     # rounding (only ever ADMITS extra pairs); survivors hit
     # _name_ratio below, whose quick_ratio recheck is exact.
+    Mc = None
     if u > 1 and int(mask_u.sum()) > 16:
         # count matrix without a per-char Python loop: utf-32 decode of
         # the joined names gives exact code points vectorized; columns
@@ -244,16 +245,32 @@ def _pair_gate(left, right, key: str):
         cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
         rows = np.repeat(np.arange(u), ulen.astype(np.int64))
         _, col = np.unique(cp, return_inverse=True)
-        M = np.zeros((u, max(int(col.max()) + 1 if len(col) else 1, 1)),
-                     dtype=np.float32)
-        np.add.at(M, (rows, col), 1.0)
-        np.sqrt(M, out=M)
+        Mc = np.zeros((u, max(int(col.max()) + 1 if len(col) else 1, 1)),
+                      dtype=np.int16)
+        np.add.at(Mc, (rows, col), 1)
+        M = np.sqrt(Mc.astype(np.float32))
         Q2 = 2.0 * (M @ M.T)
         mask_u &= Q2 > 0.75 * utot - 1e-3
         if not mask_u.any():
             return []
 
     ux, uy = np.nonzero(np.triu(mask_u | mask_u.T, k=1))
+
+    if Mc is not None and len(ux):
+        # exact quick_ratio on the (small) GEMM-survivor set: the sqrt
+        # bound over-admits names with repeated chars (hyphens, digits
+        # — min(a,b) < √ab whenever a≠b), and every over-admitted pair
+        # otherwise pays a Python SequenceMatcher construction below.
+        # 2q = 2·Σ_c min — P×C gathered mins, P ≈ dozens per cell.
+        q = np.minimum(Mc[ux], Mc[uy]).sum(axis=1, dtype=np.int64)
+        bad = 2.0 * q <= 0.75 * (ulen[ux] + ulen[uy])
+        if bad.any():
+            mask_u[ux[bad], uy[bad]] = False
+            mask_u[uy[bad], ux[bad]] = False
+            keep = ~bad
+            ux, uy = ux[keep], uy[keep]
+        if not mask_u.any():
+            return []
 
     if is_auth and len(ux):
         # deferred ownership, per surviving pair: author-owned ⟺ the
