@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ---------------------------------------------
         "ann_cosine_top10": similarity.ann_bruteforce,
         "ann_lsh_top10": similarity.ann_lsh,
+        "ann_ivf_top10": similarity.ann_ivf,
         # -- multimodal plumbing (stubbed decode) --------------------------
         "media_features": media_features,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----

@@ -134,3 +134,70 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
     candidates = embs.map_batches(in_query_buckets, batch_format="pyarrow")
     scored = _score_batches(candidates, q)
     return _topk_merge(scored, query_id, k)
+
+
+# ---- IVF (inverted-file) ANN --------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _ivf_centroids(sf_dir: str, n_lists: int, seed: int = 31) -> np.ndarray:
+    """Deterministic IVF codebook: Lloyd iterations over a BOUNDED
+    driver-side sample (dimension-scale state — ≤2048 vectors regardless
+    of corpus size; the full corpus is never pulled to the driver).
+    Cached per process so repeated queries reuse the codebook — the
+    train-once/assign-distributed split real IVF indexes use."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows
+    step = max(1, n // 2048)
+    sample = []
+    for batch in pf.iter_batches(columns=["vec_id", "embedding"],
+                                 batch_size=8192):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = (ids % step) == 0
+        if keep.any():
+            sample.append(list_col_matrix(
+                pa.table(batch.select(["embedding"]))["embedding"])[keep])
+    X = np.concatenate(sample)[:2048]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(4):  # spherical k-means (cosine assignment)
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
+            n_lists: int = 16, n_probe: int = 4):
+    """IVF-bucketed ANN — the coarse-quantizer scale path: assign each
+    vector to its nearest codebook centroid (one GEMM per batch against
+    the broadcast codebook), scan only the ``n_probe`` lists nearest to
+    the query. Approximate → rows-only driver check; recall vs the
+    brute-force baseline is pinned in tests."""
+    import ray
+    import ray.data as rd
+
+    q = _query_vector(sf_dir, query_id)
+    C = _ivf_centroids(sf_dir, n_lists)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
+    cref = ray.put(C)
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"])
+
+    def in_probed_lists(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        vecs = list_col_matrix(batch["embedding"])
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax((vecs / norms) @ Cm.T, axis=1)
+        return batch.filter(pa.array(np.isin(assign, list(probe))))
+
+    candidates = embs.map_batches(in_probed_lists, batch_format="pyarrow")
+    scored = _score_batches(candidates, q)
+    return _topk_merge(scored, query_id, k)

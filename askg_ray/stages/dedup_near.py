@@ -219,23 +219,17 @@ def _pair_gate(left, right, key: str):
     if not mask_u.any():
         return []
 
-    # quick_ratio bound, matrix form: difflib.quick_ratio is exactly
-    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂), and
-    # 2·Σmin = len₁+len₂ − ‖count₁−count₂‖₁ — so the bound is one
-    # L1-distance matrix, accumulated one char column at a time as u²
-    # CONTIGUOUS adds (the previous per-pair 3×np.take gather loop was
-    # P-proportional with P ≈ u²/2 in author cells — 20 s of pure
-    # gather per bench run). Peak temp is 2 u² int32 arrays (~0.6 MB at
-    # cap 192·2 rows) — arena-sized, per the slow-first-touch-page
-    # constraint of this sandbox (and of any allocator at scale).
-    # BLAS form: min(a,b) ≤ √a·√b pointwise, so Σ_c min ≤ ⟨√cnt₁,√cnt₂⟩
-    # — ONE sgemm over the √count matrix bounds every pair at once,
-    # replacing a per-char-column elementwise accumulation (3 u² passes
-    # × ~36 columns of memory traffic — the measured #1 residual cost).
+    # quick_ratio bound, BLAS form: difflib.quick_ratio is exactly
+    # 2·Σ_c min(count₁[c], count₂[c]) / (len₁+len₂), and min(a,b) ≤
+    # √a·√b pointwise, so Σ_c min ≤ ⟨√cnt₁,√cnt₂⟩ — ONE sgemm over the
+    # √count matrix bounds every pair at once (the per-pair gather loop
+    # it replaced was P-proportional with P ≈ u²/2 in author cells).
     # Counts in short names are almost all 0/1, where √a·√b = min — the
-    # bound is near-exact here. 1e-3 slack absorbs float32 GEMM
-    # rounding (only ever ADMITS extra pairs); survivors hit
-    # _name_ratio below, whose quick_ratio recheck is exact.
+    # bound is near-exact; 1e-3 slack absorbs float32 GEMM rounding
+    # (only ever ADMITS extra pairs). Peak temp is 2 u² float32 arrays
+    # (~0.6 MB at cap 192·2 rows) — arena-sized, per the slow-first-
+    # touch-page constraint of this sandbox (and of any allocator at
+    # scale).
     Mc = None
     if u > 1 and int(mask_u.sum()) > 16:
         # count matrix without a per-char Python loop: utf-32 decode of

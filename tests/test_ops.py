@@ -176,3 +176,14 @@ def test_pii_scrub_batch_redacts():
     out = pii_scrub_batch(t)
     assert out["n_emails"][0].as_py() == 2   # bob@x.io + planted trailer
     assert out["n_phones"][0].as_py() == 2   # 555-1234 + planted trailer
+
+
+def test_ann_ivf_recall(ray_session):
+    from askg_ray.ops.similarity import ann_bruteforce, ann_ivf
+
+    exact = [r["vec_id"] for r in _rows(ann_bruteforce(SF, k=10))]
+    approx = {r["vec_id"] for r in _rows(ann_ivf(SF, k=10))}
+    # probing 4 of 16 lists must keep non-trivial recall, and the probed
+    # list containing the query's own neighborhood must hold the top hit
+    assert len(set(exact) & approx) >= 3
+    assert exact[0] in approx
