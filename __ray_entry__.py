@@ -170,27 +170,39 @@ def _kg_categories(sf_dir):
 
 
 def _repo_links(sf_dir):
-    """M6 link-extraction over a deterministic awesome-list corpus
-    rendered from the same entity universe."""
+    """M6 link-extraction over a deterministic awesome-list corpus.
+
+    The markdown is a pure arithmetic function of ``doc_id`` so the
+    DuckDB oracle can rebuild the SAME corpus with string concat and
+    run the SAME github-link regex via ``regexp_extract_all`` — making
+    the regex-explode semantics hash-checkable, not just rows-only.
+    ~1/5 of entries carry no repo link and ~1/7 carry a second (fork)
+    link, so both the skip and the multi-match explode paths are hit.
+    """
     import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from askg_ray.sources.docs_adapter import entity_from_index
     from askg_ray.stages.ingest import extract_repo_links_batch
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    pages, texts = [], []
-    for start in range(0, n_docs, 50):
-        lines = [f"# Awesome list {start // 50}"]
-        for i in range(start, min(start + 50, n_docs)):
-            e = entity_from_index(i)
-            if e["repository"]:
-                lines.append(f"- [{e['name']}]({e['repository']})")
-        pages.append(f"https://lists.example/awesome/{start // 50}")
-        texts.append("\n".join(lines))
-    ds = rd.from_arrow(pa.table({"url": pages, "text": texts}))
-    return ds.map_batches(extract_repo_links_batch, batch_format="pyarrow")
+    def render(batch: pa.Table) -> pa.Table:
+        urls, texts = [], []
+        for d in batch["doc_id"].to_pylist():
+            urls.append(f"https://lists.example/awesome/{d // 50}")
+            if d % 5 == 0:
+                texts.append(f"- plain entry {d} (no repository yet)")
+            else:
+                line = (f"- [entry-{d}](https://github.com/owner{d % 13}"
+                        f"/repo-{d}) see https://example.com/x{d}")
+                if d % 7 == 0:
+                    line += (f" fork of https://github.com/owner"
+                             f"{(d * 3) % 13}/fork-{d}")
+                texts.append(line)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return (ds.map_batches(render, batch_format="pyarrow")
+            .map_batches(extract_repo_links_batch, batch_format="pyarrow"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -222,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "pii_scrub": curation.pii_scrub,
         "doc_repetition": curation.repetition,
+        "doc_split": curation.doc_split,
+        "doc_chunks": curation.doc_chunks,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -285,18 +299,41 @@ _NGRAM_CLOSURE_SQL = (
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.curation import (
+        CHUNK_ORACLE_SQL,
         DECON_ORACLE_SQL,
         PII_ORACLE_SQL,
         REP_ORACLE_SQL,
+        SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.text import STOPWORDS
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "kg_categories": categories_oracle_sql(),
+        "repo_links":
+            "WITH corpus AS (SELECT "
+            "'https://lists.example/awesome/' || CAST(doc_id // 50 AS VARCHAR)"
+            " AS source_url, "
+            "CASE WHEN doc_id % 5 = 0 THEN "
+            "'- plain entry ' || CAST(doc_id AS VARCHAR) || "
+            "' (no repository yet)' "
+            "ELSE '- [entry-' || CAST(doc_id AS VARCHAR) || "
+            "'](https://github.com/owner' || CAST(doc_id % 13 AS VARCHAR) || "
+            "'/repo-' || CAST(doc_id AS VARCHAR) || "
+            "') see https://example.com/x' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 7 = 0 THEN "
+            "' fork of https://github.com/owner' || "
+            "CAST((doc_id * 3) % 13 AS VARCHAR) || '/fork-' || "
+            "CAST(doc_id AS VARCHAR) ELSE '' END END AS text "
+            "FROM documents) "
+            "SELECT source_url, unnest(regexp_extract_all(text, "
+            "'https://github\\.com/([^/]+/[^/\\s\\)]+)', 1)) AS repo_path "
+            "FROM corpus",
         "decontaminate": DECON_ORACLE_SQL,
         "pii_scrub": PII_ORACLE_SQL,
         "doc_repetition": REP_ORACLE_SQL,
+        "doc_split": SPLIT_ORACLE_SQL,
+        "doc_chunks": CHUNK_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

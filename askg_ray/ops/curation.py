@@ -194,3 +194,90 @@ SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct_grams,
             THEN 'repetitive' ELSE 'ok' END AS verdict
 FROM g
 """.strip()
+
+
+# ---- deterministic train/val/test split ------------------------------------
+
+SPLIT_MOD = 100        # hash buckets
+SPLIT_TRAIN = 80       # bucket < 80 → train
+SPLIT_VAL = 90         # 80 ≤ bucket < 90 → val; rest → test
+
+
+def split_batch(batch: pa.Table) -> pa.Table:
+    """Content-hash split: bucket = first-8-md5-bytes (little-endian,
+    == DuckDB md5_number_upper) mod 100. Content-keyed, so exact
+    duplicates always land in the same split (no train/test leakage
+    from dups) and assignment is stable under repartition/re-runs."""
+    ids = batch["doc_id"].to_pylist()
+    buckets, splits = [], []
+    for t in batch["text"].to_pylist():
+        b = int.from_bytes(
+            hashlib.md5((t or "").encode()).digest()[:8], "little") % SPLIT_MOD
+        buckets.append(b)
+        splits.append("train" if b < SPLIT_TRAIN
+                      else "val" if b < SPLIT_VAL else "test")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "bucket": pa.array(buckets, pa.int64()),
+        "split": pa.array(splits, pa.string()),
+    })
+
+
+def doc_split(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(split_batch,
+                                          batch_format="pyarrow")
+
+
+SPLIT_ORACLE_SQL = f"""
+WITH b AS (SELECT doc_id,
+           CAST(md5_number_upper(coalesce(text,'')) % {SPLIT_MOD} AS BIGINT) AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val' ELSE 'test' END AS split
+FROM b
+""".strip()
+
+
+# ---- fixed-size token chunking ---------------------------------------------
+
+CHUNK_TOKENS = 64      # tokens per training chunk (no overlap)
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Explode each doc into CHUNK_TOKENS-token windows (last partial
+    window kept). Chunk text travels as md5 so the exploded rows stay
+    small; at 100 TB this is a stateless map_batches explode — no
+    shuffle, output shards inherit input partitioning."""
+    out_id, out_idx, out_n, out_md5 = [], [], [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        for i in range(0, len(ws), CHUNK_TOKENS):
+            w = ws[i:i + CHUNK_TOKENS]
+            out_id.append(int(did))
+            out_idx.append(i // CHUNK_TOKENS)
+            out_n.append(len(w))
+            out_md5.append(hashlib.md5(" ".join(w).encode()).hexdigest())
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "chunk_idx": pa.array(out_idx, pa.int64()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "chunk_md5": pa.array(out_md5, pa.string()),
+    })
+
+
+def doc_chunks(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(chunk_batch,
+                                          batch_format="pyarrow")
+
+
+CHUNK_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(coalesce(text,''),' ') ws FROM documents),
+c AS (SELECT doc_id, unnest(
+      [{{'chunk_idx': (i-1)//{CHUNK_TOKENS},
+         'n_tokens': len(ws[i:i+{CHUNK_TOKENS - 1}]),
+         'chunk_md5': md5(array_to_string(ws[i:i+{CHUNK_TOKENS - 1}],' '))}}
+       FOR i IN range(1, len(ws)+1, {CHUNK_TOKENS})], recursive := true)
+      FROM toks)
+SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM c
+""".strip()

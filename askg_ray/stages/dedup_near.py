@@ -20,13 +20,17 @@ Replaces the reference's two O(n²) scans with shuffle-based blocking
     reproduction of the reference's star-grouping scan with
     completeness-max base selection (merge.merge_multiple).
 
-The slim verification fields ride inside the exploded band rows, so
-pair verification happens entirely within the band shuffle — no join
-back to the full table. Component labels (tiny: only near-dup-implicated
-ids) are broadcast via ``ray.put`` to tag records — the broadcast-small-
-side pattern; at 10^12-doc scale with adversarial dup density this
-becomes a partitioned hash join on id (same tag step, different
-physical plan).
+Pair verification happens entirely within the band shuffle — no join
+back to the full table. Below ``_PAYLOAD_MAX`` entities the exploded
+band rows are THIN (join keys only) and the verifier resolves full
+records zero-copy from the materialized entity blocks in plasma
+(stages/selfjoin._payload_index); above it the slim verification
+fields ride inside the exploded rows — the unconditionally-scalable
+shape. Component labels (tiny: only near-dup-implicated ids) are
+broadcast via ``ray.put`` to tag records — the broadcast-small-side
+pattern; at 10^12-doc scale with adversarial dup density this becomes
+a partitioned hash join on id (same tag step, different physical
+plan).
 """
 
 from __future__ import annotations
@@ -44,6 +48,15 @@ _BANDS = 16
 # author-block keys set this bit; LSH band keys stay below it, so the
 # pair-ownership rule can tell the families apart from block_key alone
 _AUTHOR_FLAG = 1 << 62
+
+# Thin-row/payload-broadcast ceiling for the candidate self-join: below
+# this many entities the per-worker payload index (~200 B/row) is cheap
+# and the cell shuffle ships join keys only; above it full records ride
+# the shuffle (the unconditionally-scalable shape). Env-overridable so
+# tests can force either path.
+import os as _os
+
+_PAYLOAD_MAX = int(_os.environ.get("ASKG_NEAR_PAYLOAD_MAX", "250000"))
 # __uid = source_url: unique per RECORD even when two distinct records
 # share a candidate id (selfjoin cell dedupe keys on (id, __uid))
 _SLIM_COLS = ["id", "__uid", "name", "norm_name", "author", "description",
@@ -88,26 +101,49 @@ def _slim_view(batch: pa.Table) -> pa.Table:
     return t.cast(pa.schema([_SLIM_SCHEMA.field(c) for c in _SLIM_COLS]))
 
 
-def _explode_bands(batch: pa.Table) -> pa.Table:
+_THIN_COLS = ["id", "__uid", "norm_name", "registry_source"]
+_THIN_SCHEMA = pa.schema([
+    ("block_key", pa.int64()),
+    ("id", pa.string()),
+    ("__uid", pa.string()),
+    ("norm_name", pa.string()),
+    ("registry_source", pa.string()),
+])
+
+
+def _thin_view(batch: pa.Table) -> pa.Table:
+    """Join-key-only projection of the exploded row (the gate needs
+    norm_name; the verifier resolves full records from the payload
+    refs — stages/selfjoin._payload_index)."""
+    cols = [batch["source_url" if c == "__uid" else c] for c in _THIN_COLS]
+    t = pa.table(dict(zip(_THIN_COLS, cols)))
+    return t.cast(pa.schema([_THIN_SCHEMA.field(c) for c in _THIN_COLS]))
+
+
+def _explode_bands(batch: pa.Table, thin: bool = False) -> pa.Table:
     """16 band rows per record — Arrow ``take`` replication (the old
     per-row dict loop was ~30 µs/row of pure Python, run at the narrow
     pre-selfjoin block count). Bands are computed once per UNIQUE
-    norm_name (duplicate clusters share names)."""
+    norm_name (duplicate clusters share names). ``thin=True`` ships
+    only the join keys through the cell shuffle (fat payload columns —
+    description, categories — were ~4× the exchanged bytes)."""
     import numpy as np
 
+    schema = _THIN_SCHEMA if thin else _SLIM_SCHEMA
+    cols = _THIN_COLS if thin else _SLIM_COLS
     n = batch.num_rows
     if n == 0:
-        return _SLIM_SCHEMA.empty_table()
+        return schema.empty_table()
     nn = np.array([s or "" for s in batch["norm_name"].to_pylist()],
                   dtype=object)
     uniq, inv = np.unique(nn, return_inverse=True)
     B = np.array([_name_bands(s) for s in uniq.tolist()], dtype=np.int64)
     bk = B[inv].reshape(-1)
     idx = np.repeat(np.arange(n, dtype=np.int64), _BANDS)
-    slim = _slim_view(batch).take(pa.array(idx))
+    slim = (_thin_view(batch) if thin else _slim_view(batch)).take(pa.array(idx))
     return pa.table({"block_key": pa.array(bk, pa.int64()),
-                     **{c: slim[c] for c in _SLIM_COLS}},
-                    schema=_SLIM_SCHEMA)
+                     **{c: slim[c] for c in cols}},
+                    schema=schema)
 
 
 def _owns_pair(r1: dict, r2: dict) -> bool:
@@ -397,7 +433,7 @@ def _make_pair_fn(kind: str, owned: bool = False):
     return fn
 
 
-def _explode_author(batch: pa.Table) -> pa.Table:
+def _explode_author(batch: pa.Table, thin: bool = False) -> pa.Table:
     """Second candidate family: exact-author blocks. The confirming
     predicates weight author similarity 0.3 (servers_are_similar) /
     0.2 (similarity_score), so nearly every confirmable pair shares an
@@ -405,15 +441,17 @@ def _explode_author(batch: pa.Table) -> pa.Table:
     (e.g. transposed names with low shingle overlap)."""
     import numpy as np
     import pyarrow.compute as pc
+    schema = _THIN_SCHEMA if thin else _SLIM_SCHEMA
+    cols = _THIN_COLS if thin else _SLIM_COLS
     valid = batch.filter(pc.is_valid(batch["author"]))
     if valid.num_rows == 0:
-        return _SLIM_SCHEMA.empty_table()
+        return schema.empty_table()
     keys = np.array([_AUTHOR_FLAG ^ zlib_crc(f"author:{a}")
                      for a in valid["author"].to_pylist()], dtype=np.int64)
-    slim = _slim_view(valid)
+    slim = _thin_view(valid) if thin else _slim_view(valid)
     return pa.table({"block_key": pa.array(keys, pa.int64()),
-                     **{c: slim[c] for c in _SLIM_COLS}},
-                    schema=_SLIM_SCHEMA)
+                     **{c: slim[c] for c in cols}},
+                    schema=schema)
 
 
 def zlib_crc(s: str) -> int:
@@ -568,8 +606,26 @@ def near_dedup(nodes, broadcast_threshold=None):
 
     from ..rayutil import default_nblocks
 
-    lsh = nodes.map_batches(_explode_bands, batch_format="pyarrow")
-    auth = nodes.map_batches(_explode_author, batch_format="pyarrow")
+    # Thin-row path: below _PAYLOAD_MAX entities the cell shuffle ships
+    # ONLY join keys (block_key, id, __uid, norm_name) and the verify
+    # resolves full records from the materialized entity blocks in
+    # plasma (selfjoin._payload_index) — measured ~4× fewer exchanged
+    # bytes at the bench corpus (description/categories dominated the
+    # fat rows). Above the threshold the per-worker payload index would
+    # outgrow worker heaps, so payloads ride the shuffle as before —
+    # the unconditionally-correct distributed shape.
+    thin = nodes.count() <= _PAYLOAD_MAX
+    payload_refs = None
+    if thin:
+        # nodes is already materialized (caller contract) — hand its
+        # own block refs to the verifier; workers apply _slim_view
+        # per block on first read (selfjoin._payload_index), so no
+        # extra materialization barrier and no copy in plasma.
+        payload_refs = tuple(nodes.get_internal_block_refs())
+    lsh = nodes.map_batches(lambda b: _explode_bands(b, thin=thin),
+                            batch_format="pyarrow")
+    auth = nodes.map_batches(lambda b: _explode_author(b, thin=thin),
+                             batch_format="pyarrow")
     exploded = lsh.union(auth).repartition(default_nblocks())
     # tagged pairs feed both phases — pin once; hot blocks salt by
     # norm_name so a duplicate cluster's record pairs co-locate and the
@@ -577,7 +633,8 @@ def near_dedup(nodes, broadcast_threshold=None):
     tagged = compact(blocked_self_join(exploded, _gated_dual_verify,
                                        _TAGGED_PAIR_SCHEMA, cap=192,
                                        gate_fn=_pair_gate,
-                                       salt_col="norm_name"))
+                                       salt_col="norm_name",
+                                       payload_refs=payload_refs))
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))

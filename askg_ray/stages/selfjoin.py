@@ -168,8 +168,39 @@ def _cell_tables(t: pa.Table):
                 yield key, left, right
 
 
+# ---- thin-row payload resolution ------------------------------------------
+# When the exploded rows are THIN (join keys only — see
+# dedup_near._explode_bands(thin=True)), the verify pair_fn still needs
+# full records. The payload travels as the ALREADY-MATERIALIZED block
+# refs of the entity table: no driver copy, no per-task reshipping —
+# reduce workers read the blocks zero-copy from plasma and build ONE
+# (id, __uid) → row index per process (cached below). Only sanctioned
+# under a documented row threshold (dedup_near._PAYLOAD_MAX); above it
+# the fat path ships payloads through the shuffle as before.
+_PAYLOAD_CACHE: dict = {}
+
+
+def _payload_index(refs: tuple):
+    key = tuple(r.hex() for r in refs)
+    ent = _PAYLOAD_CACHE.get(key)
+    if ent is None:
+        import ray
+        tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        tbl = pa.concat_tables(tbls, promote_options="default")
+        # the record-uid column is __uid in projected payloads and
+        # source_url when the caller hands over its raw entity blocks
+        uid_col = "__uid" if "__uid" in tbl.column_names else "source_url"
+        idx = {a + "\x00" + (b or ""): i for i, (a, b) in
+               enumerate(zip(tbl["id"].to_pylist(),
+                             tbl[uid_col].to_pylist()))}
+        _PAYLOAD_CACHE.clear()  # one payload per worker at a time
+        _PAYLOAD_CACHE[key] = (tbl, idx)
+        ent = (tbl, idx)
+    return ent
+
+
 def _pairs_from_cell(key, left, right, pair_fn, gate_fn,
-                     out_schema) -> pa.Table | None:
+                     out_schema, payload_refs=None) -> pa.Table | None:
     """pair_fn/gate mode: Python records are built ONLY for rows the
     vectorized gate lets through (the full to_pylist per cell was
     the #2 cost of the join)."""
@@ -182,19 +213,41 @@ def _pairs_from_cell(key, left, right, pair_fn, gate_fn,
         ys = np.asarray([p[1] for p in pairs] if isinstance(pairs, list)
                         else pairs[:, 1], dtype=np.int64)
         lu = np.unique(xs)
-        lrecs = dict(zip(lu.tolist(),
-                         left.take(pa.array(lu)).to_pylist()))
-        if right is None:
-            rrecs = lrecs
-            ru = np.setdiff1d(np.unique(ys), lu)
-            if len(ru):
-                rrecs = dict(lrecs)
-                rrecs.update(zip(ru.tolist(),
-                                 left.take(pa.array(ru)).to_pylist()))
+        if payload_refs is not None:
+            ptbl, pidx = _payload_index(payload_refs)
+
+            def _recs(src: pa.Table, pos: np.ndarray) -> dict:
+                sub = src.take(pa.array(pos))
+                rows = [pidx[a + "\x00" + (b or "")] for a, b in
+                        zip(sub["id"].to_pylist(),
+                            sub["__uid"].to_pylist())]
+                return dict(zip(pos.tolist(),
+                                ptbl.take(pa.array(rows, pa.int64()))
+                                .to_pylist()))
+
+            lrecs = _recs(left, lu)
+            if right is None:
+                rrecs = lrecs
+                ru = np.setdiff1d(np.unique(ys), lu)
+                if len(ru):
+                    rrecs = dict(lrecs)
+                    rrecs.update(_recs(left, ru))
+            else:
+                rrecs = _recs(right, np.unique(ys))
         else:
-            ru = np.unique(ys)
-            rrecs = dict(zip(ru.tolist(),
-                             right.take(pa.array(ru)).to_pylist()))
+            lrecs = dict(zip(lu.tolist(),
+                             left.take(pa.array(lu)).to_pylist()))
+            if right is None:
+                rrecs = lrecs
+                ru = np.setdiff1d(np.unique(ys), lu)
+                if len(ru):
+                    rrecs = dict(lrecs)
+                    rrecs.update(zip(ru.tolist(),
+                                     left.take(pa.array(ru)).to_pylist()))
+            else:
+                ru = np.unique(ys)
+                rrecs = dict(zip(ru.tolist(),
+                                 right.take(pa.array(ru)).to_pylist()))
         edges: list[dict] = []
         for x, y in zip(xs.tolist(), ys.tolist()):
             r1, r2 = lrecs[x], rrecs[y]
@@ -223,7 +276,7 @@ def _cols_of(tbl: pa.Table | None) -> dict | None:
 
 
 def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
-                      out_schema) -> pa.Table:
+                      out_schema, payload_refs=None) -> pa.Table:
     """Reduce kernel for one __cb bucket group of cells."""
     if t.num_rows == 0:
         return out_schema.empty_table()
@@ -233,7 +286,7 @@ def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
             out = cell_fn(_cols_of(left), _cols_of(right), key)
         else:
             out = _pairs_from_cell(key, left, right, pair_fn, gate_fn,
-                                   out_schema)
+                                   out_schema, payload_refs=payload_refs)
         if out is not None and out.num_rows:
             parts.append(out)
     if not parts:
@@ -242,7 +295,8 @@ def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
 
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
-                      cell_fn=None, gate_fn=None, salt_col: str = "id"):
+                      cell_fn=None, gate_fn=None, salt_col: str = "id",
+                      payload_refs=None):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
 
     Two pair-generation modes:
@@ -413,7 +467,8 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     celled = exploded.map_batches(to_cells, batch_format="pyarrow")
 
     def bucket_cells(t: pa.Table) -> pa.Table:
-        return bucket_cells_impl(t, cell_fn, pair_fn, gate_fn, out_schema)
+        return bucket_cells_impl(t, cell_fn, pair_fn, gate_fn, out_schema,
+                                 payload_refs=payload_refs)
 
     # Group cells through coarse hash buckets instead of one map_groups
     # call per cell: the per-group wrapper (~1 ms of slicing + dispatch)

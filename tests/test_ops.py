@@ -137,7 +137,9 @@ def test_curation_vs_duckdb(ray_session):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
     for fn, sql in [(curation.decontaminate, curation.DECON_ORACLE_SQL),
                     (curation.pii_scrub, curation.PII_ORACLE_SQL),
-                    (curation.repetition, curation.REP_ORACLE_SQL)]:
+                    (curation.repetition, curation.REP_ORACLE_SQL),
+                    (curation.doc_split, curation.SPLIT_ORACLE_SQL),
+                    (curation.doc_chunks, curation.CHUNK_ORACLE_SQL)]:
         got = fn(SF).to_pandas()
         exp = con.sql(sql).df()
         got = got[sorted(got.columns)].astype(str)
@@ -187,3 +189,26 @@ def test_ann_ivf_recall(ray_session):
     # list containing the query's own neighborhood must hold the top hit
     assert len(set(exact) & approx) >= 3
     assert exact[0] in approx
+
+
+def test_doc_split_properties(ray_session):
+    """Split is content-keyed: identical texts share a split; fractions
+    are roughly 80/10/10; chunks cover every token exactly once."""
+    import pandas as pd
+
+    from askg_ray.ops.curation import CHUNK_TOKENS, doc_chunks, doc_split
+
+    df = doc_split(SF).to_pandas()
+    assert set(df["split"]) <= {"train", "val", "test"}
+    frac = df["split"].value_counts(normalize=True)
+    assert frac.get("train", 0) > 0.6
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    j = docs.merge(df, on="doc_id")
+    assert (j.groupby("text")["split"].nunique() == 1).all()
+
+    ch = doc_chunks(SF).to_pandas()
+    n_tok = docs["text"].fillna("").str.split(" ").str.len()
+    got = ch.groupby("doc_id")["n_tokens"].sum()
+    exp = pd.Series(n_tok.values, index=docs["doc_id"].values)
+    assert got.sort_index().equals(exp.sort_index().astype("int64"))
+    assert (ch["n_tokens"] <= CHUNK_TOKENS).all()

@@ -446,3 +446,28 @@ def test_blocked_self_join_distributed_counts(ray_session, monkeypatch):
     assert run() == small
     # k1 (5 rows, salted at cap=3) gives C(5,2)=10, k2 gives 1 pair
     assert len(small) == 11
+
+
+def test_near_dedup_thin_fat_paths_match(ray_session, monkeypatch):
+    """Thin-row (plasma payload resolution) and fat-row candidate
+    shuffles must produce identical survivor sets."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages import dedup_near as dn
+    from askg_ray.stages.dedup_exact import dedup_exact
+
+    pages = rd.from_arrow(gen_pages(60, seed=23))
+    d1 = compact(dedup_exact(compact(extract_entities(pages))))
+
+    def survivors():
+        return {r["id"] for b in compact(dn.near_dedup(d1))
+                .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+
+    monkeypatch.setattr(dn, "_PAYLOAD_MAX", 10**9)   # force thin
+    thin = survivors()
+    monkeypatch.setattr(dn, "_PAYLOAD_MAX", 0)       # force fat
+    fat = survivors()
+    assert thin and thin == fat
