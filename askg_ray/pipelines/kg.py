@@ -58,7 +58,11 @@ def canonical_nodes(pages):
     ents = compact(extract_entities(pages))
     d1 = compact(dedup_exact(ents))
     d3 = near_dedup(d1)  # fuzzy + cross-registry from one candidate pass
-    return compact(assign_global_ids(d3))
+    # compact BEFORE id assignment: a materialized input lets
+    # assign_global_ids take its one-task small path (no groupby
+    # shuffle) at entity scale — the extra pin costs ~1 barrier, the
+    # avoided sort-shuffle several
+    return compact(assign_global_ids(compact(d3)))
 
 
 def _explode_membership(batch: pa.Table) -> pa.Table:

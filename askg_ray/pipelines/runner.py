@@ -75,7 +75,8 @@ def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
         from ..rayutil import compact
         d1 = compact(dedup_exact(compact(ents)))
         d3 = near_dedup(d1)  # fuzzy drop + cross-registry merge, one pass
-        return assign_global_ids(d3)
+        # materialized input → one-task small path at entity scale
+        return assign_global_ids(compact(d3))
 
     nodes, fp2 = stage("nodes", fp1, build_nodes)
 

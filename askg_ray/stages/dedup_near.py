@@ -494,18 +494,43 @@ def _tag_and_group(nodes, labels, group_fn, broadcast_threshold=None):
     Unlabeled rows get a per-row sentinel component ("\0" + id) so they
     ride the same shuffle as singleton groups — no dataset fork, no
     union, one chained groupby (singleton runs pass through)."""
+    from ray.data.dataset import MaterializedDataset
+
     from ..rayutil import compact
+    from .exchange import EXCHANGE_MAX, exchange_merge_runs
     from .labeljoin import BROADCAST_LABELS_MAX, attach_labels
     from .runs import merge_runs
 
     labels = compact(labels)
-    if labels.count() == 0:
+    n_labels = labels.count()
+    if n_labels == 0:
         return nodes
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    # entity-scale direct-task exchange (stages/exchange): when the
+    # label map is broadcastable and nodes is materialized ≤
+    # EXCHANGE_MAX, fold the tag map into the exchange split tasks —
+    # no attach operator launch, no groupby sort-shuffle floor.
+    n = nodes.count() if isinstance(nodes, MaterializedDataset) else None
+    if n is not None and n <= EXCHANGE_MAX and n_labels < bt:
+        import ray
+
+        label_map: dict = {}
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            label_map.update(zip(b["node"].to_pylist(),
+                                 b["component"].to_pylist()))
+        ref = ray.put(label_map)
+
+        def pre(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            vals = [m.get(v, _sentinel(v)) for v in t["id"].to_pylist()]
+            return t.append_column("comp", pa.array(vals, pa.string()))
+
+        return exchange_merge_runs(nodes, "comp", group_fn, NODES_SCHEMA,
+                                   pre_fn=pre)
     tagged = attach_labels(
         nodes, labels, key="id", make_default=_sentinel,
-        broadcast_threshold=(BROADCAST_LABELS_MAX if broadcast_threshold is None
-                             else broadcast_threshold),
-        comp_type=pa.string())
+        broadcast_threshold=bt, comp_type=pa.string())
     return merge_runs(tagged, "comp", group_fn, NODES_SCHEMA)
 
 

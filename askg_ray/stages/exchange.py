@@ -1,0 +1,99 @@
+"""Direct-task keyed exchange for entity-scale run-merges.
+
+Ray Data's ``groupby(key).map_groups`` sort-shuffle pays a multi-second
+per-exchange floor (sample pass + sort + range reduce operators)
+REGARDLESS of data size — measured 2.5-6 s per exchange on this
+hardware for tables of a few 10^4 rows. The KG pipeline's narrow
+stages (exact-dedup cascade, component grouping, global-id suffixes)
+all operate at canonical-entity scale — the narrow end of the funnel —
+so that floor, not compute, dominates them on small-to-medium corpora
+and caps N-vs-4N scaling efficiency.
+
+For MATERIALIZED inputs under a caller-enforced row bound this module
+runs the same keyed co-location as M×R direct Ray tasks over the
+existing blocks (the sanctioned drop-to-raw-tasks case: the Dataset
+API cannot express a floor-free small exchange):
+
+  * M split tasks — one per input block, applying the caller's pre-map
+    (sentinel fill / label tag) and splitting by ``crc32(key) % R``
+    with one vectorized filter per reducer;
+  * R reduce tasks — concat their slices, run the shared run-merge
+    kernel (stages/runs.merge_table_runs);
+  * results re-enter Ray Data zero-copy via ``from_arrow_refs``.
+
+Semantics are identical to the bucketed ``merge_runs`` shuffle: each
+key's rows meet in exactly one reduce task and the kernels order their
+groups themselves. Backpressure is not needed — the input is pinned
+and bounded. Above the bound callers MUST use the streaming shuffle
+path (stages/runs.merge_runs), which scales unconditionally; both
+paths are forced in tests.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .runs import merge_table_runs
+
+# callers gate on this: max rows of a table the direct exchange accepts
+import os
+
+EXCHANGE_MAX = int(os.environ.get("ASKG_EXCHANGE_MAX", "250000"))
+
+
+def _nred_default(n_rows: int) -> int:
+    # ~20 ms of task overhead per reducer per exchange (measured): size
+    # the reducer count to ~3k rows each so tiny tables pay the 8-task
+    # minimum and big ones still spread their per-group Python work
+    return max(8, min(64, -(-n_rows // 3000)))
+
+
+@ray.remote
+def _split_block(tbl: pa.Table, pre_fn, key: str, nred: int):
+    if pre_fn is not None:
+        tbl = pre_fn(tbl)
+    ks = tbl[key].to_pylist()
+    b = np.array([zlib.crc32(str(v).encode()) for v in ks],
+                 dtype=np.int64) % nred
+    return tuple(tbl.filter(pa.array(b == r)) for r in range(nred))
+
+
+@ray.remote
+def _reduce_parts(reduce_fn, out_schema: pa.Schema, *parts):
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return out_schema.empty_table()
+    return reduce_fn(pa.concat_tables(parts, promote_options="default"))
+
+
+def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
+                        pre_fn=None, single_fn=None, nred: int | None = None):
+    """merge_runs semantics over a MATERIALIZED entity-scale Dataset.
+
+    ``pre_fn(tbl) -> tbl`` (optional) runs inside the split tasks —
+    sentinel/bucket/tag maps fold into the exchange instead of paying
+    their own operator launch. Caller is responsible for the
+    ``EXCHANGE_MAX`` row gate and for passing a materialized ds.
+    """
+    import ray.data as rd
+
+    nred = nred or _nred_default(ds.count())
+    refs = ds.get_internal_block_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return merge_table_runs(t, key, multi_fn, out_schema,
+                                single_fn=single_fn)
+
+    splits = [_split_block.options(num_returns=nred).remote(r, pre_fn, key,
+                                                            nred)
+              for r in refs]
+    outs = [_reduce_parts.remote(reduce_fn, out_schema,
+                                 *[s[r] for s in splits])
+            for r in range(nred)]
+    return rd.from_arrow_refs(outs).materialize()

@@ -38,14 +38,17 @@ def _assign_run(recs: list[dict]) -> list[dict]:
     return out
 
 
-def assign_global_ids(nodes):
+def assign_global_ids(nodes, small_max: int | None = None):
     """Collision-free candidates (the vast majority: the reference
     measured 100% unique ids on its corpus) pass through the bucketed
     run split without touching Python; only collision runs pay the
     record round-trip. The vectorized pre-pass moves the original id to
     registry_id and installs the bare candidate as id — exactly right
     for singletons, re-suffixed per run otherwise."""
+    from ray.data.dataset import MaterializedDataset
+
     from ..arrowutil import NODES_SCHEMA
+    from .exchange import EXCHANGE_MAX, exchange_merge_runs
     from .runs import merge_runs
 
     out_schema = NODES_SCHEMA.append(pa.field("registry_id", pa.string()))
@@ -54,6 +57,14 @@ def assign_global_ids(nodes):
         t = t.append_column("registry_id", t["id"])
         idx = t.schema.get_field_index("id")
         return t.set_column(idx, "id", t["gid_candidate"].cast(pa.string()))
+
+    # entity-scale direct-task exchange (see dedup_exact / exchange.py);
+    # materialized inputs only — count free, no lazy double-execution
+    small_max = EXCHANGE_MAX if small_max is None else small_max
+    n = nodes.count() if isinstance(nodes, MaterializedDataset) else None
+    if n is not None and n <= small_max:
+        return exchange_merge_runs(nodes, "gid_candidate", _assign_run,
+                                   out_schema, pre_fn=pre)
 
     pre_ds = nodes.map_batches(pre, batch_format="pyarrow")
     return merge_runs(pre_ds, "gid_candidate", _assign_run, out_schema)

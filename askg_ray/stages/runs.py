@@ -38,6 +38,39 @@ def _bucket_of(vals: list, nbuckets: int) -> pa.Array:
                     pa.int32())
 
 
+def merge_table_runs(t: pa.Table, key: str, multi_fn,
+                     out_schema: pa.Schema, single_fn=None) -> pa.Table:
+    """The run-merge kernel over ONE table: sort by ``key``, emit
+    singleton runs with a zero-copy take, route multi-row runs through
+    ``multi_fn``. Shared by the distributed per-bucket reduce
+    (merge_runs) and the small-side single-task cascade
+    (stages/exchange.exchange_merge_runs)."""
+    if t.num_rows == 0:
+        return out_schema.empty_table()
+    out_cols = [f.name for f in out_schema]
+    t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
+    ks = np.asarray(t[key].to_pylist(), dtype=object)
+    # run starts: index 0 plus every key change
+    change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ks)]))
+    lens = ends - starts
+    single = lens == 1
+    data = t.select(out_cols)
+    parts = []
+    if single.any():
+        taken = data.take(pa.array(starts[single], pa.int64()))
+        parts.append(single_fn(taken) if single_fn is not None else taken)
+    merged: list[dict] = []
+    for s, e in zip(starts[~single], ends[~single]):
+        merged.extend(multi_fn(records_of(data.slice(s, e - s))))
+    if merged:
+        parts.append(table_of(merged, out_schema))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables([p.cast(out_schema) for p in parts])
+
+
 def merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
                nbuckets: int = 256, single_fn=None):
     """ds + key column → per-key merge with singleton passthrough.
@@ -49,36 +82,13 @@ def merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
     transform (table → table, out_schema) applied to all singleton-run
     rows of a bucket at once; default passthrough.
     """
-    out_cols = [f.name for f in out_schema]
-
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "__b", _bucket_of(t[key].to_pylist(), nbuckets))
 
     def merge_bucket(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
-        ks = np.asarray(t[key].to_pylist(), dtype=object)
-        # run starts: index 0 plus every key change
-        change = np.nonzero(ks[1:] != ks[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(ks)]))
-        lens = ends - starts
-        single = lens == 1
-        data = t.select(out_cols)
-        parts = []
-        if single.any():
-            taken = data.take(pa.array(starts[single], pa.int64()))
-            parts.append(single_fn(taken) if single_fn is not None else taken)
-        merged: list[dict] = []
-        for s, e in zip(starts[~single], ends[~single]):
-            merged.extend(multi_fn(records_of(data.slice(s, e - s))))
-        if merged:
-            parts.append(table_of(merged, out_schema))
-        if not parts:
-            return out_schema.empty_table()
-        return pa.concat_tables([p.cast(out_schema) for p in parts])
+        return merge_table_runs(t, key, multi_fn, out_schema,
+                                single_fn=single_fn)
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("__b")

@@ -471,3 +471,51 @@ def test_near_dedup_thin_fat_paths_match(ray_session, monkeypatch):
     monkeypatch.setattr(dn, "_PAYLOAD_MAX", 0)       # force fat
     fat = survivors()
     assert thin and thin == fat
+
+
+def test_dedup_exact_small_and_distributed_match(ray_session):
+    """The one-task cascade (small path) and the three-shuffle cascade
+    must produce identical survivor tables."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.dedup_exact import dedup_exact
+
+    ents = compact(extract_entities(rd.from_arrow(gen_pages(80, seed=5))))
+
+    def rows(ds):
+        return sorted(
+            tuple(sorted((k, str(v)) for k, v in r.items()))
+            for b in compact(ds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+
+    small = rows(dedup_exact(ents))                 # n ≤ default threshold
+    dist = rows(dedup_exact(ents, small_max=0))     # force shuffles
+    assert small and small == dist
+
+
+def test_assign_ids_small_and_distributed_match(ray_session):
+    """One-task suffix assignment (small path) must equal the
+    groupby-shuffle path."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.rayutil import compact
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.dedup_exact import dedup_exact
+    from askg_ray.stages.ids import assign_global_ids
+
+    d1 = compact(dedup_exact(compact(extract_entities(
+        rd.from_arrow(gen_pages(70, seed=9))))))
+
+    def rows(ds):
+        return sorted(
+            tuple(sorted((k, str(v)) for k, v in r.items()))
+            for b in compact(ds).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+
+    small = rows(assign_global_ids(d1))
+    dist = rows(assign_global_ids(d1, small_max=0))
+    assert small and small == dist
