@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": curation.repetition,
         "doc_split": curation.doc_split,
         "doc_chunks": curation.doc_chunks,
+        "events_asof": relational.events_asof_join,
+        "lineitem_quantiles": relational.lineitem_quantiles,
+        "doc_search_bm25": text.bm25_search,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -305,7 +308,8 @@ def oracle_sql() -> dict[str, str]:
         REP_ORACLE_SQL,
         SPLIT_ORACLE_SQL,
     )
-    from askg_ray.ops.text import STOPWORDS
+    from askg_ray.ops.relational import ASOF_ORACLE_SQL, QUANTILES_ORACLE_SQL
+    from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -334,6 +338,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": REP_ORACLE_SQL,
         "doc_split": SPLIT_ORACLE_SQL,
         "doc_chunks": CHUNK_ORACLE_SQL,
+        "events_asof": ASOF_ORACLE_SQL,
+        "lineitem_quantiles": QUANTILES_ORACLE_SQL,
+        "doc_search_bm25": bm25_oracle_sql(),
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

@@ -208,3 +208,132 @@ def filter_contains(sf_dir: str, needle: str = "data"):
 
     return _rename(docs.map_batches(flt, batch_format="pyarrow")
                    .groupby("source").count(), {"count()": "n"})
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each purchase event ⋈ the most recent click by the
+    same user at-or-before its timestamp (inner — purchases with no
+    prior click drop out). Ray Data has no asof-join operator; the
+    composition is one ``groupby(user_id)`` shuffle + a vectorized
+    per-group sorted ``searchsorted`` merge — the documented
+    partitioning assumption is that one user's events fit one group
+    (true at any corpus scale for human-generated event streams; a
+    pathological single-user firehose would need ts-range salting with
+    boundary overlap). Oracle: DuckDB ASOF JOIN.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    ev = ev.filter(expr="event_type == 'purchase' or event_type == 'click'")
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("click_event_id", pa.int64()),
+        ("click_ts", pa.timestamp("us")),
+        ("gap_us", pa.int64()),
+    ])
+
+    def asof_group(t: pa.Table) -> pa.Table:
+        # sort by (ts, event_id) so equal-timestamp ties resolve to the
+        # highest event_id deterministically on both sides of the oracle
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                                 ("event_id", "ascending")]))
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        p = types == "purchase"
+        c = types == "click"
+        if not p.any() or not c.any():
+            return out_schema.empty_table()
+        cts, cids = ts[c], ids[c]
+        idx = np.searchsorted(cts, ts[p], side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return out_schema.empty_table()
+        idx = idx[keep]
+        pts, pids, puid = ts[p][keep], ids[p][keep], uid[p][keep]
+        gap = ((pts - cts[idx]).astype("timedelta64[us]")).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(pids, pa.int64()),
+            "user_id": pa.array(puid, pa.int64()),
+            "ts": pa.array(pts),
+            "click_event_id": pa.array(cids[idx], pa.int64()),
+            "click_ts": pa.array(cts[idx]),
+            "gap_us": pa.array(gap, pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(asof_group, batch_format="pyarrow")
+
+
+ASOF_ORACLE_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+
+def lineitem_quantiles(sf_dir: str):
+    """Exact distributed percentiles (p25/p50/p75/p90 of l_quantity per
+    return flag) via value-histogram partial aggregation: l_quantity is
+    low-cardinality, so each batch emits (flag, qty, n) partials, one
+    small ``groupby`` sums them, and a per-flag kernel walks the
+    cumulative histogram — no global sort, shuffle size bounded by
+    (flags × distinct values) regardless of corpus rows. Matches DuckDB
+    ``quantile_disc`` (lower discrete quantile: element at index
+    ceil(q·n)-1 of the sorted multiset).
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"flag": t["l_returnflag"], "qty": t["l_quantity"]})
+             .group_by(["flag", "qty"]).aggregate([([], "count_all")]))
+        return pa.table({"flag": g["flag"], "qty": g["qty"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    hist = (li.map_batches(partial, batch_format="pyarrow")
+            .groupby(["flag", "qty"]).aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("p25", pa.float64()), ("p50", pa.float64()),
+                            ("p75", pa.float64()), ("p90", pa.float64())])
+
+    def quantiles(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("qty", "ascending")])
+        t = t.take(order)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        vals = {}
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75),
+                        ("p90", 0.9)]:
+            k = max(1, int(np.ceil(q * total)))  # 1-based rank
+            vals[name] = float(qty[np.searchsorted(cum, k)])
+        return pa.table({"l_returnflag": [t["flag"][0].as_py()],
+                         **{k: [v] for k, v in vals.items()}},
+                        schema=out_schema)
+
+    return hist.groupby("flag").map_groups(quantiles, batch_format="pyarrow")
+
+
+QUANTILES_ORACLE_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS p25,
+       quantile_disc(l_quantity, 0.50) AS p50,
+       quantile_disc(l_quantity, 0.75) AS p75,
+       quantile_disc(l_quantity, 0.90) AS p90
+FROM lineitem GROUP BY l_returnflag
+""".strip()

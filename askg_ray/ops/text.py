@@ -156,3 +156,113 @@ def langid(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2,
                             batch_size=1024)
+
+
+BM25_QUERY = ("spark", "shuffle", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, k: int = 20):
+    """BM25 keyword ranking over ``documents`` for a fixed query.
+
+    Scale shape: per-doc term frequencies for the (tiny, broadcast)
+    query vocabulary are computed in one stateless map — no shuffle
+    grows with the corpus; document frequencies and the corpus length
+    stats are partial-aggregated to a handful of scalars (bounded by
+    the query size, driver-safe); scoring is a second stateless map
+    with the df table broadcast; only the final top-k pays a sort of
+    the MATCHING docs. Scores are emitted as integer micro-units
+    (round(score·1e6)) so the DuckDB oracle hash-compares exactly
+    (float formatting differences cannot leak into the hash; the
+    summation-order error is ~1e-16 relative, far below half a
+    micro-unit). idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the
+    Lucene/Okapi non-negative variant.
+    """
+    import math
+
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    terms = list(BM25_QUERY)
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        ids, dls = [], []
+        tfs = {q: [] for q in terms}
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (txt or "").split(" ")
+            ids.append(int(did))
+            dls.append(len(ws))
+            for q in terms:
+                tfs[q].append(ws.count(q))
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "dl": pa.array(dls, pa.int64())}
+        for q in terms:
+            cols[f"tf_{q}"] = pa.array(tfs[q], pa.int64())
+        return pa.table(cols)
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {"n_docs": [t.num_rows],
+               "sum_dl": [int(pa.compute.sum(t["dl"]).as_py() or 0)]}
+        for q in terms:
+            row[f"df_{q}"] = [int(pa.compute.sum(
+                pa.compute.greater(t[f"tf_{q}"], 0).cast(pa.int64())).as_py()
+                or 0)]
+        return pa.table(row)
+
+    # bounded by (2 + |query|) scalars per batch — driver-safe fold
+    parts = tf.map_batches(stats_partial, batch_format="pyarrow")
+    agg = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for c in b.column_names:
+            agg[c] = agg.get(c, 0) + int(pa.compute.sum(b[c]).as_py() or 0)
+    n_docs, avgdl = agg["n_docs"], agg["sum_dl"] / max(1, agg["n_docs"])
+    idf = {q: math.log(1.0 + (n_docs - agg[f"df_{q}"] + 0.5)
+                       / (agg[f"df_{q}"] + 0.5)) for q in terms}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        score = np.zeros(len(dl))
+        for q in terms:
+            f = t[f"tf_{q}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            score += idf[q] * f * (BM25_K1 + 1.0) / (f + norm)
+        keep = score > 0.0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "score_u": pa.array(np.rint(score[keep] * 1e6).astype(np.int64),
+                                pa.int64()),
+        })
+
+    scored = tf.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(["score_u", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
+def bm25_oracle_sql(k: int = 20) -> str:
+    term_vals = ", ".join(f"('{q}')" for q in BM25_QUERY)
+    return f"""
+WITH t(term) AS (VALUES {term_vals}),
+d AS (SELECT doc_id, string_split(coalesce(text,''),' ') ws FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM d),
+tf AS (SELECT d.doc_id, t.term, len(ws) AS dl,
+       len(list_filter(ws, w -> w = t.term)) AS f
+       FROM d CROSS JOIN t),
+df AS (SELECT term, sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS df
+       FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+       sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.f * ({BM25_K1} + 1.0)
+           / (tf.f + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * tf.dl / stats.avgdl))) AS score
+       FROM tf JOIN df USING (term) CROSS JOIN stats
+       GROUP BY tf.doc_id)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u
+FROM sc WHERE score > 0
+ORDER BY score_u DESC, doc_id ASC LIMIT {k}
+""".strip()

@@ -212,3 +212,25 @@ def test_doc_split_properties(ray_session):
     exp = pd.Series(n_tok.values, index=docs["doc_id"].values)
     assert got.sort_index().equals(exp.sort_index().astype("int64"))
     assert (ch["n_tokens"] <= CHUNK_TOKENS).all()
+
+
+def test_relational_extras_vs_duckdb(ray_session):
+    """asof join / exact quantiles / BM25 hash-match their oracles."""
+    import duckdb
+
+    from askg_ray.ops import relational, text
+
+    con = duckdb.connect()
+    for t in ["documents", "events", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    for fn, sql in [(relational.events_asof_join, relational.ASOF_ORACLE_SQL),
+                    (relational.lineitem_quantiles,
+                     relational.QUANTILES_ORACLE_SQL),
+                    (text.bm25_search, text.bm25_oracle_sql())]:
+        got = fn(SF).to_pandas()
+        exp = con.sql(sql).df()
+        got = got[sorted(got.columns)].astype(str)
+        exp = exp[sorted(exp.columns)].astype(str)
+        gs = sorted("|".join(r) for r in got.itertuples(index=False))
+        es = sorted("|".join(r) for r in exp.itertuples(index=False))
+        assert gs and gs == es, fn.__name__
