@@ -337,3 +337,70 @@ SELECT l_returnflag,
        quantile_disc(l_quantity, 0.90) AS p90
 FROM lineitem GROUP BY l_returnflag
 """.strip()
+
+
+def revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-flavored: lineitem ⋈ supplier ⋈ nation ⋈ region →
+    revenue per (region, nation). The three dimension tables are tiny
+    at ANY scale factor (TPC-H fixes nation/region; supplier is the
+    small side) — composed into ONE broadcast key→(region, nation)
+    lookup via ``ray.put``, so the fact table never shuffles for the
+    join; the only exchange is the final few-group aggregate of
+    per-batch partials. Revenue is exact integer arithmetic
+    (price-cents × (100 − discount-pct)), so the hash compare cannot
+    drift on float summation order.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    nmap = {k: (rmap[rk], n) for k, n, rk in
+            zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+                nat["n_regionkey"].to_pylist())}
+    smap = {k: nmap[nk] for k, nk in zip(sup["s_suppkey"].to_pylist(),
+                                         sup["s_nationkey"].to_pylist())}
+    ref = ray.put(smap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc_pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                           * 100).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        pairs = [m[k] for k in t["l_suppkey"].to_pylist()]
+        part = (pa.table({
+            "r_name": pa.array([p[0] for p in pairs], pa.string()),
+            "n_name": pa.array([p[1] for p in pairs], pa.string()),
+            "rev": pa.array(rev, pa.int64()),
+        }).group_by(["r_name", "n_name"]).aggregate([("rev", "sum")]))
+        return part.rename_columns(["r_name", "n_name", "revenue_u"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby(["r_name", "n_name"])
+            .aggregate(Sum("revenue_u", alias_name="revenue_u")))
+
+
+REVENUE_ORACLE_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""".strip()

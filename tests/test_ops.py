@@ -223,9 +223,12 @@ def test_relational_extras_vs_duckdb(ray_session):
     con = duckdb.connect()
     for t in ["documents", "events", "lineitem"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    for t in ["supplier", "nation", "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     for fn, sql in [(relational.events_asof_join, relational.ASOF_ORACLE_SQL),
                     (relational.lineitem_quantiles,
                      relational.QUANTILES_ORACLE_SQL),
+                    (relational.revenue_by_nation, relational.REVENUE_ORACLE_SQL),
                     (text.bm25_search, text.bm25_oracle_sql())]:
         got = fn(SF).to_pandas()
         exp = con.sql(sql).df()
