@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": curation.doc_chunks,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
+        "events_running_total": relational.events_running_total,
         "lineitem_quantiles": relational.lineitem_quantiles,
         "doc_search_bm25": text.bm25_search,
         # -- dedup family --------------------------------------------------
@@ -310,7 +311,8 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL,
-        QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL)
+        QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
+        RUNNING_ORACLE_SQL)
     from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -342,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": CHUNK_ORACLE_SQL,
         "events_asof": ASOF_ORACLE_SQL,
         "revenue_by_nation": REVENUE_ORACLE_SQL,
+        "events_running_total": RUNNING_ORACLE_SQL,
         "lineitem_quantiles": QUANTILES_ORACLE_SQL,
         "doc_search_bm25": bm25_oracle_sql(),
         "doc_count_by_source":

@@ -404,3 +404,49 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """.strip()
+
+
+def events_running_total(sf_dir: str):
+    """Cumulative window: per-user running sum of ``value`` in ts
+    order (SUM() OVER (PARTITION BY user ORDER BY ts)). One
+    ``groupby(user_id)`` shuffle + a vectorized per-group sorted
+    cumsum — same partitioning contract as events_asof_join. The
+    running sum is emitted in integer cents (value has 2 decimals) so
+    cumulative float error cannot leak into the hash compare.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("running_u", pa.int64()),
+    ])
+
+    def cumsum_group(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                                 ("event_id", "ascending")]))
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "ts": t["ts"],
+            "running_u": pa.array(np.cumsum(cents), pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(cumsum_group,
+                                            batch_format="pyarrow")
+
+
+RUNNING_ORACLE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS running_u
+FROM events
+""".strip()

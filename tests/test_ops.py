@@ -229,6 +229,8 @@ def test_relational_extras_vs_duckdb(ray_session):
                     (relational.lineitem_quantiles,
                      relational.QUANTILES_ORACLE_SQL),
                     (relational.revenue_by_nation, relational.REVENUE_ORACLE_SQL),
+                    (relational.events_running_total,
+                     relational.RUNNING_ORACLE_SQL),
                     (text.bm25_search, text.bm25_oracle_sql())]:
         got = fn(SF).to_pandas()
         exp = con.sql(sql).df()
