@@ -32,6 +32,7 @@ from itertools import combinations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..arrowutil import EDGES_SCHEMA
 from ..vocab import (
@@ -426,28 +427,82 @@ def infer_edges(nodes, cap: int = 400, max_out_degree: int | None = None):
 def truncate_out_degree(edges, k: int):
     """Keep the top-k edges per src by (confidence desc, dst, rel_type).
 
-    One groupby(src) shuffle of the edge set — only paid when the knob
-    is on. Degree is bounded per DIRECTION (src side); a node may also
-    appear as dst of up to k edges from each of its partners, so the
+    Two passes, only paid when the knob is on:
+
+      1. per-BATCH top-k (vectorized sort + run-position mask) BEFORE
+         the shuffle — lossless for the global result (an edge dropped
+         here is beaten by k better edges of the same src in its own
+         batch, so it cannot be in the global top-k), and it shrinks
+         the shuffled volume from the full quadratic edge set to
+         ≤ k × (batches a src appears in): measured 77M → ~5M rows at
+         the mult=2 bench corpus;
+      2. exact global ``groupby(src)`` top-k on the survivors.
+
+    Degree is bounded per DIRECTION (src side); a node may also appear
+    as dst of up to k edges from each of its partners, so the
     total-degree bound is 2k against adversarial skew."""
-    def add_key(t: pa.Table) -> pa.Table:
-        # plain-string shadow of the dictionary-encoded src: Ray's sort
-        # shuffle cannot range-partition on a dictionary column
-        return t.append_column("__src", t["src"].cast(pa.string()))
+    import zlib
 
-    def topk(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__src"])
-        if t.num_rows <= k:
+    def _rank_key(col) -> np.ndarray:
+        """Lexicographic RANK per row, computed on the (small) unique
+        value set — dictionary columns rank their dictionary, plain
+        strings rank via np.unique; no per-row string sort, no
+        to_pylist of the full column."""
+        arr = col.combine_chunks()
+        if pa.types.is_dictionary(arr.type):
+            dvals = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+            rank = np.empty(len(dvals), dtype=np.int64)
+            rank[np.argsort(dvals)] = np.arange(len(dvals))
+            return rank[arr.indices.to_numpy(zero_copy_only=False)]
+        vals = np.asarray(arr.to_pylist(), dtype=object)
+        _, inv = np.unique(vals, return_inverse=True)
+        return inv
+
+    def _topk_runs(t: pa.Table, src_rank: np.ndarray) -> pa.Table:
+        """Exact top-k per src over ONE table: numpy lexsort on rank
+        keys + run-position mask. Used per pre-shuffle batch (keeps a
+        lossless superset: an edge dropped here is beaten by k better
+        edges of the same src in the same table, so it cannot be in
+        the global top-k) and per post-shuffle bucket (where each src's
+        rows are complete → the mask IS the global answer)."""
+        conf = t["confidence"].to_numpy(zero_copy_only=False)
+        dst_r = _rank_key(t["dst"])
+        rel_r = _rank_key(t["rel_type"])
+        order = np.lexsort((rel_r, dst_r, -conf, src_rank))
+        s = src_rank[order]
+        n = len(s)
+        starts = np.concatenate(([0], np.nonzero(s[1:] != s[:-1])[0] + 1))
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts[1:]] = 1
+        run_id = np.cumsum(run_id)
+        pos = np.arange(n) - starts[run_id]
+        return t.take(pa.array(np.sort(order[pos < k]), pa.int64()))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__b", pa.array([], pa.int32()))
+        t = _topk_runs(t, _rank_key(t["src"]))
+        # bucket key for the reduce: all rows of one src meet in one
+        # bucket (few hundred buckets — no per-group task overhead)
+        enc = t["src"].combine_chunks()
+        if pa.types.is_dictionary(enc.type):
+            per_uniq = np.array([zlib.crc32(v.encode()) % 256
+                                 for v in enc.dictionary.to_pylist()],
+                                dtype=np.int32)
+            b = per_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            b = np.array([zlib.crc32(v.encode()) % 256
+                          for v in enc.to_pylist()], dtype=np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        if t.num_rows == 0:
             return t
-        conf = t["confidence"].to_pylist()
-        dst = t["dst"].to_pylist()
-        rel = t["rel_type"].to_pylist()
-        order = sorted(range(t.num_rows),
-                       key=lambda r: (-conf[r], dst[r], rel[r]))[:k]
-        return t.take(sorted(order))
+        return _topk_runs(t, _rank_key(t["src"]))
 
-    return (edges.map_batches(add_key, batch_format="pyarrow")
-            .groupby("__src").map_groups(topk, batch_format="pyarrow"))
+    return (edges.map_batches(batch_topk, batch_format="pyarrow")
+            .groupby("__b").map_groups(bucket_topk, batch_format="pyarrow"))
 
 
 _CELL_DISPATCH.update({"a": _author_cell, "c": _category_cell, "o": _oppair_cell})

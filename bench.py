@@ -37,6 +37,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # job toward one stage, hence the doc multiplier.
 PAGE_REPL = int(os.environ.get("GRAFT_PAGE_REPL", "24"))
 DOC_MULT = int(os.environ.get("GRAFT_DOC_MULT", "2"))
+# Optional scale-run edge truncation (SURVEY §2.6 "cap with documented
+# truncation"): keep only the k highest-confidence outgoing edges per
+# node. Default off = exact reference parity; set e.g. 400 for scale
+# runs where the reference's quadratic-in-block edge semantics would
+# otherwise emit 10^4x edges at 100x corpus (see BASELINE.md).
+MAX_OUT_DEGREE = os.environ.get("GRAFT_MAX_OUT_DEGREE")
+MAX_OUT_DEGREE = int(MAX_OUT_DEGREE) if MAX_OUT_DEGREE else None
 
 
 def _bench_queries():
@@ -52,7 +59,8 @@ def _bench_queries():
 
     def kg_build():
         out = build_kg(pages_from_documents(SF_DIR, replication=PAGE_REPL,
-                                            uniq_mult=DOC_MULT))
+                                            uniq_mult=DOC_MULT),
+                       max_out_degree=MAX_OUT_DEGREE)
         state["n_edges"] = out["edges"].count()
         state["n_nodes"] = out["nodes"].count()
         return state["n_edges"]
@@ -133,6 +141,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "page_replication": PAGE_REPL,
         "doc_mult": DOC_MULT,
+        "max_out_degree": MAX_OUT_DEGREE,
         "n_nodes": state.get("n_nodes"),
         "n_edges": state.get("n_edges"),
         "triples_per_sec": round(state.get("n_edges", 0) / kg_secs, 1) if kg_secs else None,
