@@ -124,18 +124,16 @@ def events_user_windows(sf_dir: str):
                          columns=["user_id", "ts", "event_type"])
 
     def per_user(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = t.to_pandas().sort_values("ts")
-        day = df["ts"].dt.floor("D")
-        g = df.groupby(day).size()
-        out = pd.DataFrame({
-            "user_id": t["user_id"][0].as_py(),
-            "day": g.index,
-            "n_events": g.values,
+        import numpy as np
+        days = pc.floor_temporal(t["ts"], unit="day").combine_chunks()
+        uniq, counts = np.unique(days.to_numpy(zero_copy_only=False),
+                                 return_counts=True)
+        uid = t["user_id"][0].as_py()
+        return pa.table({
+            "user_id": pa.array(np.full(len(uniq), uid, dtype=np.int64)),
+            "day": pa.array(uniq).cast(pa.timestamp("us")),
+            "n_events": pa.array(counts.astype(np.int64)),
         })
-        return pa.Table.from_pandas(out, preserve_index=False).cast(pa.schema([
-            ("user_id", pa.int64()), ("day", pa.timestamp("us")),
-            ("n_events", pa.int64())]))
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
@@ -175,23 +173,20 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     pattern from the Ray guide — partition by key, sort by ts within
     the group, window with pandas; the ordering assumption (per-user
     event-time order within the group) is established by the sort."""
-    import pandas as pd
     import ray.data as rd
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def per_user(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values("ts")
-        gaps = df["ts"].diff()
-        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))
-        out = pd.DataFrame({
-            "user_id": [int(df["user_id"].iloc[0])],
-            "n_events": [len(df)],
-            "n_sessions": [int(new_session.sum())],
+        import numpy as np
+        ts = np.sort(t["ts"].combine_chunks().to_numpy(zero_copy_only=False))
+        gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+        n_sessions = 1 + int((np.diff(ts) > gap).sum())
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
         })
-        return pa.Table.from_pandas(out, preserve_index=False).cast(
-            pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
-                       ("n_sessions", pa.int64())]))
 
     return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
