@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "orders_by_segment": relational.orders_by_segment,
         "top_parts_by_price": relational.top_parts_by_price,
+        "parts_topk_per_brand": relational.parts_topk_per_brand,
         "events_hourly": relational.events_hourly,
         "events_user_windows": relational.events_user_windows,
         "events_sessions": relational.events_sessions,
@@ -366,6 +367,12 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_by_price":
             "SELECT p_partkey, p_name, p_retailprice FROM part "
             "ORDER BY p_retailprice DESC, p_partkey LIMIT 10",
+        "parts_topk_per_brand":
+            "SELECT p_partkey, p_name, p_brand, p_retailprice FROM "
+            "(SELECT p_partkey, p_name, p_brand, p_retailprice, "
+            "row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
+            "WHERE rn <= 5",
         "events_hourly":
             "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n "
             "FROM events GROUP BY 1, 2",

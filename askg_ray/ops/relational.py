@@ -191,6 +191,43 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def parts_topk_per_brand(sf_dir: str, k: int = 5):
+    """Grouped top-k (``ROW_NUMBER() OVER (PARTITION BY ...)`` window
+    analog): the k highest-priced parts per brand, ties broken by
+    partkey. Same two-pass lossless pattern as
+    ``stages.edges.truncate_out_degree``: a per-batch top-k runs BEFORE
+    the shuffle (an edge dropped there is beaten by k better rows of
+    the same brand in its own batch, so it cannot be in the global
+    top-k), shrinking the shuffled volume to ≤ k rows per
+    (batch, brand); an exact ``groupby(brand)`` reduce finishes."""
+    import numpy as np
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        brand = np.asarray(t["p_brand"].to_pylist(), dtype=object)
+        _, codes = np.unique(brand, return_inverse=True)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        key = t["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price, codes))
+        c = codes[order]
+        n = len(c)
+        starts = np.concatenate(([0], np.nonzero(c[1:] != c[:-1])[0] + 1))
+        run = np.zeros(n, dtype=np.int64)
+        run[starts[1:]] = 1
+        run = np.cumsum(run)
+        pos = np.arange(n) - starts[run]
+        return t.take(pa.array(np.sort(order[pos < k]), pa.int64()))
+
+    return (parts.map_batches(topk, batch_format="pyarrow")
+            .groupby("p_brand").map_groups(topk, batch_format="pyarrow"))
+
+
 def filter_contains(sf_dir: str, needle: str = "data"):
     """F6 analog: case-insensitive substring filter + count per source."""
     import ray.data as rd

@@ -239,3 +239,18 @@ def test_relational_extras_vs_duckdb(ray_session):
         gs = sorted("|".join(r) for r in got.itertuples(index=False))
         es = sorted("|".join(r) for r in exp.itertuples(index=False))
         assert gs and gs == es, fn.__name__
+
+
+def test_parts_topk_per_brand_matches_duckdb(ray_session):
+    import duckdb
+
+    from askg_ray.ops.relational import parts_topk_per_brand
+
+    got = sorted((r["p_brand"], r["p_partkey"], r["p_retailprice"])
+                 for r in _rows(parts_topk_per_brand(SF, k=3)))
+    exp = sorted(duckdb.sql(
+        f"SELECT p_brand, p_partkey, p_retailprice FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY p_brand "
+        f"ORDER BY p_retailprice DESC, p_partkey) AS rn "
+        f"FROM read_parquet('{SF}/part.parquet')) WHERE rn <= 3").fetchall())
+    assert got == exp
