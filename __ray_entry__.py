@@ -84,27 +84,51 @@ def _kg_texts(sf_dir):
 
 
 def _kg_mentions(sf_dir):
-    """Broadcast-alias-dictionary mention linking over page texts."""
-    import pyarrow.parquet as pq
+    """Broadcast-alias-dictionary mention linking over page texts.
 
-    from askg_ray.normalize import global_id_candidate, normalize_name
-    from askg_ray.sources.docs_adapter import entity_from_index
-    from askg_ray.stages.link import link_mentions
+    The alias table is built DISTRIBUTEDLY — a ``map_batches`` over the
+    documents index emits (alias, entity_id, weight) rows (the round-2
+    driver ``for i in range(n_docs)`` loop grew O(corpus) on the
+    driver); only the finished entity-scale table is collected for the
+    ``ray.put`` broadcast that ``link_mentions`` does anyway.
+    """
     import pyarrow as pa
+    import ray
+    import ray.data as rd
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    aliases, eids, weights = [], [], []
-    for i in range(n_docs):
-        e = entity_from_index(i)
-        _, gid = global_id_candidate(e["name"], e["author"], e["repository"],
-                                     e["description"], e["tools"])
-        for form in sorted({e["name"], normalize_name(e["name"])}):
-            if form:
-                aliases.append(form)
-                eids.append(gid)
-                weights.append(round(0.5 + len(form) / 80.0, 4))
-    alias_table = pa.table({"alias": aliases, "entity_id": eids,
-                            "weight": weights})
+    from askg_ray.stages.link import link_mentions
+
+    def alias_rows(batch: pa.Table) -> pa.Table:
+        from askg_ray.normalize import global_id_candidate, normalize_name
+        from askg_ray.sources.docs_adapter import entity_from_index
+
+        aliases, eids, weights = [], [], []
+        for i in batch["doc_id"].to_pylist():
+            e = entity_from_index(int(i))
+            _, gid = global_id_candidate(e["name"], e["author"],
+                                         e["repository"], e["description"],
+                                         e["tools"])
+            for form in sorted({e["name"], normalize_name(e["name"])}):
+                if form:
+                    aliases.append(form)
+                    eids.append(gid)
+                    weights.append(round(0.5 + len(form) / 80.0, 4))
+        return pa.table({"alias": pa.array(aliases, pa.string()),
+                         "entity_id": pa.array(eids, pa.string()),
+                         "weight": pa.array(weights, pa.float64())})
+
+    alias_ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+                .map_batches(alias_rows, batch_format="pyarrow")
+                .materialize())
+    alias_table = pa.concat_tables(
+        [t for t in ray.get(alias_ds.get_internal_block_refs())
+         if t.num_rows])
+    # deterministic broadcast order regardless of block arrival
+    import pyarrow.compute as pc
+    alias_table = alias_table.take(
+        pc.sort_indices(alias_table, sort_keys=[("alias", "ascending"),
+                                                ("entity_id", "ascending")]))
     return link_mentions(_kg_texts(sf_dir), alias_table)
 
 

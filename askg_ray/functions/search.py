@@ -158,27 +158,53 @@ def similar_servers(nodes, server_id: str, limit: int = 10):
     anchor = anchor_t[0]
     ref = ray.put(anchor)
 
+    def _common_count(list_col: pa.ChunkedArray, anchor_vals: set,
+                      n_rows: int):
+        """Per-row |row_list ∩ anchor_vals| via list-offset kernels: flatten,
+        index_in against the anchor set, distinct (parent, value) pairs,
+        bincount by parent — no Python loop over rows."""
+        import numpy as np
+
+        if not anchor_vals or n_rows == 0:
+            return np.zeros(n_rows, dtype=np.int64)
+        col = list_col.combine_chunks()
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        hits = pc.index_in(pc.list_flatten(col),
+                           value_set=pa.array(sorted(anchor_vals)))
+        h = hits.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(h)
+        if not mask.any():
+            return np.zeros(n_rows, dtype=np.int64)
+        pairs = np.unique(parents[mask].astype(np.int64) * len(anchor_vals)
+                          + h[mask].astype(np.int64))
+        return np.bincount(pairs // len(anchor_vals), minlength=n_rows)
+
     def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         a = ray.get(ref)
-        acats, aops = set(a["categories"] or []), set(a["operations"] or [])
-        ids = t["id"].to_pylist()
-        cat_col = t["categories"].to_pylist()
-        op_col = t["operations"].to_pylist()
-        authors = t["author"].to_pylist()
-        langs = t["implementation_language"].to_pylist()
-        out_ids, out_scores = [], []
-        for i, sid in enumerate(ids):
-            if sid == a["id"]:
-                continue
-            score = (len(acats & set(cat_col[i] or [])) * 2
-                     + len(aops & set(op_col[i] or []))
-                     + (1 if authors[i] == a["author"] else 0)
-                     + (1 if langs[i] == a["implementation_language"] else 0))
-            if score > 0:
-                out_ids.append(sid)
-                out_scores.append(score)
-        return pa.table({"id": pa.array(out_ids, pa.string()),
-                         "similarity_score": pa.array(out_scores, pa.int64())})
+        n = t.num_rows
+        ccats = _common_count(t["categories"], set(a["categories"] or []), n)
+        cops = _common_count(t["operations"], set(a["operations"] or []), n)
+        def _eq_scalar(col, v):
+            # None == None is a match in the reference's Python compare
+            if v is None:
+                return pc.is_null(col)
+            return pc.equal(col, pa.scalar(v, pa.string()))
+
+        same_auth = _eq_scalar(t["author"], a["author"])
+        same_lang = _eq_scalar(t["implementation_language"],
+                               a["implementation_language"])
+        score = (2 * ccats + cops
+                 + pc.fill_null(same_auth, False)
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 + pc.fill_null(same_lang, False)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        out = pa.table({"id": t["id"].cast(pa.string()),
+                        "similarity_score": pa.array(score, pa.int64())})
+        keep = pc.and_(pc.greater(out["similarity_score"], 0),
+                       pc.not_equal(out["id"], a["id"]))
+        return out.filter(keep)
 
     return (nodes.map_batches(fn, batch_format="pyarrow")
             .sort(["similarity_score", "id"], descending=[True, False])

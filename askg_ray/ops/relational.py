@@ -64,27 +64,27 @@ def lineitem_pricing_summary(sf_dir: str):
     return agg
 
 
-def orders_by_segment(sf_dir: str):
-    """Broadcast join: orders ⋈ customer(c_mktsegment) → per-segment stats."""
-    import pyarrow.parquet as pq
-    import ray
+def orders_by_segment(sf_dir: str, broadcast_threshold: int | None = None):
+    """orders ⋈ customer(c_mktsegment) → per-segment stats.
+
+    customer grows with scale factor (TPC-H: 150k × SF rows), so the
+    join goes through ``stages.labeljoin.attach_dim``'s size-gated
+    policy: broadcast ``searchsorted`` lookup under the threshold, a
+    partitioned shuffle join above it — never an unbounded driver dict.
+    """
     import ray.data as rd
     from ray.data.aggregate import Count, Max
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(),
-                       cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_map)
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
 
-    def add_segment(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        segs = [m.get(k) for k in t["o_custkey"].to_pylist()]
-        return t.append_column("c_mktsegment", pa.array(segs, pa.string()))
-
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(add_segment, batch_format="pyarrow")
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    joined = attach_dim(orders, cust, "o_custkey", "c_custkey",
+                        ["c_mktsegment"], broadcast_threshold=bt)
     return (joined.groupby("c_mktsegment")
             .aggregate(Count(alias_name="n_orders"),
                        Max("o_totalprice", alias_name="max_price")))
@@ -270,8 +270,12 @@ def events_asof_join(sf_dir: str):
     ])
 
     def asof_group(t: pa.Table) -> pa.Table:
-        # sort by (ts, event_id) so equal-timestamp ties resolve to the
-        # highest event_id deterministically on both sides of the oracle
+        # sort by (ts, event_id) ascending: searchsorted(side="right")-1
+        # then lands on the LAST eligible click, i.e. among clicks that
+        # share the max eligible ts the one with max event_id — exactly
+        # the (user_id, ts)→max(event_id) dedup the oracle applies, so
+        # the tie rule is pinned on both sides (DuckDB's bare ASOF JOIN
+        # leaves the equal-ts winner unspecified)
         t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
                                                  ("event_id", "ascending")]))
         types = np.asarray(t["event_type"].to_pylist(), dtype=object)
@@ -307,7 +311,9 @@ SELECT p.event_id, p.user_id, p.ts,
        c.event_id AS click_event_id, c.ts AS click_ts,
        CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, ts) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """.strip()
 
@@ -371,25 +377,26 @@ FROM lineitem GROUP BY l_returnflag
 """.strip()
 
 
-def revenue_by_nation(sf_dir: str):
+def revenue_by_nation(sf_dir: str, broadcast_threshold: int | None = None):
     """TPC-H-Q5-flavored: lineitem ⋈ supplier ⋈ nation ⋈ region →
-    revenue per (region, nation). The three dimension tables are tiny
-    at ANY scale factor (TPC-H fixes nation/region; supplier is the
-    small side) — composed into ONE broadcast key→(region, nation)
-    lookup via ``ray.put``, so the fact table never shuffles for the
-    join; the only exchange is the final few-group aggregate of
-    per-batch partials. Revenue is exact integer arithmetic
-    (price-cents × (100 − discount-pct)), so the hash compare cannot
-    drift on float summation order.
+    revenue per (region, nation). nation (25 rows) and region (5) are
+    FIXED size at any scale factor — they fold into a driver dict that
+    decorates supplier into one (s_suppkey → r_name, n_name) dimension.
+    supplier grows linearly (TPC-H: 10k × SF rows), so the fact-side
+    attach goes through ``stages.labeljoin.attach_dim``'s size-gated
+    policy (broadcast ``searchsorted`` lookup under the threshold, a
+    partitioned shuffle join above it). Per-batch partial aggregation
+    keeps the final exchange at few-group size. Revenue is exact
+    integer arithmetic (price-cents × (100 − discount-pct)), so the
+    hash compare cannot drift on float summation order.
     """
     import numpy as np
     import pyarrow.parquet as pq
-    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet",
@@ -398,29 +405,39 @@ def revenue_by_nation(sf_dir: str):
     nmap = {k: (rmap[rk], n) for k, n, rk in
             zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
                 nat["n_regionkey"].to_pylist())}
-    smap = {k: nmap[nk] for k, nk in zip(sup["s_suppkey"].to_pylist(),
-                                         sup["s_nationkey"].to_pylist())}
-    ref = ray.put(smap)
 
-    def partial(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
-                          * 100).astype(np.int64)
-        disc_pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
-                           * 100).astype(np.int64)
-        rev = price_c * (100 - disc_pct)
-        pairs = [m[k] for k in t["l_suppkey"].to_pylist()]
-        part = (pa.table({
+    def decorate_supplier(t: pa.Table) -> pa.Table:
+        pairs = [nmap[k] for k in t["s_nationkey"].to_pylist()]
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
             "r_name": pa.array([p[0] for p in pairs], pa.string()),
             "n_name": pa.array([p[1] for p in pairs], pa.string()),
-            "rev": pa.array(rev, pa.int64()),
-        }).group_by(["r_name", "n_name"]).aggregate([("rev", "sum")]))
-        return part.rename_columns(["r_name", "n_name", "revenue_u"])
+        })
+
+    sup = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+           .map_batches(decorate_supplier, batch_format="pyarrow"))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_extendedprice",
                                   "l_discount"])
-    return (li.map_batches(partial, batch_format="pyarrow")
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    joined = attach_dim(li, sup, "l_suppkey", "s_suppkey",
+                        ["r_name", "n_name"], broadcast_threshold=bt)
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc_pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                           * 100).astype(np.int64)
+        part = (pa.table({
+            "r_name": t["r_name"], "n_name": t["n_name"],
+            "rev": pa.array(price_c * (100 - disc_pct), pa.int64()),
+        }).group_by(["r_name", "n_name"]).aggregate([("rev", "sum")]))
+        return part.rename_columns(["r_name", "n_name", "revenue_u"])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
             .groupby(["r_name", "n_name"])
             .aggregate(Sum("revenue_u", alias_name="revenue_u")))
 

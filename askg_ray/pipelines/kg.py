@@ -66,13 +66,16 @@ def canonical_nodes(pages):
 
 
 def _explode_membership(batch: pa.Table) -> pa.Table:
-    sids, cids = [], []
-    for sid, cats in zip(batch["id"].to_pylist(), batch["categories"].to_pylist()):
-        for c in cats or []:
-            sids.append(sid)
-            cids.append(c)
-    return pa.table({"server_id": sids, "category_id": cids},
-                    schema=MEMBERSHIP_SCHEMA)
+    """List explode via Arrow offsets — ``list_parent_indices`` names
+    each flattened value's source row; no per-row Python loop."""
+    import pyarrow.compute as pc
+
+    cats = batch["categories"].combine_chunks()
+    parents = pc.list_parent_indices(cats)
+    return pa.table({
+        "server_id": pc.take(batch["id"].combine_chunks(), parents),
+        "category_id": pc.list_flatten(cats).cast(pa.string()),
+    }, schema=MEMBERSHIP_SCHEMA)
 
 
 def membership_table(nodes):

@@ -659,7 +659,8 @@ def near_dedup(nodes, broadcast_threshold=None):
                                        _TAGGED_PAIR_SCHEMA, cap=192,
                                        gate_fn=_pair_gate,
                                        salt_col="norm_name",
-                                       payload_refs=payload_refs))
+                                       payload_refs=payload_refs,
+                                       payload_project=_slim_view))
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))

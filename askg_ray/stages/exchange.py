@@ -81,7 +81,9 @@ def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
     """
     import ray.data as rd
 
-    nred = nred or _nred_default(ds.count())
+    # nred >= 2 always: options(num_returns=1).remote() returns a bare
+    # ObjectRef (not a 1-list), which would break the s[r] fan-in below
+    nred = max(2, nred or _nred_default(ds.count()))
     refs = ds.get_internal_block_refs()
     if not refs:
         return rd.from_arrow(out_schema.empty_table())

@@ -27,6 +27,7 @@ mirroring how stages/components.py tests its hash-to-min path.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 BROADCAST_LABELS_MAX = 500_000
 
@@ -121,6 +122,102 @@ def attach_labels(ds, labels, key: str, make_default,
     padded = (ds.map_batches(pad_ds, batch_format="pyarrow")
               .union(labels.map_batches(pad_labels, batch_format="pyarrow")))
     return padded.groupby(key).map_groups(resolve, batch_format="pyarrow")
+
+
+def attach_dim(facts, dim, fact_key: str, dim_key: str,
+               value_cols: list[str],
+               broadcast_threshold: int = BROADCAST_LABELS_MAX):
+    """Fact ⋈ dimension attach with the same size-gated policy as
+    ``attach_labels``: a dimension under ``broadcast_threshold`` rows is
+    broadcast once via ``ray.put`` (sorted-key ``searchsorted`` lookup —
+    fully vectorized, no per-row dict probes on the fact table's hot
+    path); a larger one rides a partitioned join (dim rows padded to the
+    fact schema + one ``groupby(fact_key)`` shuffle — no driver state at
+    any size). Unmatched fact keys get null values. ``dim`` is compacted
+    here; ``facts`` stays a lazy stream.
+    """
+    import numpy as np
+
+    from ..rayutil import compact
+
+    dim = compact(dim)
+    n = dim.count()
+    dim_schema = _arrow_schema(dim)
+    val_types = {c: dim_schema.field(c).type for c in value_cols}
+
+    if n < broadcast_threshold:
+        import ray
+
+        parts = [b for b in dim.iter_batches(batch_format="pyarrow")]
+        dtbl = pa.concat_tables(parts).combine_chunks()
+        order = pc.sort_indices(dtbl[dim_key])
+        dtbl = dtbl.take(order).combine_chunks()
+        keys_np = dtbl[dim_key].to_numpy(zero_copy_only=False)
+        ref = ray.put((keys_np, dtbl.select(value_cols)))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            keys_sorted, vals = ray.get(ref)
+            fk = batch[fact_key].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys_sorted, fk)
+            idx_c = np.clip(idx, 0, len(keys_sorted) - 1)
+            hit = keys_sorted[idx_c] == fk
+            take = pa.array(np.where(hit, idx_c, -1), pa.int64())
+            # -1 → null via a masked take
+            take = pc.if_else(pc.equal(take, -1),
+                              pa.nulls(batch.num_rows, pa.int64()), take)
+            for c in value_cols:
+                batch = batch.append_column(c, vals[c].take(take))
+            return batch
+
+        return facts.map_batches(lookup, batch_format="pyarrow")
+
+    # -- distributed: dim rows padded to fact schema, one shuffle ----------
+    fact_schema = _arrow_schema(facts)
+    out_schema = fact_schema
+    for c in value_cols:
+        out_schema = out_schema.append(pa.field(c, val_types[c]))
+    padded_schema = out_schema.append(pa.field("__dim", pa.bool_()))
+    key_type = fact_schema.field(fact_key).type
+
+    def pad_dim(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        arrays = []
+        for f in fact_schema:
+            if f.name == fact_key:
+                arrays.append(batch[dim_key].cast(key_type))
+            else:
+                arrays.append(pa.nulls(n_rows, f.type))
+        for c in value_cols:
+            arrays.append(batch[c])
+        arrays.append(pa.array([True] * n_rows, pa.bool_()))
+        return pa.Table.from_arrays(arrays, schema=padded_schema)
+
+    def pad_facts(batch: pa.Table) -> pa.Table:
+        for c in value_cols:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows,
+                                                    val_types[c]))
+        return batch.append_column(
+            "__dim", pa.array([False] * batch.num_rows, pa.bool_()))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        marks = group["__dim"].to_numpy(zero_copy_only=False)
+        data = group.filter(pa.array(~marks))
+        if data.num_rows == 0:
+            return out_schema.empty_table()
+        dim_rows = group.filter(pa.array(marks))
+        t = data.drop_columns(value_cols + ["__dim"])
+        for c in value_cols:
+            if dim_rows.num_rows:
+                col = pa.repeat(dim_rows[c][0].cast(val_types[c]), t.num_rows)
+            else:
+                col = pa.nulls(t.num_rows, val_types[c])
+            t = t.append_column(c, col)
+        return t
+
+    padded = (facts.map_batches(pad_facts, batch_format="pyarrow")
+              .union(dim.map_batches(pad_dim, batch_format="pyarrow")))
+    return (padded.groupby(fact_key)
+            .map_groups(resolve, batch_format="pyarrow"))
 
 
 def semi_join_keys(pairs, keys_ds, col: str,

@@ -180,12 +180,19 @@ def _cell_tables(t: pa.Table):
 _PAYLOAD_CACHE: dict = {}
 
 
-def _payload_index(refs: tuple):
+def _payload_index(refs: tuple, project=None):
+    """``project(tbl) -> tbl`` (optional) is applied per block BEFORE
+    the index is built, so the per-worker heap holds only the columns
+    the verifier reads (the ~200 B/row budget behind callers'
+    payload-row thresholds assumes the slim projection, not the fat
+    source table)."""
     key = tuple(r.hex() for r in refs)
     ent = _PAYLOAD_CACHE.get(key)
     if ent is None:
         import ray
         tbls = [t for t in ray.get(list(refs)) if t.num_rows]
+        if project is not None:
+            tbls = [project(t) for t in tbls]
         tbl = pa.concat_tables(tbls, promote_options="default")
         # the record-uid column is __uid in projected payloads and
         # source_url when the caller hands over its raw entity blocks
@@ -200,7 +207,8 @@ def _payload_index(refs: tuple):
 
 
 def _pairs_from_cell(key, left, right, pair_fn, gate_fn,
-                     out_schema, payload_refs=None) -> pa.Table | None:
+                     out_schema, payload_refs=None,
+                     payload_project=None) -> pa.Table | None:
     """pair_fn/gate mode: Python records are built ONLY for rows the
     vectorized gate lets through (the full to_pylist per cell was
     the #2 cost of the join)."""
@@ -214,7 +222,7 @@ def _pairs_from_cell(key, left, right, pair_fn, gate_fn,
                         else pairs[:, 1], dtype=np.int64)
         lu = np.unique(xs)
         if payload_refs is not None:
-            ptbl, pidx = _payload_index(payload_refs)
+            ptbl, pidx = _payload_index(payload_refs, payload_project)
 
             def _recs(src: pa.Table, pos: np.ndarray) -> dict:
                 sub = src.take(pa.array(pos))
@@ -276,7 +284,8 @@ def _cols_of(tbl: pa.Table | None) -> dict | None:
 
 
 def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
-                      out_schema, payload_refs=None) -> pa.Table:
+                      out_schema, payload_refs=None,
+                      payload_project=None) -> pa.Table:
     """Reduce kernel for one __cb bucket group of cells."""
     if t.num_rows == 0:
         return out_schema.empty_table()
@@ -286,7 +295,8 @@ def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
             out = cell_fn(_cols_of(left), _cols_of(right), key)
         else:
             out = _pairs_from_cell(key, left, right, pair_fn, gate_fn,
-                                   out_schema, payload_refs=payload_refs)
+                                   out_schema, payload_refs=payload_refs,
+                                   payload_project=payload_project)
         if out is not None and out.num_rows:
             parts.append(out)
     if not parts:
@@ -296,7 +306,7 @@ def bucket_cells_impl(t: pa.Table, cell_fn, pair_fn, gate_fn,
 
 def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
                       cell_fn=None, gate_fn=None, salt_col: str = "id",
-                      payload_refs=None):
+                      payload_refs=None, payload_project=None):
     """exploded: Dataset with 'block_key' + 'id' + carry columns.
 
     Two pair-generation modes:
@@ -468,7 +478,8 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
 
     def bucket_cells(t: pa.Table) -> pa.Table:
         return bucket_cells_impl(t, cell_fn, pair_fn, gate_fn, out_schema,
-                                 payload_refs=payload_refs)
+                                 payload_refs=payload_refs,
+                                 payload_project=payload_project)
 
     # Group cells through coarse hash buckets instead of one map_groups
     # call per cell: the per-group wrapper (~1 ms of slicing + dispatch)

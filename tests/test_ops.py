@@ -254,3 +254,37 @@ def test_parts_topk_per_brand_matches_duckdb(ray_session):
         f"ORDER BY p_retailprice DESC, p_partkey) AS rn "
         f"FROM read_parquet('{SF}/part.parquet')) WHERE rn <= 3").fetchall())
     assert got == exp
+
+
+def test_dim_join_shuffle_path_matches_broadcast(ray_session):
+    """attach_dim's partitioned-join path (threshold=0 forces it) must
+    hash-match the broadcast path / SQL oracle for both gated queries —
+    the guard that a scale-factor-grown customer/supplier table can
+    drop off the driver without changing results."""
+    import duckdb
+
+    from askg_ray.ops import relational
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "lineitem", "supplier", "nation",
+              "region"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(str)
+        return sorted("|".join(r) for r in df.itertuples(index=False))
+
+    got = canon(relational.orders_by_segment(SF, broadcast_threshold=0)
+                .to_pandas())
+    exp = canon(con.sql(
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "max(o.o_totalprice) AS max_price FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment").df())
+    assert got and got == exp
+
+    got = canon(relational.revenue_by_nation(SF, broadcast_threshold=0)
+                .to_pandas())
+    exp = canon(con.sql(relational.REVENUE_ORACLE_SQL).df())
+    assert got and got == exp
