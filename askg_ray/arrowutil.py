@@ -23,6 +23,24 @@ TOOLS_TYPE = pa.list_(pa.struct([
     ("parameters_json", pa.string()),
 ]))
 
+# MCPResource{uri, name, description, mime_type}
+# (/root/reference/src/models.py:47-52) and MCPPrompt{name, description,
+# arguments} (models.py:54-57, arguments carried as JSON text like tool
+# parameters). Only API-shaped sources (glama) fill them; the HTML
+# extractor leaves them null.
+RESOURCES_TYPE = pa.list_(pa.struct([
+    ("uri", pa.string()),
+    ("name", pa.string()),
+    ("description", pa.string()),
+    ("mime_type", pa.string()),
+]))
+
+PROMPTS_TYPE = pa.list_(pa.struct([
+    ("name", pa.string()),
+    ("description", pa.string()),
+    ("arguments_json", pa.string()),
+]))
+
 # nodes-table schema after enrichment (stages/extract.py + keys).
 NODES_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -41,6 +59,8 @@ NODES_SCHEMA = pa.schema([
     ("data_types", pa.list_(pa.string())),
     ("tool_names", pa.list_(pa.string())),
     ("tools", TOOLS_TYPE),
+    ("resources", RESOURCES_TYPE),
+    ("prompts", PROMPTS_TYPE),
     ("raw_metadata_json", pa.large_string()),
     ("registry_source", pa.string()),
     ("source_url", pa.string()),

@@ -92,6 +92,19 @@ def merge_phase1(base: dict, dup: dict) -> dict:
             structs.append(t)
             seen_s.add(t.get("name"))
     out["tools"] = structs
+    # resources/prompts: same union-by-key rule, base's struct wins on a
+    # collision ("Merge tools, resources, prompts" — the reference's
+    # declared intent at deduplication.py:300; its code unions only
+    # tools, and its scrapers never fill resources/prompts, so this is
+    # a superset that is identical on every reference-reachable input)
+    for field, key in (("resources", "uri"), ("prompts", "name")):
+        items = list(base.get(field) or [])
+        seen_k = {i[key] for i in items if i}
+        for i in dup.get(field) or []:
+            if i and i.get(key) not in seen_k:
+                items.append(i)
+                seen_k.add(i.get(key))
+        out[field] = items
     # raw_metadata: keep base's, fill from dup when base has none
     if not out.get("raw_metadata_json") and dup.get("raw_metadata_json"):
         out["raw_metadata_json"] = dup["raw_metadata_json"]

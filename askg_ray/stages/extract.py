@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrowutil import TOOLS_TYPE
+from ..arrowutil import PROMPTS_TYPE, RESOURCES_TYPE, TOOLS_TYPE
 from ..classify import categorize, determine_operations
 from ..html_extract import extract_entity_from_doc, parse_html
 from ..normalize import (
@@ -48,6 +48,8 @@ _ENTITY_FIELDS = [
     ("data_types", pa.list_(pa.string())),
     ("tool_names", pa.list_(pa.string())),
     ("tools", TOOLS_TYPE),
+    ("resources", RESOURCES_TYPE),
+    ("prompts", PROMPTS_TYPE),
     ("raw_metadata_json", pa.large_string()),
     ("registry_source", pa.string()),
     ("source_url", pa.string()),

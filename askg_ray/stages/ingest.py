@@ -180,6 +180,20 @@ def parse_glama_record(server_data: dict) -> dict | None:
         for t in tools if isinstance(t, dict)
     ] if isinstance(tools, list) else []
     tool_names = [t["name"] for t in tool_structs]
+    resources = server_data.get("resources", [])
+    resource_structs = [
+        {"uri": r.get("uri", ""), "name": r.get("name"),
+         "description": r.get("description"),
+         "mime_type": r.get("mime_type")}
+        for r in resources if isinstance(r, dict)
+    ] if isinstance(resources, list) else []
+    prompts = server_data.get("prompts", [])
+    prompt_structs = [
+        {"name": p.get("name", ""), "description": p.get("description"),
+         "arguments_json": (json.dumps(p["arguments"], sort_keys=True)
+                            if p.get("arguments") is not None else None)}
+        for p in prompts if isinstance(p, dict)
+    ] if isinstance(prompts, list) else []
     slug = name.lower().replace(" ", "_").replace("-", "_")
     return {
         "id": f"glama_api_{slug}",
@@ -193,8 +207,11 @@ def parse_glama_record(server_data: dict) -> dict | None:
         "operations": determine_operations(tool_names),
         "tool_names": tool_names,
         # capability structs + open-schema blob (scrapers.py:841-849,
-        # 869-870: mcp_tools=..., raw_metadata=server_data)
+        # 869-870: mcp_tools=..., raw_metadata=server_data); resources/
+        # prompts mirror models.py:47-57 (MCPResource/MCPPrompt)
         "tools": tool_structs,
+        "resources": resource_structs,
+        "prompts": prompt_structs,
         "raw_metadata_json": json.dumps(server_data, sort_keys=True,
                                         default=str),
         "registry_source": "glama",

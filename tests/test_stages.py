@@ -519,3 +519,32 @@ def test_assign_ids_small_and_distributed_match(ray_session):
     small = rows(assign_global_ids(d1))
     dist = rows(assign_global_ids(d1, small_max=0))
     assert small and small == dist
+
+
+def test_merge_phase1_resources_prompts_structs():
+    """resources union by uri / prompts union by name, base-first, base
+    wins collisions — the declared-intent rule at deduplication.py:300
+    applied to MCPResource/MCPPrompt (models.py:47-57)."""
+    from askg_ray.merge import merge_phase1
+
+    base = {"tool_names": [], "categories": [], "operations": [],
+            "data_types": [], "tools": [],
+            "resources": [{"uri": "file:///a", "name": "base-a",
+                           "description": None, "mime_type": "text/plain"}],
+            "prompts": [{"name": "p1", "description": "base p1",
+                         "arguments_json": None}]}
+    dup = {"tool_names": [], "categories": [], "operations": [],
+           "data_types": [], "tools": [],
+           "resources": [{"uri": "file:///a", "name": "dup-a",
+                          "description": "x", "mime_type": None},
+                         {"uri": "file:///b", "name": "b",
+                          "description": None, "mime_type": None}],
+           "prompts": [{"name": "p1", "description": "dup p1",
+                        "arguments_json": "{}"},
+                       {"name": "p2", "description": None,
+                        "arguments_json": None}]}
+    m = merge_phase1(base, dup)
+    assert [r["uri"] for r in m["resources"]] == ["file:///a", "file:///b"]
+    assert m["resources"][0]["name"] == "base-a"      # base wins collision
+    assert [p["name"] for p in m["prompts"]] == ["p1", "p2"]
+    assert m["prompts"][0]["description"] == "base p1"
