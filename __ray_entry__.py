@@ -335,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         REP_ORACLE_SQL,
         SPLIT_ORACLE_SQL,
     )
+    from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL,
         QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         RUNNING_ORACLE_SQL)
@@ -459,6 +460,10 @@ def oracle_sql() -> dict[str, str]:
         # would flag here first, which is the point of the check.
         "dedup_minhash": _NGRAM_CLOSURE_SQL,
         "dedup_ngram_jaccard": _NGRAM_CLOSURE_SQL,
+        # Exact hamming-≤3 closure over md5-token SimHash sketches —
+        # the banding is pigeonhole-lossless at this radius, so this is
+        # a full-pipeline hash check (see ops/dedup.SIMHASH_ORACLE_SQL).
+        "dedup_simhash": SIMHASH_ORACLE_SQL,
         # Exact cosine >= 0.95 closure vs hyperplane-LSH-blocked Ray path.
         "dedup_embedding":
             "WITH RECURSIVE "
@@ -499,9 +504,9 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
             "octet_length(encode(text)) AS n_bytes, "
             "substr(sha256(text), 1, 16) AS fp16 FROM documents",
-        # dedup_minhash (estimated-Jaccard on minhash permutations),
-        # dedup_simhash (64-bit simhash bit mixing) and ann_lsh_top10
-        # (approximate by design) are not SQL-expressible; the KG family
-        # is covered by tests/test_parity.py against the
-        # reference-semantics oracle (rows-only here).
+        # ann_lsh_top10 / ann_ivf_top10 are approximate by design (their
+        # outputs carry an exact-rank recall column the rows-only check
+        # can assert on); the KG family is covered by tests/
+        # test_parity.py against the reference-semantics oracle
+        # (rows-only here).
     }

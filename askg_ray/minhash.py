@@ -75,15 +75,33 @@ def minhash_jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
     return float(np.mean(sig1 == sig2))
 
 
-def simhash64(token_ids: np.ndarray, weights: np.ndarray | None = None) -> int:
-    """64-bit SimHash over stable token ids."""
+def token_ids_md5(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit ids: first 8 bytes of md5, big-endian — chosen so a
+    SQL oracle can reproduce them exactly (DuckDB:
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT``). Deduped like
+    shingle_ids."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    import hashlib
+
+    return np.unique(np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+         for t in tokens], dtype=np.uint64))
+
+
+def simhash64(token_ids: np.ndarray, weights: np.ndarray | None = None,
+              mix: bool = True) -> int:
+    """64-bit SimHash over stable token ids. ``mix=False`` skips the
+    splitmix64 expansion — for ids that are already uniform 64-bit
+    (token_ids_md5), keeping the sketch SQL-reproducible."""
     if token_ids.size == 0:
         return 0
-    # expand each 32-bit crc to 64 bits via blake-free mixing (splitmix64)
     x = token_ids.astype(np.uint64)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
+    if mix:
+        # expand each 32-bit crc to 64 bits (splitmix64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
     bits = ((x[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     w = weights[:, None] if weights is not None else 1
     acc = (bits * 2 - 1) * w

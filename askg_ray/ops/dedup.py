@@ -192,12 +192,19 @@ def ngram_jaccard_dedup(sf_dir: str, broadcast_threshold=None):
 # ---- simhash -------------------------------------------------------------
 
 def _simhash_blocks(batch: pa.Table) -> pa.Table:
+    """Token ids are md5-based (minhash.token_ids_md5) with no splitmix
+    so the sketch — and therefore the hamming-≤3 closure — is exactly
+    reproducible in DuckDB (SIMHASH_ORACLE_SQL); the 4×16-bit pigeonhole
+    banding is lossless for hamming ≤ 3, so the Ray pair set IS the
+    exact hamming closure and the oracle is a true hash check."""
+    from ..minhash import token_ids_md5
+
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out_key, out_bands, out_id, out_h = [], [], [], []
     for did, t in zip(ids, texts):
-        toks = shingle_ids([w for w in (t or "").lower().split(" ") if w])
-        h = simhash64(toks)
+        toks = token_ids_md5([w for w in (t or "").lower().split(" ") if w])
+        h = simhash64(toks, mix=False)
         bks = [(band << 16) | ((h >> (band * 16)) & 0xFFFF)
                for band in range(4)]  # 4 × 16-bit bands
         for bk in bks:
@@ -226,6 +233,40 @@ def simhash_dedup(sf_dir: str):
     # two passes (hot-count + cells) don't recompute it
     blocks = docs.map_batches(_simhash_blocks, batch_format="pyarrow").materialize()
     return _near_dedup(blocks, _verify_hamming, docs)
+
+
+# Exact hamming-≤3 SimHash closure in DuckDB: per-doc 64-bit sketch from
+# md5 token ids (bit b set iff Σ±1 over distinct-token bit b is > 0 —
+# mirrors minhash.simhash64(mix=False) over token_ids_md5), pairs via
+# bit_count(xor) ≤ 3, then the same recursive min-reach closure as
+# _NGRAM_CLOSURE_SQL. Banding in the Ray path is pigeonhole-lossless at
+# hamming ≤ 3, so a hash match checks the FULL pipeline, not a sample.
+SIMHASH_ORACLE_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+          string_split(lower(text), ' '), x -> x <> ''))) AS w
+        FROM documents),
+ids AS (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(w), 1, 16))::UBIGINT AS tid FROM tok),
+bits AS (SELECT doc_id, b,
+                sum(CASE WHEN (tid >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM ids, range(0, 64) t(b) GROUP BY doc_id, b),
+sh0 AS (SELECT doc_id,
+               (sum(CASE WHEN s > 0 THEN (1::UBIGINT << b)
+                         ELSE 0::UBIGINT END))::UBIGINT AS h
+        FROM bits GROUP BY doc_id),
+sh AS (SELECT d.doc_id, coalesce(s.h, 0::UBIGINT) AS h
+       FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id),
+e AS (SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+walk(node, reach) AS (SELECT DISTINCT a, a FROM und
+  UNION SELECT w2.node, u.b FROM walk w2 JOIN und u ON u.a = w2.reach),
+lab AS (SELECT node, min(reach) AS rep FROM walk GROUP BY node)
+SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep_id
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+""".strip()
 
 
 # ---- embedding cosine ----------------------------------------------------

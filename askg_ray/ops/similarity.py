@@ -113,9 +113,41 @@ def _ann_band_signature(vecs: np.ndarray, n_bands: int = 8,
     return codes
 
 
-def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
+def _with_exact_rank(approx, sf_dir: str, query_id: int, k: int,
+                     min_recall: float | None):
+    """Pin approximate quality in the driver-visible surface: join the
+    (k-row) approximate result against the exact brute-force top-k —
+    ``exact_rank`` = the hit's exact rank (0 if outside the exact
+    top-k) — and RAISE when recall@k falls below ``min_recall``, so the
+    driver's rows-only check records an error instead of silently
+    blessing a degraded index. Both sides are k rows; the only cost is
+    the exact scan, which is the verification instrument (pass
+    ``min_recall=None`` on scale runs to skip it)."""
+    import ray.data as rd
+
+    if min_recall is None:
+        return approx
+    exact_t = pa.concat_tables(
+        list(ann_bruteforce(sf_dir, query_id, k)
+             .iter_batches(batch_format="pyarrow")))
+    rank_of = dict(zip(exact_t["vec_id"].to_pylist(),
+                       exact_t["rank"].to_pylist()))
+    approx_t = pa.concat_tables(
+        list(approx.iter_batches(batch_format="pyarrow")))
+    ranks = [rank_of.get(v, 0) for v in approx_t["vec_id"].to_pylist()]
+    recall = sum(1 for r in ranks if r) / max(len(rank_of), 1)
+    if recall < min_recall:
+        raise ValueError(
+            f"ANN recall@{k} degraded: {recall:.2f} < {min_recall}")
+    return rd.from_arrow(approx_t.append_column(
+        "exact_rank", pa.array(ranks, pa.int64())))
+
+
+def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10,
+            min_recall: float | None = 0.3):
     """LSH-bucketed ANN: probe only vectors sharing ≥1 hyperplane band
-    with the query (candidate pruning; approximate → rows-only check)."""
+    with the query (candidate pruning; approximate → rows-only check,
+    with quality pinned via ``_with_exact_rank``)."""
     import ray.data as rd
 
     q = _query_vector(sf_dir, query_id)
@@ -133,7 +165,8 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10):
 
     candidates = embs.map_batches(in_query_buckets, batch_format="pyarrow")
     scored = _score_batches(candidates, q)
-    return _topk_merge(scored, query_id, k)
+    return _with_exact_rank(_topk_merge(scored, query_id, k),
+                            sf_dir, query_id, k, min_recall)
 
 
 # ---- IVF (inverted-file) ANN --------------------------------------------
@@ -173,7 +206,8 @@ def _ivf_centroids(sf_dir: str, n_lists: int, seed: int = 31) -> np.ndarray:
 
 
 def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
-            n_lists: int = 16, n_probe: int = 4):
+            n_lists: int = 16, n_probe: int = 4,
+            min_recall: float | None = 0.3):
     """IVF-bucketed ANN — the coarse-quantizer scale path: assign each
     vector to its nearest codebook centroid (one GEMM per batch against
     the broadcast codebook), scan only the ``n_probe`` lists nearest to
@@ -200,4 +234,5 @@ def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
 
     candidates = embs.map_batches(in_probed_lists, batch_format="pyarrow")
     scored = _score_batches(candidates, q)
-    return _topk_merge(scored, query_id, k)
+    return _with_exact_rank(_topk_merge(scored, query_id, k),
+                            sf_dir, query_id, k, min_recall)

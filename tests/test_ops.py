@@ -288,3 +288,21 @@ def test_dim_join_shuffle_path_matches_broadcast(ray_session):
                 .to_pandas())
     exp = canon(con.sql(relational.REVENUE_ORACLE_SQL).df())
     assert got and got == exp
+
+
+def test_ann_exact_rank_column_and_recall_floor(ray_session):
+    """Approximate ANN outputs pin their quality: exact_rank names each
+    hit's brute-force rank (0 = outside the exact top-k), and an
+    unreachable min_recall raises — the driver-visible failure mode."""
+    import pytest as _pytest
+
+    from askg_ray.ops.similarity import ann_ivf, ann_lsh
+
+    for fn in (ann_lsh, ann_ivf):
+        rows = _rows(fn(SF, k=10))
+        assert all("exact_rank" in r for r in rows)
+        hits = [r for r in rows if r["exact_rank"] > 0]
+        assert len(hits) >= 3
+        assert all(r["exact_rank"] >= 1 for r in hits)
+        with _pytest.raises(ValueError, match="recall"):
+            fn(SF, k=10, min_recall=1.01)
