@@ -54,15 +54,20 @@ def canonical_nodes(pages):
     Materialization policy: this function owns every pin — one per
     wide phase, at the narrow (entity-scale) end of the funnel. The
     stage functions themselves are pure lazy chains."""
-    from ..rayutil import compact
+    from ..rayutil import compact, prof
+    prof("extract:start")
     ents = compact(extract_entities(pages))
+    prof("extract:pinned")
     d1 = compact(dedup_exact(ents))
+    prof("dedup_exact:pinned")
     d3 = near_dedup(d1)  # fuzzy + cross-registry from one candidate pass
     # compact BEFORE id assignment: a materialized input lets
     # assign_global_ids take its one-task small path (no groupby
     # shuffle) at entity scale — the extra pin costs ~1 barrier, the
     # avoided sort-shuffle several
-    return compact(assign_global_ids(compact(d3)))
+    out = compact(assign_global_ids(compact(d3)))
+    prof("global_ids:pinned")
+    return out
 
 
 def _explode_membership(batch: pa.Table) -> pa.Table:

@@ -58,3 +58,24 @@ def compact(ds, rows: int | None = None):
     if m.num_blocks() > nb * 2:
         m = m.repartition(nb).materialize()
     return m
+
+
+# ---- env-gated stage profiler (ASKG_PROF=1) ------------------------------
+# Prints one stderr line per pipeline barrier with elapsed-since-first
+# mark, for the width-scaling profiles recorded in BASELINE.md. Zero
+# cost when the env var is unset.
+import os as _os
+import sys as _sys
+import time as _time
+
+_PROF_T0: list = []
+
+
+def prof(label: str) -> None:
+    if not _os.environ.get("ASKG_PROF"):
+        return
+    now = _time.time()
+    if not _PROF_T0:
+        _PROF_T0.append(now)
+    print(f"[prof] {now - _PROF_T0[0]:8.2f} {label}",
+          file=_sys.stderr, flush=True)

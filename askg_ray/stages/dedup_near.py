@@ -655,17 +655,21 @@ def near_dedup(nodes, broadcast_threshold=None):
     # tagged pairs feed both phases — pin once; hot blocks salt by
     # norm_name so a duplicate cluster's record pairs co-locate and the
     # gate's unique-name machinery collapses them in one cell
+    from ..rayutil import prof
     tagged = compact(blocked_self_join(exploded, _gated_dual_verify,
                                        _TAGGED_PAIR_SCHEMA, cap=192,
                                        gate_fn=_pair_gate,
                                        salt_col="norm_name",
                                        payload_refs=payload_refs,
                                        payload_project=_slim_view))
+    prof("near:candidates:pinned")
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))
+    prof("near:components1")
     d2 = compact(_tag_and_group(nodes, labels1, _phase1_group,
                                 broadcast_threshold))
+    prof("near:phase1:pinned")
 
     surv_ids = compact(d2.select_columns(["id"]))
     sim = tagged.map_batches(_filter_kind("s"), batch_format="pyarrow")
@@ -674,4 +678,5 @@ def near_dedup(nodes, broadcast_threshold=None):
     sim = semi_join_keys(sim, surv_ids, "a", **kw)
     sim = semi_join_keys(sim, surv_ids, "b", **kw)
     labels2 = connected_components(sim)
+    prof("near:components2")
     return _tag_and_group(d2, labels2, _phase2_group, broadcast_threshold)

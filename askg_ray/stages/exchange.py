@@ -52,14 +52,33 @@ def _nred_default(n_rows: int) -> int:
     return max(8, min(64, -(-n_rows // 3000)))
 
 
+def _hash_buckets(col, nred: int) -> np.ndarray:
+    """crc32(str(key)) % nred per row, computed once per DISTINCT key
+    (dictionary encode) — keyed exchanges repeat keys heavily and the
+    per-row Python loop was the split tasks' dominant cost on celled
+    sets."""
+    enc = col.combine_chunks().dictionary_encode()
+    per_uniq = np.array([zlib.crc32(str(v).encode()) % nred
+                         for v in enc.dictionary.to_pylist()],
+                        dtype=np.int64)
+    return per_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 @ray.remote
 def _split_block(tbl: pa.Table, pre_fn, key: str, nred: int):
+    """ONE gather, R zero-copy slices. The obvious per-reducer
+    ``filter(b == r)`` loop scans the full block R times — O(R × bytes),
+    measured 5 s for 54 reducers over a 100 MB table; sorting the
+    bucket array once and slicing run boundaries is O(bytes)."""
     if pre_fn is not None:
         tbl = pre_fn(tbl)
-    ks = tbl[key].to_pylist()
-    b = np.array([zlib.crc32(str(v).encode()) for v in ks],
-                 dtype=np.int64) % nred
-    return tuple(tbl.filter(pa.array(b == r)) for r in range(nred))
+    b = _hash_buckets(tbl[key], nred)
+    order = np.argsort(b, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(nred + 1))
+    return tuple(tbl.slice(int(bounds[r]), int(bounds[r + 1] - bounds[r]))
+                 for r in range(nred))
 
 
 @ray.remote
@@ -68,6 +87,34 @@ def _reduce_parts(reduce_fn, out_schema: pa.Schema, *parts):
     if not parts:
         return out_schema.empty_table()
     return reduce_fn(pa.concat_tables(parts, promote_options="default"))
+
+
+def exchange_reduce(ds, key: str, reduce_fn, out_schema: pa.Schema,
+                    pre_fn=None, nred: int | None = None):
+    """Generic direct-task keyed exchange: M split tasks (pre_fn +
+    hash-split on ``key``) feeding ``nred`` reduce tasks that each run
+    ``reduce_fn(concat_of_their_slices) -> pa.Table``. All rows sharing
+    a key meet in exactly one reduce task; the kernel orders/groups its
+    input itself. Caller is responsible for the row-bound gate and for
+    passing a MATERIALIZED ds (the streaming groupby path is the
+    unconditionally-scalable shape above the bound).
+    """
+    import ray.data as rd
+
+    # nred >= 2 always: options(num_returns=1).remote() returns a bare
+    # ObjectRef (not a 1-list), which would break the s[r] fan-in below
+    nred = max(2, nred or _nred_default(ds.count()))
+    refs = ds.get_internal_block_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    splits = [_split_block.options(num_returns=nred).remote(r, pre_fn, key,
+                                                            nred)
+              for r in refs]
+    outs = [_reduce_parts.remote(reduce_fn, out_schema,
+                                 *[s[r] for s in splits])
+            for r in range(nred)]
+    return rd.from_arrow_refs(outs).materialize()
 
 
 def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
@@ -79,23 +126,10 @@ def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
     their own operator launch. Caller is responsible for the
     ``EXCHANGE_MAX`` row gate and for passing a materialized ds.
     """
-    import ray.data as rd
-
-    # nred >= 2 always: options(num_returns=1).remote() returns a bare
-    # ObjectRef (not a 1-list), which would break the s[r] fan-in below
-    nred = max(2, nred or _nred_default(ds.count()))
-    refs = ds.get_internal_block_refs()
-    if not refs:
-        return rd.from_arrow(out_schema.empty_table())
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         return merge_table_runs(t, key, multi_fn, out_schema,
                                 single_fn=single_fn)
 
-    splits = [_split_block.options(num_returns=nred).remote(r, pre_fn, key,
-                                                            nred)
-              for r in refs]
-    outs = [_reduce_parts.remote(reduce_fn, out_schema,
-                                 *[s[r] for s in splits])
-            for r in range(nred)]
-    return rd.from_arrow_refs(outs).materialize()
+    return exchange_reduce(ds, key, reduce_fn, out_schema,
+                           pre_fn=pre_fn, nred=nred)

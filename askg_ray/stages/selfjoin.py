@@ -351,10 +351,14 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # append a lazy ``repartition(default_nblocks())`` to the exploded
     # set themselves so the split folds into this first materialization
     # and the second barrier below never fires.
+    from ..rayutil import prof
+
     nb = default_nblocks()
     exploded = exploded.materialize()
+    prof("selfjoin:exploded:pinned")
     if exploded.num_blocks() < nb:
         exploded = exploded.repartition(nb).materialize()
+        prof("selfjoin:exploded:repartitioned")
 
     n_rows = exploded.count()
     if n_rows == 0:
@@ -416,13 +420,16 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
             hot.update(zip(hb["k"].to_pylist(), hb["n"].to_pylist()))
         hot = {k: -(-n // cap) for k, n in hot.items()}
         bloom, m_bits = _bloom_build(counts, n_keys)
+    prof("selfjoin:counts+bloom")
     hot_ref = ray.put((hot, bloom))
 
     def to_cells(batch: pa.Table) -> pa.Table:
-        """Replicate each row to its grid cells — vectorized: the bloom
-        probe, salt lookup and cell-key formatting run once per DISTINCT
-        block key (45k distinct vs 400k rows at the bench corpus; the
-        old per-row Python loop was the #3 cost of the whole join)."""
+        """Replicate each row to its grid cells — fully vectorized: the
+        bloom probe, salt lookup and crc run once per DISTINCT block
+        key / salt value, and the hot-row grid expansion is a numpy
+        repeat + arange (the per-replica Python f-string loop was the
+        critical-path straggler: the one input block holding the
+        hottest author's rows paid ~8 µs × 350k replicas)."""
         smap, bm = ray.get(hot_ref)
         if batch.num_rows == 0:
             return batch.append_column(
@@ -430,6 +437,7 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
                 "bucket", pa.array([], pa.int32()))
         enc = batch["block_key"].combine_chunks().dictionary_encode()
         uniq = enc.dictionary.to_pylist()
+        uniq_str = pa.array([str(k) for k in uniq], pa.string())
         salts = np.array(
             [(smap.get(k, 1) if _bloom_contains(bm, m_bits, k) else 0)
              for k in uniq], dtype=np.int32)
@@ -439,7 +447,7 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         cold = row_s == 1
         if cold.any():
             t1 = batch.filter(pa.array(cold))
-            keys1 = pa.array([f"{k}|0|0" for k in uniq], pa.string())
+            keys1 = pc.binary_join_element_wise(uniq_str, "0", "0", "|")
             idx1 = enc.indices.to_numpy(zero_copy_only=False)[cold]
             t1 = t1.append_column("cell_key", pc.take(keys1, pa.array(idx1)))
             t1 = t1.append_column(
@@ -449,22 +457,29 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
         hot_rows = row_s > 1
         if hot_rows.any():
             th = batch.filter(pa.array(hot_rows))
-            s_arr = row_s[hot_rows]
-            salts_v = th[salt_col].to_pylist()
+            s64 = row_s[hot_rows].astype(np.int64)
             kidx = enc.indices.to_numpy(zero_copy_only=False)[hot_rows]
-            b_arr = np.array([zlib.crc32(str(v).encode()) for v in salts_v],
-                             dtype=np.int64) % s_arr
+            senc = th[salt_col].combine_chunks().dictionary_encode()
+            crc_u = np.array(
+                [zlib.crc32(str(v).encode())
+                 for v in senc.dictionary.to_pylist()], dtype=np.int64)
+            b_arr = crc_u[senc.indices.to_numpy(zero_copy_only=False)] % s64
             # row r lands in cells (min(b,j), max(b,j)) for j in 0..s-1
-            take_idx, cks, bks = [], [], []
-            for r in range(len(salts_v)):
-                s, b, key = int(s_arr[r]), int(b_arr[r]), uniq[kidx[r]]
-                for j in range(s):
-                    take_idx.append(r)
-                    cks.append(f"{key}|{min(b, j)}|{max(b, j)}")
-                    bks.append(b)
-            th = th.take(pa.array(take_idx, pa.int64()))
-            th = th.append_column("cell_key", pa.array(cks, pa.string()))
-            th = th.append_column("bucket", pa.array(bks, pa.int32()))
+            total = int(s64.sum())
+            take_idx = np.repeat(np.arange(len(s64), dtype=np.int64), s64)
+            ends = np.cumsum(s64)
+            j = np.arange(total, dtype=np.int64) - (ends - s64)[take_idx]
+            b_rep = b_arr[take_idx]
+            lo = np.minimum(b_rep, j)
+            hi = np.maximum(b_rep, j)
+            th = th.take(pa.array(take_idx))
+            cks = pc.binary_join_element_wise(
+                pc.take(uniq_str, pa.array(kidx[take_idx])),
+                pc.cast(pa.array(lo), pa.string()),
+                pc.cast(pa.array(hi), pa.string()), "|")
+            th = th.append_column("cell_key", cks)
+            th = th.append_column(
+                "bucket", pa.array(b_rep.astype(np.int32)))
             parts.append(th)
 
         if not parts:
@@ -474,13 +489,34 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
                 "bucket", pa.array([], pa.int32()))
         return pa.concat_tables(parts).combine_chunks()
 
-    celled = exploded.map_batches(to_cells, batch_format="pyarrow")
-
     def bucket_cells(t: pa.Table) -> pa.Table:
         return bucket_cells_impl(t, cell_fn, pair_fn, gate_fn, out_schema,
                                  payload_refs=payload_refs,
                                  payload_project=payload_project)
 
+    # -- entity-scale direct cell exchange ---------------------------------
+    # Below the small-input gate the cell shuffle runs as M split tasks
+    # (to_cells folded in, hash-split on cell_key) feeding R direct
+    # reduce tasks (stages/exchange.exchange_reduce) — every cell's rows
+    # meet in exactly one reducer and bucket_cells_impl splits the cell
+    # runs with one vectorized sort. This removes the sort-shuffle's
+    # sample + sort + reduce operator floor AND its two materialization
+    # barriers (the est_pairs>2M repartition + the Sort), and — unlike
+    # sort partitions, where >4×CPU turned the exchange into a
+    # small-object fetch storm (53.5 s at fan=4 vs 337 s at fan=8 on the
+    # same input) — direct task args make R ≋ 4×CPU reducers cheap, so
+    # the CPU-heavy verify spreads evenly regardless of which input
+    # block held the hot rows (measured: the per-block to_cells
+    # replication skew serialized the old path's critical path).
+    if n_rows < SMALL_EXPLODED_ROWS:
+        from .exchange import exchange_reduce
+
+        nred_mult = int(os.environ.get("ASKG_SJ_NRED_MULT", "8"))
+        nred = max(2, min(nred_mult * nb, max(8, est_pairs // 2000)))
+        return exchange_reduce(exploded, "cell_key", bucket_cells,
+                               out_schema, pre_fn=to_cells, nred=nred)
+
+    # -- streaming path: coarse cell buckets + sort-shuffle groupby --------
     # Group cells through coarse hash buckets instead of one map_groups
     # call per cell: the per-group wrapper (~1 ms of slicing + dispatch)
     # dominates wall time when there are tens of thousands of small
@@ -501,14 +537,10 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # not the bucket count: a straggler block holding a few hot cells
     # can serialize the reduce. Pair-heavy joins (est_pairs from the
     # block counts) spread over 4× CPU-blocks; small joins skip the
-    # extra repartition barrier — at 8-vs-32 cpus the fixed barriers
-    # are exactly what caps scaling efficiency on small corpora.
-    # DO NOT raise the fan-out: the sort shuffle pays O(M×N) partition
-    # fetches, and on the same input in the same session the verify
-    # join measured 53.5 s at fan=4 vs 337 s at fan=8 (32 cpus, 2M-row
-    # celled set) — reduce partitions beyond ~4×CPU turn the exchange
-    # into a small-object fetch storm. Straggler smoothing comes from
-    # the fine-grained cell buckets (below), not from more partitions.
+    # extra repartition barrier. DO NOT raise the fan-out: the sort
+    # shuffle pays O(M×N) partition fetches — see the measured numbers
+    # above.
+    celled = exploded.map_batches(to_cells, batch_format="pyarrow")
     if est_pairs > 2_000_000:
         fan = int(os.environ.get("ASKG_SJ_FAN", "4"))
         celled = celled.repartition(fan * nb)
