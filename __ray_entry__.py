@@ -230,7 +230,7 @@ def _repo_links(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from askg_ray.ops import curation, dedup, relational, similarity, text
+    from askg_ray.ops import curation, dedup, joins, relational, similarity, text
     from askg_ray.ops.multimodal import media_features
 
     def fingerprints_sql_cols(sf_dir):
@@ -266,6 +266,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": relational.events_running_total,
         "lineitem_quantiles": relational.lineitem_quantiles,
         "doc_search_bm25": text.bm25_search,
+        # -- fact-fact hash joins / distinct counts (SQL-checked) -----------
+        "order_revenue_topk": joins.order_revenue_topk,
+        "orders_with_returns": joins.orders_with_returns,
+        "events_lead_lag": joins.events_lead_lag,
+        "events_distinct_users": joins.events_distinct_users,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -336,6 +341,12 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
+    from askg_ray.ops.joins import (
+        DISTINCT_USERS_ORACLE_SQL,
+        LEAD_LAG_ORACLE_SQL,
+        ORDER_REVENUE_ORACLE_SQL,
+        ORDERS_WITH_RETURNS_ORACLE_SQL,
+    )
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL,
         QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         RUNNING_ORACLE_SQL)
@@ -373,6 +384,10 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": RUNNING_ORACLE_SQL,
         "lineitem_quantiles": QUANTILES_ORACLE_SQL,
         "doc_search_bm25": bm25_oracle_sql(),
+        "order_revenue_topk": ORDER_REVENUE_ORACLE_SQL,
+        "orders_with_returns": ORDERS_WITH_RETURNS_ORACLE_SQL,
+        "events_lead_lag": LEAD_LAG_ORACLE_SQL,
+        "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

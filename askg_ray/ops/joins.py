@@ -1,0 +1,287 @@
+"""Fact-fact joins and distinct-count aggregates (SURVEY.md §2.8-2.9).
+
+The dimension joins in ops/relational.py go through the size-gated
+broadcast/attach policy because one side is small. The operators here
+are the other shape: BOTH sides grow with the corpus (orders and
+lineitem both scale linearly with SF; at 100 TB neither fits a
+broadcast), so they use Ray Data's native hash shuffle join
+(``Dataset.join``) — each side is hash-partitioned on the key into
+``num_partitions`` aggregators, so the exchange moves every row exactly
+once and no task ever holds more than one partition of each side.
+
+Design rules shared with ops/relational.py:
+  * prune at the read and FILTER BEFORE THE SHUFFLE — the join only
+    ever exchanges rows that survive their per-table predicates;
+  * money is exact integer arithmetic (price-cents × (100 −
+    discount-pct)) so value-hashes cannot drift on float sum order;
+  * pre-aggregate per batch after the join, then a small groupby;
+  * semi-joins ship DISTINCT KEYS, never payload rows: a per-batch
+    local distinct shrinks the exchange before the global distinct.
+
+Partition sizing: ``num_partitions`` defaults to the CPU-proportional
+block count (rayutil.default_nblocks). At 100 TB size it instead from
+bytes — total_bytes / TARGET_BLOCK_BYTES — and pass it explicitly; the
+hash join's memory high-water mark per aggregator is
+(left_bytes + right_bytes) / num_partitions.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Q3-flavored constants (arbitrary but pinned: both the Ray op and the
+# SQL oracle below must agree).
+SEGMENT = "BUILDING"
+CUTOFF = datetime.datetime(1998, 7, 1)
+
+
+def _npartitions(override: int | None = None) -> int:
+    if override is not None:
+        return override
+    from ..rayutil import default_nblocks
+    return default_nblocks()
+
+
+def _rev_cents(t: pa.Table, price: str = "l_extendedprice",
+               disc: str = "l_discount"):
+    """Exact integer revenue: round(price·100) × (100 − round(disc·100))."""
+    import numpy as np
+    price_c = np.rint(
+        t[price].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    disc_pct = np.rint(
+        t[disc].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    return pa.array(price_c * (100 - disc_pct), pa.int64())
+
+
+def order_revenue_topk(sf_dir: str, k: int = 10,
+                       num_partitions: int | None = None,
+                       broadcast_threshold: int | None = None):
+    """TPC-H-Q3-flavored shipping-priority query: top-k unshipped orders
+    by revenue for one market segment.
+
+    Shape: customer segment attaches to orders through the size-gated
+    dim policy (stages/labeljoin.attach_dim), then orders ⋈ lineitem —
+    two fact tables — runs as a hash shuffle join on the order key with
+    both sides pre-filtered (o_orderdate < cutoff, l_shipdate > cutoff:
+    the filters drop ~½ and ~¾ of the rows BEFORE the exchange). The
+    joined stream pre-aggregates revenue per (orderkey, orderdate)
+    inside each batch, a small groupby sums the partials, and top-k is
+    per-block (sort+head k inside each block) before one tiny final
+    sort — no global sort of the full aggregate.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    npart = _npartitions(num_partitions)
+    cut = pa.scalar(CUTOFF, pa.timestamp("us"))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"].cast(pa.timestamp("us")),
+                                   cut)),
+        batch_format="pyarrow")
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    orders = attach_dim(orders, cust, "o_custkey", "c_custkey",
+                        ["c_mktsegment"], broadcast_threshold=bt)
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], SEGMENT))
+                   .select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"].cast(pa.timestamp("us")),
+                                      cut))
+                   .select(["l_orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+
+    joined = li.join(orders, join_type="inner", num_partitions=npart,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "o_orderdate": pa.array([], pa.timestamp("us")),
+                             "revenue_u": pa.array([], pa.int64())})
+        part = (pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "rev": _rev_cents(t),
+        }).group_by(["l_orderkey", "o_orderdate"]).aggregate([("rev", "sum")]))
+        return part.rename_columns(["l_orderkey", "o_orderdate", "revenue_u"])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate"])
+           .aggregate(Sum("revenue_u", alias_name="revenue_u")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("revenue_u", "descending"),
+                          ("l_orderkey", "ascending")])
+        return t.take(order[:k])
+
+    return (agg.map_batches(block_topk, batch_format="pyarrow")
+            .sort(["revenue_u", "l_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+ORDER_REVENUE_ORACLE_SQL = """
+SELECT l.l_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_u DESC, l.l_orderkey
+LIMIT 10
+""".strip()
+
+
+def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H-Q4-flavored fact-fact SEMI-join: orders per priority that
+    have at least one returned lineitem (l_returnflag = 'R').
+
+    The semi side never ships payload: lineitem collapses to DISTINCT
+    l_orderkey in two stages (per-batch local distinct — a free ~6→1
+    shrink since an order has several lineitems — then a keys-only
+    groupby), and the distinct-key table hash-joins orders. The join
+    output carries o_orderpriority only; a count groupby finishes.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    npart = _npartitions(num_partitions)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return (t.select(["l_orderkey"])
+                .group_by(["l_orderkey"]).aggregate([]))
+
+    keys = (li.map_batches(local_distinct, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Count(alias_name="__c"))
+            .select_columns(["l_orderkey"]))  # global distinct keys
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = keys.join(orders, join_type="inner", num_partitions=npart,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
+ORDERS_WITH_RETURNS_ORACLE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN
+      (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+""".strip()
+
+
+def events_lead_lag(sf_dir: str):
+    """LAG/LEAD window: per-user gap to the previous and next event in
+    (ts, event_id) order, as exact integer microseconds. One
+    groupby(user) shuffle; the per-group kernel is a numpy sort + two
+    shifted subtractions (no Python per row). Boundary rows carry NULL,
+    matching the SQL window functions.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("prev_gap_us", pa.int64()),
+                            ("next_gap_us", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        t = t.take(order)
+        us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        n = len(us)
+        prev = np.empty(n, dtype=np.int64)
+        nxt = np.empty(n, dtype=np.int64)
+        prev[1:] = us[1:] - us[:-1]
+        nxt[:-1] = us[1:] - us[:-1]
+        pmask = np.zeros(n, dtype=bool)
+        nmask = np.zeros(n, dtype=bool)
+        if n:
+            pmask[0] = True
+            nmask[-1] = True
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "prev_gap_us": pa.array(prev, pa.int64(), mask=pmask),
+            "next_gap_us": pa.array(nxt, pa.int64(), mask=nmask),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+LEAD_LAG_ORACLE_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS prev_gap_us,
+       lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".strip()
+
+
+def events_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type via the two-level shrink:
+    per-batch local distinct pairs (map-side combiner), one global
+    pair-distinct groupby, then per-batch partial counts into a
+    few-group sum. The only exchange proportional to data is the pair
+    distinct, and its input is already batch-deduped — never one row
+    per event.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (ev.map_batches(local_pairs, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="__c")))
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    return (pairs.map_batches(partial_count, batch_format="pyarrow")
+            .groupby("event_type").aggregate(Sum("n", alias_name="n_users")))
+
+
+DISTINCT_USERS_ORACLE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""".strip()

@@ -83,6 +83,18 @@ def _split_block(tbl: pa.Table, pre_fn, key: str, nred: int):
 
 @ray.remote
 def _reduce_parts(reduce_fn, out_schema: pa.Schema, *parts):
+    if os.environ.get("ASKG_PROF"):
+        import sys
+        import time
+        t0 = time.time()
+        nin = sum(p.num_rows for p in parts if p is not None)
+        parts = [p for p in parts if p is not None and p.num_rows]
+        if not parts:
+            return out_schema.empty_table()
+        out = reduce_fn(pa.concat_tables(parts, promote_options="default"))
+        print(f"[rtask] dur={time.time() - t0:7.3f} in={nin} "
+              f"out={out.num_rows}", file=sys.stderr, flush=True)
+        return out
     parts = [p for p in parts if p is not None and p.num_rows]
     if not parts:
         return out_schema.empty_table()
@@ -108,13 +120,24 @@ def exchange_reduce(ds, key: str, reduce_fn, out_schema: pa.Schema,
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
 
+    from ..rayutil import prof
+
+    prof(f"exchange:start M={len(refs)} R={nred}")
     splits = [_split_block.options(num_returns=nred).remote(r, pre_fn, key,
                                                             nred)
               for r in refs]
+    if os.environ.get("ASKG_PROF"):
+        # profiling only: an explicit split barrier so the phase split
+        # is visible — NOT on the production path (reduces normally
+        # start as their inputs land)
+        ray.wait([s[0] for s in splits], num_returns=len(splits))
+        prof("exchange:splits-done")
     outs = [_reduce_parts.remote(reduce_fn, out_schema,
                                  *[s[r] for s in splits])
             for r in range(nred)]
-    return rd.from_arrow_refs(outs).materialize()
+    res = rd.from_arrow_refs(outs).materialize()
+    prof("exchange:reduced")
+    return res
 
 
 def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,

@@ -5,10 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "triples_per_sec": ...}
 
---scaling: runs the same bench twice in fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and prints throughputs +
-scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes —
-BASELINE.md). A warm-up read primes the page cache first so the two
+--scaling: runs the same bench in fresh processes at each width of
+GRAFT_SCALING_PAIRS (default "2:8,8:32" — each width once, shared
+across pairs) on the same input and prints throughputs + scaling
+efficiency per pair (the sandbox stand-in for N vs 4N Ray nodes —
+BASELINE.md). A warm-up read primes the page cache first so the
 runs measure compute + shuffle, not first-touch disk.
 """
 
@@ -184,26 +185,38 @@ def run_scaling():
         with open(f, "rb") as fh:
             fh.read()
 
-    lo_n = int(os.environ.get("GRAFT_SCALING_LO", "2"))
-    hi_n = int(os.environ.get("GRAFT_SCALING_HI", "8"))
-    lo, hi = run(lo_n), run(hi_n)
+    # pairs to report: default BOTH the unthrottled 2v8 regime and the
+    # mandated 8v32 axis (each width runs ONCE; 8 is shared). Legacy
+    # GRAFT_SCALING_LO/HI force a single pair.
+    if os.environ.get("GRAFT_SCALING_LO") or os.environ.get("GRAFT_SCALING_HI"):
+        pairs = [(int(os.environ.get("GRAFT_SCALING_LO", "2")),
+                  int(os.environ.get("GRAFT_SCALING_HI", "8")))]
+    else:
+        pairs = [tuple(int(x) for x in p.split(":")) for p in
+                 os.environ.get("GRAFT_SCALING_PAIRS", "2:8,8:32").split(",")]
+
+    widths = sorted({w for p in pairs for w in p})
+    runs = {w: run(w) for w in widths}
+    out: dict = {"widths": widths, "pairs": []}
+    for w in widths:
+        out[f"kg_sec_{w}cpu"] = runs[w]["queries"]["kg_build"]
+        out[f"sec_{w}cpu"] = runs[w]["value"]
+        out[f"triples_per_sec_{w}cpu"] = runs[w]["triples_per_sec"]
+        out[f"queries_{w}cpu"] = runs[w]["queries"]
     # efficiency is measured on the headline pipeline (the "same job"
     # of the scaling criterion); the small per-query timings at this
     # corpus size are scheduling-floor noise and are reported raw
-    kg_lo, kg_hi = lo["queries"]["kg_build"], hi["queries"]["kg_build"]
-    ratio = hi_n / lo_n
-    eff = (kg_lo / kg_hi) / ratio
-    eff_total = (lo["value"] / hi["value"]) / ratio
-    print(json.dumps({
-        "lo_cpus": lo_n, "hi_cpus": hi_n,
-        f"kg_sec_{lo_n}cpu": kg_lo, f"kg_sec_{hi_n}cpu": kg_hi,
-        f"sec_{lo_n}cpu": lo["value"], f"sec_{hi_n}cpu": hi["value"],
-        f"triples_per_sec_{lo_n}cpu": lo["triples_per_sec"],
-        f"triples_per_sec_{hi_n}cpu": hi["triples_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_total": round(eff_total, 3),
-        f"queries_{lo_n}cpu": lo["queries"], f"queries_{hi_n}cpu": hi["queries"],
-    }))
+    for lo_n, hi_n in pairs:
+        ratio = hi_n / lo_n
+        kg_lo = runs[lo_n]["queries"]["kg_build"]
+        kg_hi = runs[hi_n]["queries"]["kg_build"]
+        out["pairs"].append({
+            "lo_cpus": lo_n, "hi_cpus": hi_n,
+            "scaling_efficiency": round((kg_lo / kg_hi) / ratio, 3),
+            "scaling_efficiency_total": round(
+                (runs[lo_n]["value"] / runs[hi_n]["value"]) / ratio, 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -306,3 +306,39 @@ def test_ann_exact_rank_column_and_recall_floor(ray_session):
         assert all(r["exact_rank"] >= 1 for r in hits)
         with _pytest.raises(ValueError, match="recall"):
             fn(SF, k=10, min_recall=1.01)
+
+
+def test_fact_fact_joins_vs_duckdb(ray_session):
+    """The hash-shuffle fact-fact join family (ops/joins.py) hash-matches
+    its oracles, including with num_partitions forced small and the
+    dim attach forced onto the shuffle path (broadcast_threshold=0)."""
+    import duckdb
+
+    from askg_ray.ops import joins
+
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "events"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{SF}/{t}.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(str)
+        return sorted("|".join(r) for r in df.itertuples(index=False))
+
+    cases = [
+        (lambda: joins.order_revenue_topk(SF), joins.ORDER_REVENUE_ORACLE_SQL),
+        (lambda: joins.order_revenue_topk(SF, num_partitions=3,
+                                          broadcast_threshold=0),
+         joins.ORDER_REVENUE_ORACLE_SQL),
+        (lambda: joins.orders_with_returns(SF),
+         joins.ORDERS_WITH_RETURNS_ORACLE_SQL),
+        (lambda: joins.orders_with_returns(SF, num_partitions=2),
+         joins.ORDERS_WITH_RETURNS_ORACLE_SQL),
+        (lambda: joins.events_lead_lag(SF), joins.LEAD_LAG_ORACLE_SQL),
+        (lambda: joins.events_distinct_users(SF),
+         joins.DISTINCT_USERS_ORACLE_SQL),
+    ]
+    for fn, sql in cases:
+        got = canon(fn().to_pandas())
+        exp = canon(con.sql(sql).df())
+        assert got and got == exp
