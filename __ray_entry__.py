@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": curation.repetition,
         "doc_split": curation.doc_split,
         "doc_chunks": curation.doc_chunks,
+        "doc_sample": curation.doc_sample,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
         "events_running_total": relational.events_running_total,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         DECON_ORACLE_SQL,
         PII_ORACLE_SQL,
         REP_ORACLE_SQL,
+        SAMPLE_ORACLE_SQL,
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
@@ -379,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": REP_ORACLE_SQL,
         "doc_split": SPLIT_ORACLE_SQL,
         "doc_chunks": CHUNK_ORACLE_SQL,
+        "doc_sample": SAMPLE_ORACLE_SQL,
         "events_asof": ASOF_ORACLE_SQL,
         "revenue_by_nation": REVENUE_ORACLE_SQL,
         "events_running_total": RUNNING_ORACLE_SQL,

@@ -281,3 +281,40 @@ c AS (SELECT doc_id, unnest(
       FROM toks)
 SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM c
 """.strip()
+
+
+# ---- deterministic sampling -------------------------------------------------
+
+SAMPLE_RATE_PCT = 10   # default held-out slice size
+
+
+def sample_batch(batch: pa.Table, rate_pct: int) -> pa.Table:
+    """Content-addressed Bernoulli filter: keep a row iff the first 8
+    hex chars of md5(doc_id) mod 100 < rate_pct. No RNG state, no seed
+    plumbing — the SAME slice falls out on any cluster size, block
+    layout or re-run, which is what makes held-out carving reproducible
+    at 100 TB (a map-only scan; dataset-level random_sample() would
+    need a seed per block and re-deal on repartition)."""
+    keep = [int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16)
+            % 100 < rate_pct
+            for d in batch["doc_id"].to_pylist()]
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def doc_sample(sf_dir: str, rate_pct: int = SAMPLE_RATE_PCT):
+    """Deterministic ~rate_pct% document sample (uniform across sources
+    because the hash is independent of the source column — the
+    stratified read falls out of grouping this output)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    return docs.map_batches(lambda t: sample_batch(t, rate_pct),
+                            batch_format="pyarrow")
+
+
+SAMPLE_ORACLE_SQL = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < {SAMPLE_RATE_PCT}
+""".strip()

@@ -342,3 +342,22 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
         got = canon(fn().to_pandas())
         exp = canon(con.sql(sql).df())
         assert got and got == exp
+
+
+def test_doc_sample_deterministic_vs_duckdb(ray_session):
+    """Content-addressed sampling matches its SQL oracle and is stable
+    across rate: slices are nested (rate 5 ⊂ rate 20)."""
+    import duckdb
+
+    from askg_ray.ops import curation
+
+    got = sorted(r["doc_id"] for r in _rows(curation.doc_sample(SF)))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    exp = sorted(r[0] for r in con.sql(curation.SAMPLE_ORACLE_SQL).fetchall())
+    assert got and got == exp
+
+    s5 = {r["doc_id"] for r in _rows(curation.doc_sample(SF, rate_pct=5))}
+    s20 = {r["doc_id"] for r in _rows(curation.doc_sample(SF, rate_pct=20))}
+    assert s5 <= s20 and set(got) <= s20
