@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": curation.doc_split,
         "doc_chunks": curation.doc_chunks,
         "doc_sample": curation.doc_sample,
+        "passage_dedup": curation.passage_dedup,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
         "events_running_total": relational.events_running_total,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.curation import (
         CHUNK_ORACLE_SQL,
         DECON_ORACLE_SQL,
+        PASSAGE_ORACLE_SQL,
         PII_ORACLE_SQL,
         REP_ORACLE_SQL,
         SAMPLE_ORACLE_SQL,
@@ -382,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": SPLIT_ORACLE_SQL,
         "doc_chunks": CHUNK_ORACLE_SQL,
         "doc_sample": SAMPLE_ORACLE_SQL,
+        "passage_dedup": PASSAGE_ORACLE_SQL,
         "events_asof": ASOF_ORACLE_SQL,
         "revenue_by_nation": REVENUE_ORACLE_SQL,
         "events_running_total": RUNNING_ORACLE_SQL,

@@ -318,3 +318,81 @@ SELECT doc_id, source, n_chars FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 100 < {SAMPLE_RATE_PCT}
 """.strip()
+
+
+# ---- cross-document passage dedup -------------------------------------------
+
+PASSAGE_TOKENS = 16    # non-overlapping passage window (last partial kept)
+
+
+def passage_rows(batch: pa.Table) -> pa.Table:
+    """Explode docs into (h=md5(passage), pos=doc_id·10⁶+idx) thin rows
+    — the passage text itself never leaves the map task."""
+    out_h, out_pos = [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        ws = (t or "").split(" ")
+        d = int(did) * 1_000_000
+        for i in range(0, len(ws), PASSAGE_TOKENS):
+            out_h.append(hashlib.md5(
+                " ".join(ws[i:i + PASSAGE_TOKENS]).encode()).hexdigest())
+            out_pos.append(d + i // PASSAGE_TOKENS)
+    return pa.table({"h": pa.array(out_h, pa.string()),
+                     "pos": pa.array(out_pos, pa.int64())})
+
+
+def passage_dedup(sf_dir: str, num_partitions: int | None = None):
+    """Corpus-wide passage-level dedup accounting (the
+    remove-duplicated-passages shape of web-corpus curation): for every
+    doc, how many of its PASSAGE_TOKENS-token windows already occur
+    earlier in the corpus (earlier = lower (doc_id, idx) — the unique
+    owner of each passage hash).
+
+    Scale shape: thin (h, pos) rows → one Min-groupby on the hash (the
+    only data-proportional shuffle, pre-shrunk to 16 B + 8 B per
+    passage) → native hash join back on the same key → per-batch
+    partial counts into a per-doc sum. No passage text is ever
+    shuffled; no driver state.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..rayutil import default_nblocks
+
+    npart = num_partitions if num_partitions is not None else default_nblocks()
+
+    rows = _read_docs(sf_dir).map_batches(passage_rows,
+                                          batch_format="pyarrow")
+    owners = rows.groupby("h").aggregate(Min("pos", alias_name="min_pos"))
+    joined = rows.join(owners, join_type="inner", num_partitions=npart,
+                       on=("h",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        mn = t["min_pos"].to_numpy(zero_copy_only=False)
+        g = (pa.table({"doc_id": pa.array(pos // 1_000_000, pa.int64()),
+                       "n": pa.array(np.ones(len(pos), np.int64)),
+                       "n_dup": pa.array((pos > mn).astype(np.int64))})
+             .group_by(["doc_id"]).aggregate([("n", "sum"), ("n_dup", "sum")]))
+        return g.rename_columns(["doc_id", "n", "n_dup"])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n", alias_name="n_passages"),
+                       Sum("n_dup", alias_name="n_dup_passages")))
+
+
+PASSAGE_ORACLE_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(coalesce(text,''),' ') ws
+              FROM documents),
+p AS (SELECT doc_id, unnest(
+      [{{'idx': (i-1)//{PASSAGE_TOKENS},
+         'h': md5(array_to_string(ws[i:i+{PASSAGE_TOKENS - 1}],' '))}}
+       FOR i IN range(1, len(ws)+1, {PASSAGE_TOKENS})],
+      recursive := true) FROM toks),
+o AS (SELECT h, min(doc_id*1000000+idx) AS min_pos FROM p GROUP BY h)
+SELECT p.doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN p.doc_id*1000000+p.idx > o.min_pos
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+FROM p JOIN o ON p.h = o.h GROUP BY p.doc_id
+""".strip()

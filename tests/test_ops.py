@@ -361,3 +361,22 @@ def test_doc_sample_deterministic_vs_duckdb(ray_session):
     s5 = {r["doc_id"] for r in _rows(curation.doc_sample(SF, rate_pct=5))}
     s20 = {r["doc_id"] for r in _rows(curation.doc_sample(SF, rate_pct=20))}
     assert s5 <= s20 and set(got) <= s20
+
+
+def test_passage_dedup_vs_duckdb(ray_session):
+    """Cross-document passage dedup hash-matches its oracle, also with
+    the join partition count forced small; planted near-dups guarantee
+    nonzero duplicate passages."""
+    import duckdb
+
+    from askg_ray.ops.curation import PASSAGE_ORACLE_SQL, passage_dedup
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    exp = sorted(map(tuple, con.sql(PASSAGE_ORACLE_SQL).fetchall()))
+    for np_ in (None, 3):
+        got = sorted((r["doc_id"], r["n_passages"], r["n_dup_passages"])
+                     for r in _rows(passage_dedup(SF, num_partitions=np_)))
+        assert got == exp
+    assert sum(1 for _, _, d in exp if d > 0) > 0
