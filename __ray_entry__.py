@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- fact-fact hash joins / distinct counts (SQL-checked) -----------
         "order_revenue_topk": joins.order_revenue_topk,
         "orders_with_returns": joins.orders_with_returns,
+        "orders_without_returns": joins.orders_without_returns,
         "events_lead_lag": joins.events_lead_lag,
         "events_distinct_users": joins.events_distinct_users,
         # -- dedup family --------------------------------------------------
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         LEAD_LAG_ORACLE_SQL,
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
+        ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
     )
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL,
         QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
@@ -392,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_search_bm25": bm25_oracle_sql(),
         "order_revenue_topk": ORDER_REVENUE_ORACLE_SQL,
         "orders_with_returns": ORDERS_WITH_RETURNS_ORACLE_SQL,
+        "orders_without_returns": ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
         "doc_count_by_source":

@@ -164,10 +164,19 @@ def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
     groupby), and the distinct-key table hash-joins orders. The join
     output carries o_orderpriority only; a count groupby finishes.
     """
-    import ray.data as rd
     from ray.data.aggregate import Count
 
-    npart = _npartitions(num_partitions)
+    joined = _orders_joined_returned_keys(sf_dir, "inner", num_partitions)
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
+def _returned_orderkeys(sf_dir: str):
+    """DISTINCT l_orderkey of returned lineitems, shrunk in two stages:
+    per-batch local distinct (a free ~6→1 since an order has several
+    lineitems), then a keys-only groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_returnflag"])
@@ -177,22 +186,57 @@ def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
         return (t.select(["l_orderkey"])
                 .group_by(["l_orderkey"]).aggregate([]))
 
-    keys = (li.map_batches(local_distinct, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Count(alias_name="__c"))
-            .select_columns(["l_orderkey"]))  # global distinct keys
+    # keep the count column as a non-null match marker: the hash join
+    # coalesces the key columns, so a key-only right side would leave
+    # left-outer unmatched rows indistinguishable
+    return (li.map_batches(local_distinct, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Count(alias_name="__c")))
+
+
+def _orders_joined_returned_keys(sf_dir: str, join_type: str,
+                                 num_partitions: int | None):
+    import ray.data as rd
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
-    joined = keys.join(orders, join_type="inner", num_partitions=npart,
-                       on=("l_orderkey",), right_on=("o_orderkey",))
-    return (joined.groupby("o_orderpriority")
-            .aggregate(Count(alias_name="n_orders")))
+    # orders LEFT, keys RIGHT: left_outer keeps key-less orders (the
+    # anti side); inner is the semi side
+    return orders.join(_returned_orderkeys(sf_dir), join_type=join_type,
+                       num_partitions=_npartitions(num_partitions),
+                       on=("o_orderkey",), right_on=("l_orderkey",))
 
 
 ORDERS_WITH_RETURNS_ORACLE_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders
 WHERE o_orderkey IN
+      (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+""".strip()
+
+
+def orders_without_returns(sf_dir: str, num_partitions: int | None = None):
+    """Fact-fact ANTI-join: orders per priority with ZERO returned
+    lineitems — a left-outer hash join against the distinct returned
+    keys, keeping the null (unmatched) side. Same distinct-keys-only
+    exchange as the semi-join; the anti semantics cost one extra
+    null-filter map."""
+    from ray.data.aggregate import Count
+
+    joined = _orders_joined_returned_keys(sf_dir, "left_outer",
+                                          num_partitions)
+    unmatched = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__c"]))
+                   .select(["o_orderpriority"]),
+        batch_format="pyarrow")
+    return (unmatched.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_orders")))
+
+
+ORDERS_WITHOUT_RETURNS_ORACLE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey NOT IN
       (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
 GROUP BY o_orderpriority
 """.strip()

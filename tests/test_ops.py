@@ -334,6 +334,10 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
          joins.ORDERS_WITH_RETURNS_ORACLE_SQL),
         (lambda: joins.orders_with_returns(SF, num_partitions=2),
          joins.ORDERS_WITH_RETURNS_ORACLE_SQL),
+        (lambda: joins.orders_without_returns(SF),
+         joins.ORDERS_WITHOUT_RETURNS_ORACLE_SQL),
+        (lambda: joins.orders_without_returns(SF, num_partitions=2),
+         joins.ORDERS_WITHOUT_RETURNS_ORACLE_SQL),
         (lambda: joins.events_lead_lag(SF), joins.LEAD_LAG_ORACLE_SQL),
         (lambda: joins.events_distinct_users(SF),
          joins.DISTINCT_USERS_ORACLE_SQL),
