@@ -504,10 +504,18 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # barriers (the est_pairs>2M repartition + the Sort), and — unlike
     # sort partitions, where >4×CPU turned the exchange into a
     # small-object fetch storm (53.5 s at fan=4 vs 337 s at fan=8 on the
-    # same input) — direct task args make R ≋ 4×CPU reducers cheap, so
-    # the CPU-heavy verify spreads evenly regardless of which input
+    # same input) — direct task args make many-reducer exchanges cheap,
+    # so the CPU-heavy verify spreads evenly regardless of which input
     # block held the hot rows (measured: the per-block to_cells
     # replication skew serialized the old path's critical path).
+    # R sizing: per-cell verify/emit cost is quadratic in cell size, so
+    # hash-assigned reducers see heavy-tailed loads; finer tasks smooth
+    # stragglers until per-task overhead bites. An interleaved A/B on
+    # the bench corpus (mult 8 vs 32, alternating in one warm session)
+    # measured min-of-2 43.3 s vs 42.2 s — indistinguishable under this
+    # host's ±2× noise — while mult=64 (2048 reducers, 65k slice
+    # objects) was reliably past the knee. Default stays 8; the env
+    # knob exists for wider clusters where straggler smoothing pays.
     if n_rows < SMALL_EXPLODED_ROWS:
         from .exchange import exchange_reduce
 
