@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_returns": joins.orders_without_returns,
         "events_lead_lag": joins.events_lead_lag,
         "events_distinct_users": joins.events_distinct_users,
+        "events_sliding_count": relational.events_sliding_count,
+        "events_type_pivot": relational.events_type_pivot,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -353,9 +355,9 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
     )
-    from askg_ray.ops.relational import (ASOF_ORACLE_SQL,
+    from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
         QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
-        RUNNING_ORACLE_SQL)
+        RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -397,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_returns": ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
+        "events_sliding_count": SLIDING_ORACLE_SQL,
+        "events_type_pivot": PIVOT_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

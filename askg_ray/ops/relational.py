@@ -499,3 +499,90 @@ SELECT event_id, user_id, ts,
            AS running_u
 FROM events
 """.strip()
+
+
+def events_sliding_count(sf_dir: str):
+    """Sliding RANGE window: for every event, how many of the same
+    user's events fall in (ts − 1 h, ts] — SQL RANGE BETWEEN INTERVAL 1
+    HOUR PRECEDING AND CURRENT ROW semantics, peers (equal ts)
+    included. One groupby(user) shuffle; the per-group kernel is two
+    vectorized searchsorted calls over the sorted timestamp array (the
+    boundary array ts−1h is monotone, so the whole group resolves in
+    O(n log n) with no Python per row).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    HOUR_US = 3_600_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        t = t.take(order)
+        us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        lo = np.searchsorted(us, us - HOUR_US, side="left")
+        hi = np.searchsorted(us, us, side="right")   # peers included
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "n_window": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SLIDING_ORACLE_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                      AND CURRENT ROW) AS n_window
+FROM events
+""".strip()
+
+
+# the synthetic events table's closed type vocabulary — a pivot needs a
+# fixed output schema, so the columns are pinned (and asserted) here
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot (wide aggregate): per-user event counts spread over one
+    column per event type. Per-batch partials pivot locally (Arrow
+    filter masks, one row per user per batch), then a single
+    groupby(user).Sum per column — the shuffle carries the already-wide
+    partials, never one row per event.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(uids)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for et in EVENT_TYPES:
+            sel = uids[types == et]
+            cnt = np.zeros(len(uniq), dtype=np.int64)
+            if len(sel):
+                idx, c = np.unique(sel, return_counts=True)
+                cnt[np.searchsorted(uniq, idx)] = c
+            cols[f"n_{et}"] = pa.array(cnt)
+        return pa.table(cols)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}")
+                         for et in EVENT_TYPES]))
+
+
+PIVOT_ORACLE_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{et}" for et in EVENT_TYPES) + " FROM events GROUP BY user_id"

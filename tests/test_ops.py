@@ -384,3 +384,29 @@ def test_passage_dedup_vs_duckdb(ray_session):
                      for r in _rows(passage_dedup(SF, num_partitions=np_)))
         assert got == exp
     assert sum(1 for _, _, d in exp if d > 0) > 0
+
+
+def test_sliding_window_and_pivot_vs_duckdb(ray_session):
+    """RANGE-semantics sliding count (peers included) and the per-user
+    event-type pivot hash-match their oracles."""
+    import duckdb
+
+    from askg_ray.ops import relational as r
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{SF}/events.parquet')")
+    for fn, sql in [(r.events_sliding_count, r.SLIDING_ORACLE_SQL),
+                    (r.events_type_pivot, r.PIVOT_ORACLE_SQL)]:
+        got = fn(SF).to_pandas()
+        exp = con.sql(sql).df()
+        g = sorted("|".join(map(str, row)) for row in
+                   got[sorted(got.columns)].itertuples(index=False))
+        e = sorted("|".join(map(str, row)) for row in
+                   exp[sorted(exp.columns)].itertuples(index=False))
+        assert g and g == e, fn.__name__
+    # the pivot's pinned type vocabulary must actually cover the data
+    types = {r0["event_type"] for r0 in _rows(
+        __import__("ray").data.read_parquet(f"{SF}/events.parquet",
+                                            columns=["event_type"]))}
+    assert types <= set(r.EVENT_TYPES)
