@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": joins.events_distinct_users,
         "events_sliding_count": relational.events_sliding_count,
         "events_type_pivot": relational.events_type_pivot,
+        "orders_price_quantiles": relational.orders_price_quantiles,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -356,7 +357,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
     )
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
-        QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
+        PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
 
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
         "events_sliding_count": SLIDING_ORACLE_SQL,
         "events_type_pivot": PIVOT_ORACLE_SQL,
+        "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

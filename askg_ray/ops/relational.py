@@ -586,3 +586,116 @@ def events_type_pivot(sf_dir: str):
 PIVOT_ORACLE_SQL = "SELECT user_id, " + ", ".join(
     f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT)"
     f" AS n_{et}" for et in EVENT_TYPES) + " FROM events GROUP BY user_id"
+
+
+def orders_price_quantiles(sf_dir: str, collect_max: int = 65536):
+    """Exact quantiles (p25/p50/p75/p90) of o_totalprice — a
+    HIGH-cardinality double column, where the value-histogram trick of
+    ``lineitem_quantiles`` (one row per distinct value) would not
+    bound the shuffle. Classic iterative histogram refinement instead:
+    each round is ONE streaming scan that bin-counts the values of
+    every still-open quantile's candidate range (per-batch numpy
+    bincount partials, one small groupby to sum), the driver descends
+    into the bucket containing each target rank, and once a range
+    holds ≤ ``collect_max`` values they are pulled and selected
+    exactly. Driver state is O(buckets × quantiles); passes are
+    O(log_B(range cardinality)) — 2 scans end-to-end here, ~3-4 at
+    100 TB. Matches DuckDB quantile_disc (k = ceil(q·n), 1-based).
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    B = 1024
+    QS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"]).materialize()
+    n = ds.count()
+    # open state per quantile: (rank k within [lo, hi), count in range)
+    state = {name: {"k": max(1, int(np.ceil(q * n))), "lo": None,
+                    "hi": None, "cnt": n, "val": None}
+             for name, q in QS}
+
+    def _hist(ranges: dict) -> dict:
+        """One scan: per-quantile B-bucket counts over its [lo, hi)."""
+        def partial(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+            names, buckets, counts = [], [], []
+            for name, (lo, hi) in ranges.items():
+                sel = v if lo is None else v[(v >= lo) & (v < hi)]
+                if lo is None:
+                    lo_, hi_ = (float(v.min()), float(np.nextafter(
+                        v.max(), np.inf))) if len(v) else (0.0, 1.0)
+                else:
+                    lo_, hi_ = lo, hi
+                if len(sel):
+                    b = np.minimum(((sel - lo_) * B / (hi_ - lo_))
+                                   .astype(np.int64), B - 1)
+                    idx, c = np.unique(b, return_counts=True)
+                    names += [name] * len(idx)
+                    buckets += idx.tolist()
+                    counts += c.tolist()
+            return pa.table({"q": pa.array(names, pa.string()),
+                             "b": pa.array(buckets, pa.int64()),
+                             "n": pa.array(counts, pa.int64())})
+
+        out = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["q", "b"]).aggregate(Sum("n", alias_name="n")))
+        hists: dict = {}
+        for batch in out.iter_batches(batch_format="pyarrow"):
+            for r in batch.to_pylist():
+                hists.setdefault(r["q"], np.zeros(B, np.int64))[r["b"]] += r["n"]
+        return hists
+
+    # global min/max via the first unbounded histogram pass needs the
+    # real bounds first — one cheap aggregate scan
+    import pyarrow.compute as _pc  # noqa: F401
+    gmin = ds.min("o_totalprice")
+    gmax = float(np.nextafter(ds.max("o_totalprice"), np.inf))
+    for s in state.values():
+        s["lo"], s["hi"] = float(gmin), gmax
+
+    while True:
+        open_qs = {name: (s["lo"], s["hi"]) for name, s in state.items()
+                   if s["val"] is None and s["cnt"] > collect_max}
+        if not open_qs:
+            break
+        hists = _hist(open_qs)
+        for name in open_qs:
+            s = state[name]
+            h = hists[name]
+            cum = np.cumsum(h)
+            j = int(np.searchsorted(cum, s["k"]))
+            width = (s["hi"] - s["lo"]) / B
+            s["k"] -= int(cum[j - 1]) if j else 0
+            s["lo"], s["hi"] = s["lo"] + j * width, s["lo"] + (j + 1) * width
+            s["cnt"] = int(h[j])
+
+    def _collect(lo: float, hi: float) -> np.ndarray:
+        def f(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"]
+            return t.filter(pc.and_(pc.greater_equal(v, lo),
+                                    pc.less(v, hi)))
+        vals = [b["o_totalprice"].to_numpy(zero_copy_only=False)
+                for b in ds.map_batches(f, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")]
+        return np.sort(np.concatenate(vals)) if vals else np.array([])
+
+    for s in state.values():
+        if s["val"] is None:
+            vals = _collect(s["lo"], s["hi"])
+            s["val"] = float(vals[s["k"] - 1])
+
+    return rd.from_arrow(pa.table(
+        {name: pa.array([state[name]["val"]], pa.float64())
+         for name, _ in QS}))
+
+
+PRICE_QUANTILES_ORACLE_SQL = """
+SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75,
+       quantile_disc(o_totalprice, 0.90) AS p90
+FROM orders
+""".strip()

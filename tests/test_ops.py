@@ -410,3 +410,22 @@ def test_sliding_window_and_pivot_vs_duckdb(ray_session):
         __import__("ray").data.read_parquet(f"{SF}/events.parquet",
                                             columns=["event_type"]))}
     assert types <= set(r.EVENT_TYPES)
+
+
+def test_price_quantiles_exact_vs_duckdb(ray_session):
+    """Iterative-refinement quantiles over high-cardinality doubles are
+    EXACT (equal to quantile_disc), including with collect_max forced
+    tiny so the multi-pass descent actually runs."""
+    import duckdb
+
+    from askg_ray.ops.relational import (PRICE_QUANTILES_ORACLE_SQL,
+                                         orders_price_quantiles)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * "
+            f"FROM read_parquet('{SF}/orders.parquet')")
+    exp = con.sql(PRICE_QUANTILES_ORACLE_SQL).df()
+    for cm in (65536, 8):
+        got = orders_price_quantiles(SF, collect_max=cm).to_pandas()
+        assert (got[sorted(got.columns)].values
+                == exp[sorted(exp.columns)].values).all()
