@@ -429,3 +429,17 @@ def test_price_quantiles_exact_vs_duckdb(ray_session):
         got = orders_price_quantiles(SF, collect_max=cm).to_pandas()
         assert (got[sorted(got.columns)].values
                 == exp[sorted(exp.columns)].values).all()
+
+
+def test_entry_contract_consistency(ray_session):
+    """Every oracle_sql key names a queries() entry, and the driver
+    entry module exposes the three required callables."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    os_ = em.oracle_sql()
+    assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
+    assert callable(em.entry)
+    assert len(qs) >= 60 and len(os_) >= 45
