@@ -230,7 +230,8 @@ def _repo_links(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from askg_ray.ops import curation, dedup, joins, relational, similarity, text
+    from askg_ray.ops import (curation, dedup, graph, joins, relational,
+                              similarity, text)
     from askg_ray.ops.multimodal import media_features
 
     def fingerprints_sql_cols(sf_dir):
@@ -277,6 +278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_count": relational.events_sliding_count,
         "events_type_pivot": relational.events_type_pivot,
         "orders_price_quantiles": relational.orders_price_quantiles,
+        # -- iterative graph algorithms (pagerank rows-only: float sums
+        #    are shuffle-order-dependent; numpy parity in pytest) -------
+        "customer_supplier_degree": graph.customer_supplier_degree,
+        "supplier_pagerank": graph.supplier_pagerank,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -349,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
+    from askg_ray.ops.graph import DEGREE_ORACLE_SQL
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
         LEAD_LAG_ORACLE_SQL,
@@ -403,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_count": SLIDING_ORACLE_SQL,
         "events_type_pivot": PIVOT_ORACLE_SQL,
         "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
+        "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

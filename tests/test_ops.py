@@ -443,3 +443,45 @@ def test_entry_contract_consistency(ray_session):
     assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
     assert callable(em.entry)
     assert len(qs) >= 60 and len(os_) >= 45
+
+
+def test_graph_degree_and_pagerank(ray_session):
+    """Degree hash-matches DuckDB; distributed PageRank equals a dense
+    numpy power iteration to 1e-9 with the same top node."""
+    import duckdb
+    import numpy as _np
+
+    from askg_ray.ops import graph as g
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{SF}/{t}.parquet')")
+    got = sorted((r["c_custkey"], r["n_suppliers"])
+                 for r in _rows(g.customer_supplier_degree(SF)))
+    exp = sorted(map(tuple, con.sql(g.DEGREE_ORACLE_SQL).fetchall()))
+    assert got == exp
+
+    pr = {r["node"]: r["rank"] for r in _rows(g.supplier_pagerank(SF))}
+    edges = con.sql(
+        "SELECT DISTINCT o.o_custkey AS u, -(l.l_suppkey + 1) AS v "
+        "FROM orders o JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey").fetchall()
+    und = set()
+    for u, v in edges:
+        und.add((u, v))
+        und.add((v, u))
+    nodes = sorted({x for e in und for x in e})
+    idx = {nd: i for i, nd in enumerate(nodes)}
+    deg = _np.zeros(len(nodes))
+    for u, v in und:
+        deg[idx[u]] += 1
+    r = _np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(5):
+        contrib = _np.zeros(len(nodes))
+        for u, v in und:
+            contrib[idx[v]] += r[idx[u]] / deg[idx[u]]
+        r = 0.15 / len(nodes) + 0.85 * contrib
+    assert set(pr) == set(nodes)
+    assert max(abs(pr[nd] - r[idx[nd]]) for nd in nodes) < 1e-9
+    assert max(pr, key=lambda k: (pr[k], k)) == nodes[int(_np.argmax(r))]
