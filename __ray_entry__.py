@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_top10": similarity.ann_bruteforce,
         "ann_lsh_top10": similarity.ann_lsh,
         "ann_ivf_top10": similarity.ann_ivf,
+        "embedding_centroids": similarity.embedding_centroids,
         # -- multimodal plumbing (stubbed decode) --------------------------
         "media_features": media_features,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.graph import DEGREE_ORACLE_SQL
+    from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
         LEAD_LAG_ORACLE_SQL,
@@ -410,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": PIVOT_ORACLE_SQL,
         "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
+        "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

@@ -236,3 +236,59 @@ def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
     scored = _score_batches(candidates, q)
     return _with_exact_rank(_topk_merge(scored, query_id, k),
                             sf_dir, query_id, k, min_recall)
+
+
+# ---- vector aggregate -------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid accumulators over the embedding column: for
+    every (label, dimension), the exact integer sum of
+    floor(value·10⁶) plus the member count (centroid = sum/n on the
+    reader's side). Per-batch numpy partials collapse each batch to
+    (labels × 64) rows before the one small groupby — the map-side
+    combine that makes a 100 TB mean-per-cluster a near-free aggregate.
+    floor (not round) quantization: it has no tie rule, so the SQL
+    oracle reproduces it bit-exactly.
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        vecs = np.asarray(t["embedding"].to_pylist(),
+                          dtype=np.float64)   # f32 → f64 is exact
+        q = np.floor(vecs * 1_000_000).astype(np.int64)
+        uniq = np.unique(labels)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in uniq:
+            sel = q[labels == lab]
+            out_l += [int(lab)] * EMB_DIM
+            out_d += list(range(1, EMB_DIM + 1))
+            out_s += sel.sum(axis=0).tolist()
+            out_n += [sel.shape[0]] * EMB_DIM
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "sum_u": pa.array(out_s, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("sum_u", alias_name="sum_u"),
+                       Sum("n", alias_name="n")))
+
+
+CENTROIDS_ORACLE_SQL = f"""
+SELECT label::BIGINT AS label, i AS dim,
+       CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_u,
+       count(*) AS n
+FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+GROUP BY label, i
+""".strip()

@@ -485,3 +485,21 @@ def test_graph_degree_and_pagerank(ray_session):
     assert set(pr) == set(nodes)
     assert max(abs(pr[nd] - r[idx[nd]]) for nd in nodes) < 1e-9
     assert max(pr, key=lambda k: (pr[k], k)) == nodes[int(_np.argmax(r))]
+
+
+def test_embedding_centroids_vs_duckdb(ray_session):
+    """Per-label centroid accumulators hash-match the oracle (floor
+    quantization is tie-rule-free, f32→f64 exact)."""
+    import duckdb
+
+    from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
+                                         embedding_centroids)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM read_parquet('{SF}/embeddings.parquet')")
+    got = sorted(map(tuple,
+                     embedding_centroids(SF).to_pandas()
+                     .itertuples(index=False)))
+    exp = sorted(map(tuple, con.sql(CENTROIDS_ORACLE_SQL).fetchall()))
+    assert got == exp and len(got) == 640
