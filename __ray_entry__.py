@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_count": relational.events_sliding_count,
         "events_type_pivot": relational.events_type_pivot,
         "orders_price_quantiles": relational.orders_price_quantiles,
+        "events_rollup": relational.events_rollup,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
@@ -366,7 +367,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
-        RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
+        ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_count": SLIDING_ORACLE_SQL,
         "events_type_pivot": PIVOT_ORACLE_SQL,
         "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
+        "events_rollup": ROLLUP_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "doc_count_by_source":

@@ -699,3 +699,55 @@ SELECT quantile_disc(o_totalprice, 0.25) AS p25,
        quantile_disc(o_totalprice, 0.90) AS p90
 FROM orders
 """.strip()
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP(event_type, day): counts at (type, day), (type) and grand
+    total, NULLs marking rolled-up levels. The finest level aggregates
+    ONCE from the raw events; both coarser levels re-aggregate the
+    (already tiny, types × days) finest result — never a second scan of
+    the fact table. Matches DuckDB GROUP BY ROLLUP.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.floor_temporal(
+                             t["ts"].cast(pa.timestamp("us")), unit="day")})
+
+    finest = (ev.map_batches(to_day, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Count(alias_name="n"))).materialize()
+
+    def _shape(t: pa.Table, null_type: bool, null_day: bool) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "event_type": (pa.nulls(n, pa.string()) if null_type
+                           else t["event_type"]),
+            "day": (pa.nulls(n, pa.timestamp("us")) if null_day
+                    else t["day"].cast(pa.timestamp("us"))),
+            "n": t["n"].cast(pa.int64()),
+        })
+
+    by_type = (finest.groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"))
+               .map_batches(lambda t: _shape(t, False, True),
+                            batch_format="pyarrow"))
+    # grand total: one scalar off the already-aggregated finest table
+    total = rd.from_arrow(pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day": pa.nulls(1, pa.timestamp("us")),
+        "n": pa.array([int(finest.sum("n"))], pa.int64())}))
+    fin = finest.map_batches(lambda t: _shape(t, False, False),
+                             batch_format="pyarrow")
+    return fin.union(by_type).union(total)
+
+
+ROLLUP_ORACLE_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+FROM events GROUP BY ROLLUP(event_type, day)
+""".strip()

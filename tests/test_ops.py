@@ -503,3 +503,21 @@ def test_embedding_centroids_vs_duckdb(ray_session):
                      .itertuples(index=False)))
     exp = sorted(map(tuple, con.sql(CENTROIDS_ORACLE_SQL).fetchall()))
     assert got == exp and len(got) == 640
+
+
+def test_events_rollup_vs_duckdb(ray_session):
+    """ROLLUP levels (finest, per-type, grand total) hash-match."""
+    import duckdb
+
+    from askg_ray.ops.relational import ROLLUP_ORACLE_SQL, events_rollup
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{SF}/events.parquet')")
+    got = events_rollup(SF).to_pandas()
+    exp = con.sql(ROLLUP_ORACLE_SQL).df()
+    g = sorted("|".join(map(str, r)) for r in
+               got[sorted(got.columns)].itertuples(index=False))
+    e = sorted("|".join(map(str, r)) for r in
+               exp[sorted(exp.columns)].itertuples(index=False))
+    assert g and g == e
