@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text.quality,
         "doc_fingerprints": fingerprints_sql_cols,
         "langid": text.langid,
+        "doc_bpe_tokens": text.bpe_token_counts,
         # -- training-data curation (SQL-checked) --------------------------
         "decontaminate": curation.decontaminate,
         "pii_scrub": curation.pii_scrub,
@@ -368,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
-    from askg_ray.ops.text import STOPWORDS, bm25_oracle_sql
+    from askg_ray.ops.text import BPE_ORACLE_SQL, STOPWORDS, bm25_oracle_sql
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -469,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents",
         "doc_fingerprints":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_bpe_tokens": BPE_ORACLE_SQL,
         "doc_quality":
             "WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS ws, "
             "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "

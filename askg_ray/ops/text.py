@@ -266,3 +266,39 @@ SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u
 FROM sc WHERE score > 0
 ORDER BY score_u DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+# ---- BPE-ish regex tokenizer ------------------------------------------------
+
+# GPT-2-style pre-tokenization pattern, restricted to RE2-compatible
+# constructs (no lookahead) so DuckDB's regexp_extract_all reproduces
+# Python re.findall exactly (both engines match leftmost-first here).
+BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+           r"| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str):
+    """Token counting with a BPE-ish pre-tokenizer regex alongside the
+    whitespace counts of token_stats: per doc, the number of pattern
+    matches. The regex compiles ONCE per worker process (module-level
+    cache), the map is stateless and shuffle-free."""
+    import re
+
+    import ray.data as rd
+
+    rx = re.compile(BPE_PAT)
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = [len(rx.findall(x or "")) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(counts, batch_format="pyarrow"))
+
+
+BPE_ORACLE_SQL = (
+    "SELECT doc_id, len(regexp_extract_all(text, '"
+    + BPE_PAT.replace("'", "''")
+    + "')) AS n_bpe_tokens FROM documents")

@@ -521,3 +521,19 @@ def test_events_rollup_vs_duckdb(ray_session):
     e = sorted("|".join(map(str, r)) for r in
                exp[sorted(exp.columns)].itertuples(index=False))
     assert g and g == e
+
+
+def test_bpe_token_counts_vs_duckdb(ray_session):
+    """The BPE-ish regex tokenizer agrees with RE2 (no lookaheads in
+    the pattern, leftmost-first in both engines)."""
+    import duckdb
+
+    from askg_ray.ops.text import BPE_ORACLE_SQL, bpe_token_counts
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    got = sorted((r["doc_id"], r["n_bpe_tokens"])
+                 for r in _rows(bpe_token_counts(SF)))
+    exp = sorted(map(tuple, con.sql(BPE_ORACLE_SQL).fetchall()))
+    assert got and got == exp
