@@ -23,11 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _npartitions(override: int | None = None) -> int:
-    if override is not None:
-        return override
-    from ..rayutil import default_nblocks
-    return default_nblocks()
+from .joins import _npartitions  # shared size-aware partition sizing
 
 
 def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None):
@@ -38,7 +34,8 @@ def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    npart = _npartitions(num_partitions)
+    npart = _npartitions(num_partitions, f"{sf_dir}/orders.parquet",
+                         f"{sf_dir}/lineitem.parquet")
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])

@@ -50,6 +50,7 @@ MAX_OUT_DEGREE = int(MAX_OUT_DEGREE) if MAX_OUT_DEGREE else None
 def _bench_queries():
     """name → zero-arg callable returning a consumed (counted) result."""
     from askg_ray.ops.dedup import minhash_dedup, simhash_dedup
+    from askg_ray.ops.joins import order_revenue_topk
     from askg_ray.ops.relational import lineitem_pricing_summary, orders_by_segment
     from askg_ray.ops.similarity import ann_bruteforce
     from askg_ray.ops.text import token_stats
@@ -73,6 +74,7 @@ def _bench_queries():
         "token_stats": lambda: token_stats(SF_DIR).count(),
         "lineitem_agg": lambda: lineitem_pricing_summary(SF_DIR).count(),
         "orders_join": lambda: orders_by_segment(SF_DIR).count(),
+        "fact_join_topk": lambda: order_revenue_topk(SF_DIR).count(),
         "ann_cosine": lambda: ann_bruteforce(SF_DIR).count(),
     }
 
