@@ -175,3 +175,40 @@ def test_validate_quarantine(ray_session):
                                                   "unknown_registry"]
     assert valid_only(v).num_rows == 1
     assert quarantined_only(v).num_rows == 2
+
+
+def test_read_registry_jsonl(ray_session, tmp_path):
+    """The JSONL source projects glama-shaped lines through the same
+    projector as the Parquet path, drops garbage lines and nameless
+    records, and its output feeds the enrich stage unchanged."""
+    import json
+
+    from askg_ray.sources.jsonl import ENTITY_SCHEMA, read_registry_jsonl
+    from askg_ray.stages.extract import enrich_batch
+    from askg_ray.stages.ingest import parse_glama_record
+
+    good = [
+        {"name": "Data Tool", "author": "a", "description": "query db",
+         "tools": [{"name": "query_database"}]},
+        {"name": "File Server", "language": "Python",
+         "repository": "https://github.com/o/f"},
+    ]
+    lines = [json.dumps(good[0]), "not json {", json.dumps({"no": "name"}),
+             "", json.dumps(good[1])]
+    p = tmp_path / "dump.jsonl"
+    p.write_text("\n".join(lines))
+
+    ds = read_registry_jsonl(str(p))
+    rows = [r for b in ds.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == sorted(
+        parse_glama_record(g)["id"] for g in good)
+    assert ds.schema().names == ENTITY_SCHEMA.names
+
+    # pipeline-compatible: the enrich stage consumes it directly
+    enriched = [r for b in ds.map_batches(enrich_batch,
+                                          batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist()]
+    assert len(enriched) == 2
+    assert all(r["content_key"] and r["gid_candidate"] for r in enriched)
