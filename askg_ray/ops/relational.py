@@ -648,11 +648,13 @@ def orders_price_quantiles(sf_dir: str, collect_max: int = 65536):
                 hists.setdefault(r["q"], np.zeros(B, np.int64))[r["b"]] += r["n"]
         return hists
 
-    # global min/max via the first unbounded histogram pass needs the
-    # real bounds first — one cheap aggregate scan
-    import pyarrow.compute as _pc  # noqa: F401
-    gmin = ds.min("o_totalprice")
-    gmax = float(np.nextafter(ds.max("o_totalprice"), np.inf))
+    # the first histogram pass needs the real value bounds — ONE fused
+    # aggregate scan (separate .min()/.max() calls would scan twice)
+    from ray.data.aggregate import Max, Min
+    mm = ds.aggregate(Min("o_totalprice", alias_name="mn"),
+                      Max("o_totalprice", alias_name="mx"))
+    gmin = mm["mn"]
+    gmax = float(np.nextafter(mm["mx"], np.inf))
     for s in state.values():
         s["lo"], s["hi"] = float(gmin), gmax
 
