@@ -18,9 +18,10 @@ Design rules shared with ops/relational.py:
   * semi-joins ship DISTINCT KEYS, never payload rows: a per-batch
     local distinct shrinks the exchange before the global distinct.
 
-Partition sizing: ``num_partitions`` defaults to the CPU-proportional
-block count (rayutil.default_nblocks). At 100 TB size it instead from
-bytes — total_bytes / TARGET_BLOCK_BYTES — and pass it explicitly; the
+Partition sizing: ``num_partitions`` defaults to a size-aware count
+(~64 MB of input file bytes per aggregator partition, capped at the
+CPU-proportional block count — see ``_npartitions``). At 100 TB pass it
+explicitly: (left_bytes + right_bytes) / target partition size; the
 hash join's memory high-water mark per aggregator is
 (left_bytes + right_bytes) / num_partitions.
 """
