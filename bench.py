@@ -135,6 +135,23 @@ def run_bench() -> dict:
         timings[name] = dt
         total += dt
     kg_secs = timings["kg_build"]
+    # latest RECORDED --scaling result (SCALING_r03.json, committed):
+    # surfaced here so the one-line bench JSON carries both width-pair
+    # efficiencies without re-running the ~15-minute scaling harness
+    scaling_rec = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_r03.json")) as fh:
+            s = json.load(fh)
+        scaling_rec = {
+            "pairs_2v8": s["scaling_efficiency_2v8"],
+            "pairs_8v32_raw": s["scaling_efficiency_8v32_raw"],
+            "pairs_8v32_engine_attributable":
+                s["scaling_efficiency_8v32_engine_attributable"],
+            "source": "SCALING_r03.json (two recorded --scaling invocations)",
+        }
+    except Exception:
+        pass
     result = {
         "metric": "kg_construct end-to-end + training-data ops, sf0.1",
         "value": round(total, 3),
@@ -148,6 +165,7 @@ def run_bench() -> dict:
         "n_nodes": state.get("n_nodes"),
         "n_edges": state.get("n_edges"),
         "triples_per_sec": round(state.get("n_edges", 0) / kg_secs, 1) if kg_secs else None,
+        "scaling_recorded": scaling_rec,
     }
     ray.shutdown()
     return result
