@@ -212,3 +212,30 @@ def test_read_registry_jsonl(ray_session, tmp_path):
                 for r in b.to_pylist()]
     assert len(enriched) == 2
     assert all(r["content_key"] and r["gid_candidate"] for r in enriched)
+
+
+def test_read_registry_csv(ray_session, tmp_path):
+    """The CSV source drops nameless rows, fills defaults, and feeds
+    the enrich stage unchanged."""
+    p = tmp_path / "catalog.csv"
+    p.write_text(
+        "name,author,repository,description,implementation_language\n"
+        "Data Tool,alice,https://github.com/a/d,query db,Python\n"
+        ",bob,,missing name,Go\n"
+        "File Server,carol,,serves files,Rust\n")
+
+    from askg_ray.sources.csvsrc import ENTITY_SCHEMA, read_registry_csv
+    from askg_ray.stages.extract import enrich_batch
+
+    ds = read_registry_csv(str(p))
+    rows = sorted((r["id"], r["author"], r["version"]) for b in
+                  ds.iter_batches(batch_format="pyarrow")
+                  for r in b.to_pylist())
+    assert rows == [("catalog_csv_data_tool", "alice", "1.0.0"),
+                    ("catalog_csv_file_server", "carol", "1.0.0")]
+    assert ds.schema().names == ENTITY_SCHEMA.names
+    enriched = [r for b in ds.map_batches(enrich_batch,
+                                          batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist()]
+    assert len(enriched) == 2 and all(r["content_key"] for r in enriched)
