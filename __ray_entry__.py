@@ -232,7 +232,7 @@ def _repo_links(sf_dir):
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, graph, joins, relational,
                               similarity, text)
-    from askg_ray.ops.multimodal import media_features
+    from askg_ray.ops.multimodal import media_features, media_frames, media_resize
 
     def fingerprints_sql_cols(sf_dir):
         return text.fingerprints(sf_dir).select_columns(["doc_id", "fp"])
@@ -295,8 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": similarity.ann_lsh,
         "ann_ivf_top10": similarity.ann_ivf,
         "embedding_centroids": similarity.embedding_centroids,
-        # -- multimodal plumbing (stubbed decode) --------------------------
+        # -- multimodal plumbing (stubbed decode/resize kernels) -----------
         "media_features": media_features,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -358,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.graph import DEGREE_ORACLE_SQL
+    from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
     from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
@@ -416,6 +419,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": ROLLUP_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
+        "media_resize": RESIZE_ORACLE_SQL,
+        "media_frames": FRAMES_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

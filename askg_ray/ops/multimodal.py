@@ -114,8 +114,9 @@ def media_from_documents(sf_dir: str):
                                 pa.binary()),
             "mime": pa.array(["image/png" if i % 2 == 0 else "audio/wav"
                               for i in ids]),
-            "width": pa.array([64] * len(ids), pa.int32()),
-            "height": pa.array([64] * len(ids), pa.int32()),
+            # doc-dependent dims so the resize arithmetic is non-trivial
+            "width": pa.array([32 + i % 97 for i in ids], pa.int32()),
+            "height": pa.array([32 + i % 53 for i in ids], pa.int32()),
         }, schema=MEDIA_SCHEMA)
 
     return docs.map_batches(to_media, batch_format="pyarrow")
@@ -129,3 +130,111 @@ def media_features(sf_dir: str):
     return feats.map_batches(
         lambda t: t.select(["media_id", "kind", "n_bytes", "fp16"]),
         batch_format="pyarrow")
+
+
+# ---- resize + frame sampling ------------------------------------------------
+
+RESIZE_BOX = 32        # fit-into box edge for the resize stage
+FRAME_BYTES = 256      # fake video: fixed-size byte frames
+FRAME_STRIDE = 4       # sample every 4th frame
+
+
+class MediaResizer:
+    """Actor-pool resize stage: the real kernel (PIL.Image.resize /
+    ffmpeg scale) loads once per actor in __init__ and is STUBBED here
+    like the decoder; the aspect-preserving target-dimension arithmetic
+    and the Ray plumbing are real. fake=True emits the deterministic
+    stand-in (sha of payload + target dims)."""
+
+    def __init__(self, fake: bool = True, box: int = RESIZE_BOX):
+        self.fake = fake
+        self.box = box
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "resize requires PIL/ffmpeg (not in container); "
+                "run with fake=True for the deterministic stand-in")
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.maximum(w, h)
+        ow = np.maximum(1, w * self.box // m)
+        oh = np.maximum(1, h * self.box // m)
+        fps = [hashlib.sha256(p + f"|{a}x{b}".encode()).hexdigest()[:16]
+               for p, a, b in zip(batch["payload"].to_pylist(),
+                                  ow.tolist(), oh.tolist())]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "out_w": pa.array(ow, pa.int64()),
+            "out_h": pa.array(oh, pa.int64()),
+            "resized_fp16": pa.array(fps, pa.string()),
+        })
+
+
+def media_resize(sf_dir: str):
+    """queries() entry: aspect-preserving resize into a 32-box over the
+    documents-derived media corpus (actor pool, small batches)."""
+    return media_from_documents(sf_dir).map_batches(
+        MediaResizer, batch_format="pyarrow", concurrency=2, batch_size=16)
+
+
+RESIZE_ORACLE_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                      AS kind,
+                  32 + doc_id % 97 AS w, 32 + doc_id % 53 AS h, text
+           FROM documents),
+d AS (SELECT media_id, kind, text,
+             greatest(1, w * {RESIZE_BOX} // greatest(w, h)) AS out_w,
+             greatest(1, h * {RESIZE_BOX} // greatest(w, h)) AS out_h
+      FROM m)
+SELECT media_id, kind, out_w, out_h,
+       substr(sha256(text || '|' || out_w || 'x' || out_h), 1, 16)
+           AS resized_fp16
+FROM d
+""".strip()
+
+
+def frame_sample_batch(batch: pa.Table) -> pa.Table:
+    """Fake video frame sampling: treat the payload as a stream of
+    FRAME_BYTES-byte frames, keep every FRAME_STRIDE-th (plumbing shape
+    of ffmpeg -vf select + explode: one output row per sampled frame).
+    Stateless flat map — at 100 TB the explode inherits the input
+    partitioning and no frame bytes enter any shuffle (fingerprints
+    only)."""
+    out_id, out_idx, out_fp = [], [], []
+    for mid, payload in zip(batch["media_id"].to_pylist(),
+                            batch["payload"].to_pylist()):
+        p = payload or b""
+        nf = max(1, -(-len(p) // FRAME_BYTES))
+        for i in range(0, nf, FRAME_STRIDE):
+            frame = p[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+            out_id.append(mid)
+            out_idx.append(i)
+            out_fp.append(hashlib.sha256(frame).hexdigest()[:16])
+    return pa.table({
+        "media_id": pa.array(out_id, pa.int64()),
+        "frame_idx": pa.array(out_idx, pa.int64()),
+        "frame_fp16": pa.array(out_fp, pa.string()),
+    })
+
+
+def media_frames(sf_dir: str):
+    """queries() entry: sampled-frame fingerprints per media payload."""
+    return media_from_documents(sf_dir).map_batches(
+        frame_sample_batch, batch_format="pyarrow", batch_size=16)
+
+
+FRAMES_ORACLE_SQL = f"""
+WITH m AS (SELECT doc_id AS media_id, text,
+                  greatest(1, (length(text) + {FRAME_BYTES - 1})
+                              // {FRAME_BYTES}) AS nf
+           FROM documents),
+f AS (SELECT media_id, unnest([{{'frame_idx': i,
+       'frame_fp16': substr(sha256(substr(text, i * {FRAME_BYTES} + 1,
+                                          {FRAME_BYTES})), 1, 16)}}
+       FOR i IN range(0, nf, {FRAME_STRIDE})], recursive := true)
+      FROM m)
+SELECT media_id, frame_idx, frame_fp16 FROM f
+""".strip()

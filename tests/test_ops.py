@@ -537,3 +537,28 @@ def test_bpe_token_counts_vs_duckdb(ray_session):
                  for r in _rows(bpe_token_counts(SF)))
     exp = sorted(map(tuple, con.sql(BPE_ORACLE_SQL).fetchall()))
     assert got and got == exp
+
+
+def test_media_resize_and_frames_vs_duckdb(ray_session):
+    """Resize dims/fingerprints and sampled-frame fingerprints
+    hash-match their oracles; the non-fake resize raises like the
+    decoder stub."""
+    import duckdb
+    import pytest as _pytest
+
+    from askg_ray.ops import multimodal as mm
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    for fn, sql in [(mm.media_resize, mm.RESIZE_ORACLE_SQL),
+                    (mm.media_frames, mm.FRAMES_ORACLE_SQL)]:
+        got = fn(SF).to_pandas()
+        exp = con.sql(sql).df()
+        g = sorted("|".join(map(str, r)) for r in
+                   got[sorted(got.columns)].itertuples(index=False))
+        e = sorted("|".join(map(str, r)) for r in
+                   exp[sorted(exp.columns)].itertuples(index=False))
+        assert g and g == e, fn.__name__
+    with _pytest.raises(NotImplementedError):
+        mm.MediaResizer(fake=False)(mm.synth_media_table(4))
