@@ -93,16 +93,26 @@ def main(argv: list[str]) -> int:
 
     import ray
 
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.001"
-    ckpt = argv[2] if len(argv) > 2 else "/tmp/askg_ckpt"
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    flags = {a.split("=", 1)[0]: (a.split("=", 1) + [""])[1]
+             for a in argv[1:] if a.startswith("--")}
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    ckpt = args[1] if len(args) > 1 else "/tmp/askg_ckpt"
     if not ray.is_initialized():
         ray.init(address="local",
                  num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                  include_dashboard=False, logging_level="ERROR")
     out = run_checkpointed(sf_dir, ckpt)
-    print(json.dumps({"stages": out["_log"],
-                      "nodes": out["nodes"].count(),
-                      "edges": out["edges"].count()}))
+    log = {"stages": out["_log"],
+           "nodes": out["nodes"].count(),
+           "edges": out["edges"].count()}
+    if "--export-neo4j" in flags:
+        # offline graph sink: --export-neo4j=DIR writes the neo4j-admin
+        # bulk-import layout next to the parquet checkpoints
+        from .export import export_neo4j_bulk
+        dest = flags["--export-neo4j"] or os.path.join(ckpt, "neo4j_bulk")
+        log["neo4j_bulk"] = {"dir": dest, **export_neo4j_bulk(out, dest)}
+    print(json.dumps(log))
     ray.shutdown()
     return 0
 
