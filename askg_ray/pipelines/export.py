@@ -44,7 +44,13 @@ def _header(path: str, cols: list[str]) -> None:
 
 def export_neo4j_bulk(kg: dict, out_dir: str) -> dict:
     """kg: the build_kg output dict (nodes / edges / membership
-    Datasets). Returns per-table row counts."""
+    Datasets). Returns per-table row counts. The output dir is
+    recreated fresh: ``write_csv`` appends by default, so a rerun into
+    a stale dir would double every shard under the import headers."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def node_rows(t: pa.Table) -> pa.Table:

@@ -85,3 +85,23 @@ def test_neo4j_bulk_export(ray_session, tmp_path):
     assert open(f"{out}/edges.header.csv").read().startswith(
         ":START_ID,:END_ID,:TYPE")
     assert ":LABEL" in open(f"{out}/nodes.header.csv").read()
+
+
+def test_neo4j_bulk_export_rerun_idempotent(ray_session, tmp_path):
+    """Re-exporting into the same dir must not append duplicate shards
+    (write_csv appends by default; the sink recreates the dir)."""
+    import glob
+
+    import ray.data as rd
+
+    from askg_ray.pipelines.export import export_neo4j_bulk
+    from askg_ray.pipelines.kg import build_kg
+    from askg_ray.sources.synth import gen_pages
+
+    kg = build_kg(rd.from_arrow(gen_pages(30, seed=3)))
+    out = str(tmp_path / "bulk")
+    c1 = export_neo4j_bulk(kg, out)
+    n_files1 = len(glob.glob(f"{out}/*/*.csv"))
+    c2 = export_neo4j_bulk(kg, out)
+    n_files2 = len(glob.glob(f"{out}/*/*.csv"))
+    assert c1 == c2 and n_files1 == n_files2
