@@ -562,3 +562,49 @@ def test_media_resize_and_frames_vs_duckdb(ray_session):
         assert g and g == e, fn.__name__
     with _pytest.raises(NotImplementedError):
         mm.MediaResizer(fake=False)(mm.synth_media_table(4))
+
+
+def test_window_ops_on_duplicate_timestamps(ray_session, tmp_path):
+    """Adversarial corpus with PLANTED duplicate (user_id, ts) pairs —
+    absent from the driver testdata — must still hash-match the SQL
+    oracles for the asof join (max-event_id tie rule), the sliding
+    RANGE window (peers included), and LAG/LEAD (event_id tie-break)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import relational as r
+    from askg_ray.ops.joins import LEAD_LAG_ORACLE_SQL, events_lead_lag
+
+    import datetime as dt
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    for u in range(4):
+        for k in range(30):
+            ts = base + dt.timedelta(minutes=7 * k)
+            # every third timestamp is DUPLICATED across types
+            kinds = (["click", "purchase", "click"] if k % 3 == 0
+                     else ["click" if k % 2 else "purchase"])
+            for kind in kinds:
+                rows.append({"event_id": eid, "ts": ts, "user_id": u,
+                             "event_type": kind,
+                             "value": float((eid % 7) + 1), "props": ""})
+                eid += 1
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{sf}/events.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)].astype(str)
+        return sorted("|".join(x) for x in df.itertuples(index=False))
+
+    for fn, sql in [(r.events_asof_join, r.ASOF_ORACLE_SQL),
+                    (r.events_sliding_count, r.SLIDING_ORACLE_SQL),
+                    (events_lead_lag, LEAD_LAG_ORACLE_SQL)]:
+        got = canon(fn(sf).to_pandas())
+        exp = canon(con.sql(sql).df())
+        assert got and got == exp, fn.__name__
