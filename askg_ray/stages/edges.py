@@ -172,20 +172,39 @@ def _pool_hashes(pool: pa.Array) -> np.ndarray:
                      for s in pool.to_pylist()], dtype=np.uint64)
 
 
+def _tag_hash(tag: str) -> np.uint64:
+    from hashlib import blake2b
+
+    return np.uint64(int.from_bytes(blake2b(tag.encode(), digest_size=8)
+                                    .digest(), "little"))
+
+
+# rel_type value → the id-derivation tag hash used at emission (the
+# tags at the _table call sites) — what lets truncate_out_degree drop
+# the id column across its shuffle and rebuild it byte-identically
+_TAG_HASH = {
+    REL_SAME_AUTHOR: _tag_hash("same_author"),
+    REL_SIMILAR: _tag_hash("similar"),
+    REL_ALTERNATIVE: _tag_hash("alternative"),
+    REL_COMPLEMENTARY: _tag_hash("complementary"),
+}
+
+
 def _edge_ids(ai, bi, pool: pa.Array, tag: str) -> pa.Array:
     """Deterministic 128-bit (32 hex chars) edge id per (src, rel, dst)
     — a pure function of the node id strings and relationship tag, so
-    reruns are byte-identical. Built fully vectorized: 64-bit mixes in
-    numpy, nibble-table hex, and the Arrow StringArray assembled
-    directly from fixed-stride offset + data buffers (no per-edge
-    Python strings; the old ``src_tag_dst`` join was ~65 B/edge — 1.3 GB
-    of the 4.1 GB edge block at the bench corpus)."""
-    from hashlib import blake2b
-
+    reruns are byte-identical AND the id can be dropped before a
+    shuffle and recomputed after (truncate_out_degree does exactly
+    that). Built fully vectorized: 64-bit mixes in numpy, nibble-table
+    hex, and the Arrow StringArray assembled directly from fixed-stride
+    offset + data buffers (no per-edge Python strings; the old
+    ``src_tag_dst`` join was ~65 B/edge — 1.3 GB of the 4.1 GB edge
+    block at the bench corpus)."""
     hp = _pool_hashes(pool)
-    t = np.uint64(int.from_bytes(blake2b(tag.encode(), digest_size=8)
-                                 .digest(), "little"))
-    hs, hd = hp[ai], hp[bi]
+    return _ids_from_hashes(hp[ai], hp[bi], _tag_hash(tag))
+
+
+def _ids_from_hashes(hs: np.ndarray, hd: np.ndarray, t) -> pa.Array:
     h1 = _splitmix(hs ^ _splitmix(hd ^ t))
     h2 = _splitmix(h1 ^ hd ^ np.uint64(0xD6E8FEB86659FD93))
     n = len(h1)
@@ -420,12 +439,21 @@ def infer_edges(nodes, cap: int = 400, max_out_degree: int | None = None):
     edges = blocked_self_join(exploded, None, EDGES_SCHEMA, cap=cap,
                               cell_fn=_dispatch_cell)
     if max_out_degree is not None:
-        edges = truncate_out_degree(edges, max_out_degree)
+        # recompute_ids is sound here because these ids ARE the
+        # (src, dst, tag)-derived ones _edge_ids emits
+        edges = truncate_out_degree(edges, max_out_degree,
+                                    recompute_ids=True)
     return edges
 
 
-def truncate_out_degree(edges, k: int):
+def truncate_out_degree(edges, k: int, recompute_ids: bool = False):
     """Keep the top-k edges per src by (confidence desc, dst, rel_type).
+
+    ``recompute_ids=True`` (sound ONLY for infer_edges output, whose id
+    column is the pure (src, dst, tag) hash of ``_edge_ids``): the
+    36 B/row plain-string id — over half the shuffled bytes of the
+    dictionary-encoded edge row — is dropped BEFORE the src shuffle and
+    rebuilt byte-identically afterwards from the surviving rows.
 
     Two passes, only paid when the knob is on:
 
@@ -479,6 +507,8 @@ def truncate_out_degree(edges, k: int):
         return t.take(pa.array(np.sort(order[pos < k]), pa.int64()))
 
     def batch_topk(t: pa.Table) -> pa.Table:
+        if recompute_ids and "id" in t.column_names:
+            t = t.drop_columns(["id"])
         if t.num_rows == 0:
             return t.append_column("__b", pa.array([], pa.int32()))
         t = _topk_runs(t, _rank_key(t["src"]))
@@ -501,8 +531,43 @@ def truncate_out_degree(edges, k: int):
             return t
         return _topk_runs(t, _rank_key(t["src"]))
 
-    return (edges.map_batches(batch_topk, batch_format="pyarrow")
-            .groupby("__b").map_groups(bucket_topk, batch_format="pyarrow"))
+    def restore_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return EDGES_SCHEMA.empty_table()
+
+        def col_hashes(arr) -> np.ndarray:
+            enc = arr.combine_chunks()
+            if not pa.types.is_dictionary(enc.type):
+                enc = enc.dictionary_encode()
+            hp = _pool_hashes(enc.dictionary)
+            return hp[enc.indices.to_numpy(zero_copy_only=False)]
+
+        rel = t["rel_type"].combine_chunks()
+        if not pa.types.is_dictionary(rel.type):
+            rel = rel.dictionary_encode()
+        per_rel = np.array([_TAG_HASH[v] for v in rel.dictionary.to_pylist()],
+                           dtype=np.uint64)
+        tvec = per_rel[rel.indices.to_numpy(zero_copy_only=False)]
+        ids = _ids_from_hashes(col_hashes(t["src"]), col_hashes(t["dst"]),
+                               tvec)
+        cols = {"id": ids, **{c: t[c] for c in t.column_names}}
+        return pa.table(cols).cast(EDGES_SCHEMA)
+
+    # batch_size=None → one batch per BLOCK: the pre-shuffle shrink is
+    # only as strong as the batch is wide (a src with ≤ k rows inside a
+    # batch drops nothing), and Ray's default 1024-row batches reduce
+    # phase 1 to 75k useless tiny lexsorts over the bench edge set —
+    # measured 190 s for the whole truncation vs ~83 s with block-wide
+    # batches on the same corpus. recompute_ids halves the shuffled
+    # bytes on top (id is 36 B of the ~70 B dictionary-encoded row);
+    # its wall gain was not separable from this host's noise window.
+    out = (edges.map_batches(batch_topk, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("__b").map_groups(bucket_topk, batch_format="pyarrow"))
+    if recompute_ids:
+        out = out.map_batches(restore_ids, batch_format="pyarrow",
+                              batch_size=None)
+    return out
 
 
 _CELL_DISPATCH.update({"a": _author_cell, "c": _category_cell, "o": _oppair_cell})

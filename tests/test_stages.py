@@ -548,3 +548,27 @@ def test_merge_phase1_resources_prompts_structs():
     assert m["resources"][0]["name"] == "base-a"      # base wins collision
     assert [p["name"] for p in m["prompts"]] == ["p1", "p2"]
     assert m["prompts"][0]["description"] == "base p1"
+
+
+def test_truncate_recompute_ids_byte_identical(ray_session):
+    """Dropping the id across the truncation shuffle and rebuilding it
+    must give byte-identical rows to carrying it (sound because
+    infer_edges ids are pure (src, dst, tag) hashes)."""
+    import ray.data as rd
+
+    from askg_ray.pipelines.kg import canonical_nodes
+    from askg_ray.sources.synth import gen_pages
+    from askg_ray.stages.edges import infer_edges, truncate_out_degree
+
+    nodes = canonical_nodes(rd.from_arrow(gen_pages(60, seed=9)))
+    edges = infer_edges(nodes).materialize()
+
+    def canon(ds):
+        return sorted(
+            (r["id"], r["src"], r["dst"], r["rel_type"], r["confidence"])
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist())
+
+    kept = canon(truncate_out_degree(edges, 3))
+    rebuilt = canon(truncate_out_degree(edges, 3, recompute_ids=True))
+    assert kept and rebuilt == kept
