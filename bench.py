@@ -172,21 +172,21 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    """N-vs-4N-cpu scaling on the headline KG pipeline (default 2 vs 8).
+    """N-vs-4N-cpu scaling on the headline KG pipeline — BOTH pairs
+    (2v8 and 8v32) by default, each width run once and shared.
 
     Corpus: GRAFT_SCALING_REPL×GRAFT_SCALING_MULT (default 32×1) — the
-    verify/extract-CPU-dominated shape. Width choice: measured with a
-    pure CPU burn, this sandbox host delivers 99.1% of 8 requested
-    cpus but only 89.5% of 32 (hypervisor steal 0.9% vs 10.5% — the
-    host throttles exactly when the "big cluster" side runs), so the
-    8v32 ratio measures the host's oversubscription, not the engine;
-    2v8 stays in the unthrottled regime and is the faithful stand-in
-    for N-vs-4N *nodes*, where each node brings its own cores, object
-    store and memory bus. The default bench corpus (mult=2) also emits
-    77M edges whose materialization is memory-bandwidth-bound on ONE
-    box (scales with node count, not cpu count). Both regimes are
-    recorded in BASELINE.md. kg_build runs twice per width (min) to
-    shed the first-run fork/code-ship penalty and steal bursts.
+    verify/extract-CPU-dominated shape. Interpretation: 2v8 keeps both
+    widths in this host's uncontended regime and is the faithful
+    stand-in for N-vs-4N *nodes* (each node brings its own cores,
+    object store and memory bus); the 8v32 raw ratio folds in the
+    host's one-box contention — per-task measurements on identical
+    work put per-vcpu throughput at 32-wide at ~0.53× of 8-wide
+    (BASELINE.md "8v32 decomposition"), so BASELINE also reports the
+    engine-attributable number. Both regimes + two full invocations
+    are recorded in SCALING_r03.json. kg_build runs twice per width
+    (min) to shed the first-run fork/code-ship penalty and noise
+    bursts.
     """
     import subprocess
 
