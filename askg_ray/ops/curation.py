@@ -356,7 +356,12 @@ def passage_dedup(sf_dir: str, num_partitions: int | None = None):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
-    from ..rayutil import default_nblocks
+    from ..rayutil import default_nblocks, parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(pa.schema(
+            [("doc_id", pa.int64()), ("n_passages", pa.int64()),
+             ("n_dup_passages", pa.int64())]).empty_table())
 
     npart = num_partitions if num_partitions is not None else default_nblocks()
 

@@ -34,6 +34,13 @@ def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None):
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("orders", "lineitem")) == 0:
+        return rd.from_arrow(pa.schema(
+            [("u", pa.int64()), ("v", pa.int64())]).empty_table())
+
     npart = _npartitions(num_partitions, f"{sf_dir}/orders.parquet",
                          f"{sf_dir}/lineitem.parquet")
 
@@ -101,6 +108,10 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     npart = _npartitions(num_partitions)
 
     edges = customer_supplier_edges(sf_dir, num_partitions).materialize()
+    n = edges.count()
+    if n == 0:
+        return rd.from_arrow(pa.schema(
+            [("node", pa.int64()), ("rank", pa.float64())]).empty_table())
     deg = edges.groupby("u").aggregate(Count(alias_name="deg"))
     edges = edges.join(deg, join_type="inner", num_partitions=npart,
                        on=("u",)).materialize()

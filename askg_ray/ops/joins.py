@@ -38,6 +38,9 @@ import pyarrow.compute as pc
 SEGMENT = "BUILDING"
 CUTOFF = datetime.datetime(1998, 7, 1)
 
+_PRIORITY_COUNT_SCHEMA = pa.schema([("o_orderpriority", pa.string()),
+                                    ("n_orders", pa.int64())])
+
 
 def _npartitions(override: int | None = None, *paths: str) -> int:
     """Hash-join partition count: explicit override, else sized from
@@ -88,7 +91,14 @@ def order_revenue_topk(sf_dir: str, k: int = 10,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    from ..rayutil import parquet_num_rows
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders", "customer")) == 0:
+        return rd.from_arrow(pa.schema(
+            [("l_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("revenue_u", pa.int64())]).empty_table())
 
     npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
                          f"{sf_dir}/orders.parquet")
@@ -178,9 +188,17 @@ def orders_with_returns(sf_dir: str, num_partitions: int | None = None):
     groupby), and the distinct-key table hash-joins orders. The join
     output carries o_orderpriority only; a count groupby finishes.
     """
+    import ray.data as rd
     from ray.data.aggregate import Count
 
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders")) == 0:
+        return rd.from_arrow(_PRIORITY_COUNT_SCHEMA.empty_table())
     joined = _orders_joined_returned_keys(sf_dir, "inner", num_partitions)
+    if joined is None:  # no returned lineitems at all → empty semi
+        return rd.from_arrow(_PRIORITY_COUNT_SCHEMA.empty_table())
     return (joined.groupby("o_orderpriority")
             .aggregate(Count(alias_name="n_orders")))
 
@@ -209,13 +227,21 @@ def _returned_orderkeys(sf_dir: str):
 
 def _orders_joined_returned_keys(sf_dir: str, join_type: str,
                                  num_partitions: int | None):
+    """Returns None when the key set is EMPTY (predicate matched no
+    lineitem): an all-empty aggregate output carries no schema and
+    Ray's hash join cannot digest it. The key set is materialized —
+    bounded by distinct matching orders, the same volume the join
+    aggregators would hold — so emptiness costs one count."""
     import ray.data as rd
 
+    keys = _returned_orderkeys(sf_dir).materialize()
+    if keys.count() == 0:
+        return None
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
     # orders LEFT, keys RIGHT: left_outer keeps key-less orders (the
     # anti side); inner is the semi side
-    return orders.join(_returned_orderkeys(sf_dir), join_type=join_type,
+    return orders.join(keys, join_type=join_type,
                        num_partitions=_npartitions(
                            num_partitions, f"{sf_dir}/orders.parquet",
                            f"{sf_dir}/lineitem.parquet"),
@@ -237,10 +263,26 @@ def orders_without_returns(sf_dir: str, num_partitions: int | None = None):
     keys, keeping the null (unmatched) side. Same distinct-keys-only
     exchange as the semi-join; the anti semantics cost one extra
     null-filter map."""
+    import ray.data as rd
     from ray.data.aggregate import Count
 
+    from ..rayutil import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/orders.parquet") == 0:
+        return rd.from_arrow(_PRIORITY_COUNT_SCHEMA.empty_table())
+    def _all_orders():
+        # anti-join of an empty key set keeps EVERY order — no join
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderpriority"])
+        return (orders.groupby("o_orderpriority")
+                .aggregate(Count(alias_name="n_orders")))
+
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return _all_orders()
     joined = _orders_joined_returned_keys(sf_dir, "left_outer",
                                           num_partitions)
+    if joined is None:  # predicate matched no lineitem
+        return _all_orders()
     unmatched = joined.map_batches(
         lambda t: t.filter(pc.is_null(t["__c"]))
                    .select(["o_orderpriority"]),

@@ -713,6 +713,15 @@ def events_rollup(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from ..rayutil import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/events.parquet") == 0:
+        # SQL ROLLUP over an empty table still yields the grand total
+        return rd.from_arrow(pa.table({
+            "event_type": pa.nulls(1, pa.string()),
+            "day": pa.nulls(1, pa.timestamp("us")),
+            "n": pa.array([0], pa.int64())}))
+
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type"])
 

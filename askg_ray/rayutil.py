@@ -79,3 +79,14 @@ def prof(label: str) -> None:
         _PROF_T0.append(now)
     print(f"[prof] {now - _PROF_T0[0]:8.2f} {label}",
           file=_sys.stderr, flush=True)
+
+
+def parquet_num_rows(*paths: str) -> int:
+    """Total rows across parquet files from FILE METADATA — O(1), no
+    scan. Zero-row inputs produce datasets with no blocks and therefore
+    no schema, which Ray's hash join and some aggregates cannot digest;
+    operators reading known files guard with this and short-circuit an
+    empty (schema'd) result instead."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)

@@ -608,3 +608,55 @@ def test_window_ops_on_duplicate_timestamps(ray_session, tmp_path):
         got = canon(fn(sf).to_pandas())
         exp = canon(con.sql(sql).df())
         assert got and got == exp, fn.__name__
+
+
+def test_degenerate_inputs(ray_session, tmp_path):
+    """Zero-row input FILES (no blocks → no schema, which breaks naive
+    hash joins) and filters that match nothing must both produce
+    well-formed results that still agree with the SQL oracles."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import curation, joins
+    from askg_ray.ops import graph as g
+    from askg_ray.ops import relational as r
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    for t in ["documents", "orders", "lineitem", "customer", "events"]:
+        pq.write_table(
+            pq.read_table(f"{SF}/{t}.parquet").slice(0, 0),
+            str(empty / f"{t}.parquet"))
+    e = str(empty)
+    assert curation.passage_dedup(e).count() == 0
+    assert joins.orders_with_returns(e).count() == 0
+    assert joins.orders_without_returns(e).count() == 0
+    assert joins.order_revenue_topk(e).count() == 0
+    assert g.supplier_pagerank(e).count() == 0
+    # SQL ROLLUP on empty still yields the grand-total row
+    rows = [x for b in r.events_rollup(e).iter_batches(
+        batch_format="pyarrow") for x in b.to_pylist()]
+    assert rows == [{"event_type": None, "day": None, "n": 0}]
+
+    # non-empty files, semi/anti filter matches NOTHING (no 'R' flags):
+    # semi → 0 rows, anti → every order; both must match the oracle
+    noflag = tmp_path / "noflag"
+    noflag.mkdir()
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    flags = pa.array(["N"] * li.num_rows, pa.string())
+    li = li.set_column(li.column_names.index("l_returnflag"),
+                       "l_returnflag", flags)
+    pq.write_table(li, str(noflag / "lineitem.parquet"))
+    import shutil
+    shutil.copy(f"{SF}/orders.parquet", str(noflag / "orders.parquet"))
+    nf = str(noflag)
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{nf}/{t}.parquet')")
+    assert joins.orders_with_returns(nf).count() == 0
+    got = sorted(map(tuple, joins.orders_without_returns(nf).to_pandas()
+                     .itertuples(index=False)))
+    exp = sorted(map(tuple, con.sql(
+        joins.ORDERS_WITHOUT_RETURNS_ORACLE_SQL).fetchall()))
+    assert got and got == exp
