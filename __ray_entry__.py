@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": curation.doc_chunks,
         "doc_sample": curation.doc_sample,
         "passage_dedup": curation.passage_dedup,
+        "corpus_prep": curation.corpus_prep,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
         "events_running_total": relational.events_running_total,
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.curation import (
         CHUNK_ORACLE_SQL,
+        CORPUS_PREP_ORACLE_SQL,
         DECON_ORACLE_SQL,
         PASSAGE_ORACLE_SQL,
         PII_ORACLE_SQL,
@@ -403,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": CHUNK_ORACLE_SQL,
         "doc_sample": SAMPLE_ORACLE_SQL,
         "passage_dedup": PASSAGE_ORACLE_SQL,
+        "corpus_prep": CORPUS_PREP_ORACLE_SQL,
         "events_asof": ASOF_ORACLE_SQL,
         "revenue_by_nation": REVENUE_ORACLE_SQL,
         "events_running_total": RUNNING_ORACLE_SQL,

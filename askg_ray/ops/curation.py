@@ -35,6 +35,7 @@ import hashlib
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 EVAL_MOD = 10          # doc_id % EVAL_MOD == 0 → held-out eval slice
 DECON_N = 8            # n-gram width for contamination
@@ -401,3 +402,133 @@ SELECT p.doc_id, count(*) AS n_passages,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
 FROM p JOIN o ON p.h = o.h GROUP BY p.doc_id
 """.strip()
+
+
+# ---- composite: end-to-end training-corpus prep ------------------------------
+
+def corpus_prep(sf_dir: str, num_partitions: int | None = None):
+    """The ops composed as ONE pipeline — the shape a real
+    training-data prep run takes: exact-dedup to representatives, drop
+    the eval slice and everything contaminated by it, keep only
+    quality='good' docs, assign the content-hash split, and account
+    chunks per split. Output: (split, n_docs, n_chunks).
+
+    Execution shape: one pass over documents computes quality, split
+    and chunk counts per doc (a doc's chunks never leave their batch,
+    so the count is batch-local); the two global facts — dedup
+    representatives and the contaminated set — arrive as hash joins
+    (semi via inner, anti via left-outer null marker). No driver state
+    beyond the empty-contamination guard's one count.
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..rayutil import default_nblocks, parquet_num_rows
+    from .dedup import exact_dedup
+    from .text import quality_batch
+
+    out_schema = pa.schema([("split", pa.string()), ("n_docs", pa.int64()),
+                            ("n_chunks", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    npart = (num_partitions if num_partitions is not None
+             else default_nblocks())
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        q = quality_batch(t)
+        s = split_batch(t)
+        ch = chunk_batch(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(ch["doc_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        n_chunks = c[np.searchsorted(u, ids)]   # every doc has ≥1 chunk
+        keep = ((np.asarray(q["quality"].to_pylist()) == "good")
+                & (ids % EVAL_MOD != 0))        # eval slice never trains
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "split": s["split"].combine_chunks().take(
+                pa.array(np.nonzero(keep)[0])),
+            "n_chunks": pa.array(n_chunks[keep].astype(np.int64)),
+        })
+
+    candidates = _read_docs(sf_dir).map_batches(per_doc,
+                                                batch_format="pyarrow")
+
+    # keep the fp column: a key-only join side coalesces away entirely
+    # (the hash join strips the key from the right table — same lesson
+    # as the anti-join's null marker in ops/joins.py)
+    reps = exact_dedup(sf_dir)
+    kept = candidates.join(reps, join_type="inner", num_partitions=npart,
+                           on=("doc_id",))
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX
+
+    cont = decontaminate(sf_dir).materialize()   # (doc_id, n_hit_grams)
+    n_cont = cont.count()
+    if 0 < n_cont <= BROADCAST_LABELS_MAX:
+        # tiny anti side → broadcast set (a shuffle join would hand
+        # most partitions an EMPTY right table, which the hash join
+        # cannot digest — and it is the wrong shape anyway)
+        import ray
+        bad = ray.put(np.sort(np.concatenate(
+            [b["doc_id"].to_numpy(zero_copy_only=False)
+             for b in cont.iter_batches(batch_format="pyarrow")])))
+
+        def anti(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            arr = ray.get(bad)
+            pos = np.searchsorted(arr, ids)
+            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)]
+                                      == ids)
+            return t.filter(pa.array(~hit))
+
+        kept = kept.map_batches(anti, batch_format="pyarrow")
+    elif n_cont > BROADCAST_LABELS_MAX:
+        kept = kept.join(cont, join_type="left_outer",
+                         num_partitions=npart, on=("doc_id",))
+        kept = kept.map_batches(
+            lambda t: t.filter(pc.is_null(t["n_hit_grams"])),
+            batch_format="pyarrow")
+    return (kept.groupby("split")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chunks", alias_name="n_chunks")))
+
+
+def _corpus_prep_oracle_sql() -> str:
+    from .text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(ws,i,i+{DECON_N - 1}),' ') g
+          FROM toks, LATERAL (SELECT unnest(
+               range(1, greatest(len(ws)-{DECON_N - 1},0)+1)) i)),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (g)
+         WHERE g.doc_id % {EVAL_MOD} <> 0),
+q AS (SELECT doc_id FROM (
+      SELECT doc_id, string_split(text,' ') ws FROM documents)
+      WHERE len(ws) >= 50
+        AND (len(list_filter(ws, x -> x IN ({stoplist}))) * 100) // len(ws)
+            BETWEEN 5 AND 60),
+s AS (SELECT doc_id,
+      CASE WHEN md5_number_upper(coalesce(text,'')) % {SPLIT_MOD}
+                < {SPLIT_TRAIN} THEN 'train'
+           WHEN md5_number_upper(coalesce(text,'')) % {SPLIT_MOD}
+                < {SPLIT_VAL} THEN 'val' ELSE 'test' END AS split,
+      (len(string_split(coalesce(text,''),' ')) + {CHUNK_TOKENS - 1})
+          // {CHUNK_TOKENS} AS n_chunks
+      FROM documents)
+SELECT s.split, count(*) AS n_docs,
+       CAST(sum(s.n_chunks) AS BIGINT) AS n_chunks
+FROM reps JOIN q USING (doc_id) JOIN s USING (doc_id)
+WHERE reps.doc_id % {EVAL_MOD} <> 0
+  AND reps.doc_id NOT IN (SELECT doc_id FROM cont)
+GROUP BY s.split
+""".strip()
+
+
+CORPUS_PREP_ORACLE_SQL = _corpus_prep_oracle_sql()

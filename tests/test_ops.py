@@ -660,3 +660,23 @@ def test_degenerate_inputs(ray_session, tmp_path):
     exp = sorted(map(tuple, con.sql(
         joins.ORDERS_WITHOUT_RETURNS_ORACLE_SQL).fetchall()))
     assert got and got == exp
+
+
+def test_corpus_prep_composite_vs_duckdb(ray_session):
+    """The end-to-end training-corpus prep (dedup reps → drop eval
+    slice + contaminated → quality filter → split → chunk accounting)
+    hash-matches its composed SQL oracle, and the splits partition the
+    kept docs."""
+    import duckdb
+
+    from askg_ray.ops.curation import CORPUS_PREP_ORACLE_SQL, corpus_prep
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    got = sorted(map(tuple, corpus_prep(SF).to_pandas()
+                     .itertuples(index=False)))
+    exp = sorted(map(tuple, con.sql(CORPUS_PREP_ORACLE_SQL).fetchall()))
+    assert got and got == exp
+    assert {s for s, _, _ in got} <= {"train", "val", "test"}
+    assert sum(n for _, n, _ in got) > 0
