@@ -231,7 +231,7 @@ def _repo_links(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, graph, joins, relational,
-                              similarity, text)
+                              similarity, stats, text, windows)
     from askg_ray.ops.multimodal import media_features, media_frames, media_resize
 
     def fingerprints_sql_cols(sf_dir):
@@ -285,6 +285,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
         "supplier_pagerank": graph.supplier_pagerank,
+        # -- window-function family (SQL-checked) --------------------------
+        "events_rank_family": windows.events_rank_family,
+        "events_first_last": windows.events_first_last,
+        "events_range_join": windows.events_range_join,
+        "events_user_journey": windows.events_user_journey,
+        # -- statistical / corpus aggregates (SQL-checked) -----------------
+        "events_value_histogram": stats.events_value_histogram,
+        "lineitem_regression": stats.lineitem_regression,
+        "token_doc_freq": stats.token_doc_freq,
+        "token_lang_overlap": stats.token_lang_overlap,
+        "doc_bigram_novelty": stats.doc_bigram_novelty,
+        "docs_stratified_sample": stats.docs_stratified_sample,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -374,7 +386,12 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
+    from askg_ray.ops.stats import (DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
+        LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, REGRESSION_ORACLE_SQL,
+        STRATIFIED_ORACLE_SQL)
     from askg_ray.ops.text import BPE_ORACLE_SQL, STOPWORDS, bm25_oracle_sql
+    from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
+        JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -422,6 +439,16 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": ROLLUP_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
+        "events_rank_family": RANK_FAMILY_ORACLE_SQL,
+        "events_first_last": FIRST_LAST_ORACLE_SQL,
+        "events_range_join": RANGE_JOIN_ORACLE_SQL,
+        "events_user_journey": JOURNEY_ORACLE_SQL,
+        "events_value_histogram": HISTOGRAM_ORACLE_SQL,
+        "lineitem_regression": REGRESSION_ORACLE_SQL,
+        "token_doc_freq": DOC_FREQ_ORACLE_SQL,
+        "token_lang_overlap": LANG_OVERLAP_ORACLE_SQL,
+        "doc_bigram_novelty": NOVELTY_ORACLE_SQL,
+        "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,
         "doc_count_by_source":

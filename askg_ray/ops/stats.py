@@ -1,0 +1,403 @@
+"""Statistical / corpus-analysis aggregates: fixed-width histogram,
+exact regression sufficient statistics, token document-frequency,
+cross-language token overlap, and a two-pass n-gram-LM novelty score.
+
+All of these are map-side-partial shapes: the per-batch kernel shrinks
+one-row-per-event/token-occurrence inputs to one-row-per-(batch,
+group) partials before the (small) groupby — the only all-to-all any
+of them performs is over the already-aggregated key space. Money and
+scores are exact integers (same np.rint cents convention as
+ops/relational.py) so the driver's value-hash cannot drift on float
+order.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (binning)
+
+BIN_WIDTH = 25
+
+
+def events_value_histogram(sf_dir: str, width: int = BIN_WIDTH):
+    """Fixed-width binning of ``value``: per bin the event count and
+    the exact cents sum. The per-batch kernel bincounts locally, so the
+    groupby input is ≤ (batches × distinct bins) rows — at 100 TB the
+    shuffle moves a few dozen rows per block regardless of row count.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100).astype(np.int64)
+        bins = (np.floor(v / width)).astype(np.int64)
+        uniq, inv = np.unique(bins, return_inverse=True)
+        return pa.table({
+            "bin": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_cents": pa.array(np.bincount(inv, weights=cents)
+                                  .astype(np.int64)),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
+HISTOGRAM_ORACLE_SQL = f"""
+SELECT CAST(floor(value / {BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Regression / correlation sufficient statistics (exact integers)
+
+
+def lineitem_regression(sf_dir: str):
+    """Per-returnflag sufficient statistics for a quantity→price
+    regression: n, Σx, Σx², Σy, Σxy with x = l_quantity (integral in
+    TPC-H) and y = price cents. Everything downstream of these five
+    sums (slope, intercept, Pearson r) is driver-side O(groups)
+    arithmetic — the distributed part never touches a float
+    accumulator. Σxy bound: qty ≤ 50 × price ≤ 10⁷ cents × 6M rows/SF
+    ≈ 3·10¹⁵/SF — document the int64 headroom (overflows ~SF 3000;
+    switch y to dollar units above that).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        y = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        def s(w):
+            return pa.array(np.bincount(inv, weights=w).astype(np.int64))
+        return pa.table({
+            "l_returnflag": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_x": s(x), "sum_x2": s(x * x),
+            "sum_y": s(y), "sum_xy": s(x * y),
+        })
+
+    return (li.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ["n", "sum_x", "sum_x2", "sum_y", "sum_xy"]]))
+
+
+REGRESSION_ORACLE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_x2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_y,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_xy
+FROM lineitem GROUP BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Token document frequency (distinct-doc counts, stopword identification)
+
+DF_TOPK = 100
+
+
+def _topk_table(ds, sort_keys, k: int, out_schema: pa.Schema):
+    """Per-block top-k then one bounded driver merge (≤ k rows per
+    block cross the wire; no all-to-all sort of the aggregate table).
+    Same shape as ops/similarity._topk_merge, generalized."""
+    import ray.data as rd
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=sort_keys)[:k])
+
+    heads = list(ds.map_batches(block_topk, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    heads = [pa.table(h) for h in heads if h.num_rows]
+    if not heads:
+        return rd.from_arrow(out_schema.empty_table())
+    merged = pa.concat_tables(heads, promote_options="default")
+    merged = merged.take(pc.sort_indices(merged, sort_keys=sort_keys)[:k])
+    return rd.from_arrow(merged.cast(out_schema))
+
+
+def token_doc_freq(sf_dir: str, k: int = DF_TOPK):
+    """Top-k tokens by DOCUMENT frequency (distinct docs containing the
+    token — the stopword/IDF statistic; token_freq counts occurrences).
+    Because one row = one whole document, per-batch ``np.unique`` per
+    doc makes the (token, batch-df) partial exact — no global distinct
+    needed, the groupby sums partial dfs. Top-k via per-block heads +
+    one bounded merge, not a vocab-wide sort."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(set((text or "").split(" ")))
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"token": pa.array(list(ks), pa.string()),
+                         "df": pa.array(list(vs), pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("df", alias_name="df")))
+    return _topk_table(agg,
+                       [("df", "descending"), ("token", "ascending")], k,
+                       pa.schema([("token", pa.string()),
+                                  ("df", pa.int64())]))
+
+
+DOC_FREQ_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents)
+SELECT token, count(*) AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, token LIMIT {DF_TOPK}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Cross-language token overlap (distributed set intersection)
+
+OVERLAP_LANGS = ("en", "fr")
+OVERLAP_TOPK = 50
+
+
+def token_lang_overlap(sf_dir: str, k: int = OVERLAP_TOPK):
+    """Tokens that occur in BOTH English and French documents — a
+    distributed set intersection, expressed as a wide partial (one
+    occurrence-count column per language) + groupby sum + both-positive
+    filter. Top-k by combined count with a pinned token tie-break."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    la, lb = OVERLAP_LANGS
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=pa.array(OVERLAP_LANGS)))
+        cnt: dict[str, list[int]] = {}
+        for text, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+            col = 0 if lang == la else 1
+            for w in (text or "").split(" "):
+                e = cnt.get(w)
+                if e is None:
+                    cnt[w] = e = [0, 0]
+                e[col] += 1
+        toks = list(cnt)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            f"n_{la}": pa.array([cnt[w][0] for w in toks], pa.int64()),
+            f"n_{lb}": pa.array([cnt[w][1] for w in toks], pa.int64()),
+        })
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum(f"n_{la}", alias_name=f"n_{la}"),
+                      Sum(f"n_{lb}", alias_name=f"n_{lb}")))
+
+    def add_total(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.greater(t[f"n_{la}"], 0),
+                       pc.greater(t[f"n_{lb}"], 0))
+        t = t.filter(both)
+        return t.append_column(
+            "n_total", pc.add(t[f"n_{la}"], t[f"n_{lb}"]).cast(pa.int64()))
+
+    ranked = agg.map_batches(add_total, batch_format="pyarrow")
+    return _topk_table(ranked,
+                       [("n_total", "descending"), ("token", "ascending")], k,
+                       pa.schema([("token", pa.string()),
+                                  (f"n_{la}", pa.int64()),
+                                  (f"n_{lb}", pa.int64()),
+                                  ("n_total", pa.int64())]))
+
+
+LANG_OVERLAP_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE lang IN ('{OVERLAP_LANGS[0]}', '{OVERLAP_LANGS[1]}')),
+a AS (
+  SELECT token,
+         sum(CASE WHEN lang = '{OVERLAP_LANGS[0]}' THEN 1 ELSE 0 END)
+             AS n_{OVERLAP_LANGS[0]},
+         sum(CASE WHEN lang = '{OVERLAP_LANGS[1]}' THEN 1 ELSE 0 END)
+             AS n_{OVERLAP_LANGS[1]}
+  FROM tok GROUP BY token)
+SELECT token, CAST(n_{OVERLAP_LANGS[0]} AS BIGINT) AS n_{OVERLAP_LANGS[0]},
+       CAST(n_{OVERLAP_LANGS[1]} AS BIGINT) AS n_{OVERLAP_LANGS[1]},
+       CAST(n_{OVERLAP_LANGS[0]} + n_{OVERLAP_LANGS[1]} AS BIGINT) AS n_total
+FROM a WHERE n_{OVERLAP_LANGS[0]} > 0 AND n_{OVERLAP_LANGS[1]} > 0
+ORDER BY n_total DESC, token LIMIT {OVERLAP_TOPK}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Two-pass bigram-LM novelty score (train on the corpus, score each doc)
+
+NOVELTY_MIN_COUNT = 3
+
+
+def doc_bigram_novelty(sf_dir: str, min_count: int = NOVELTY_MIN_COUNT):
+    """Language-model-style novelty: pass 1 'trains' the model (corpus
+    bigram occurrence counts; the vocabulary is every bigram seen
+    ≥ ``min_count`` times), pass 2 scores each document by how many of
+    its bigram occurrences are OUT of vocabulary (novelty in basis
+    points, integer math end-to-end).
+
+    Distributed shape: the vocabulary is never broadcast OR joined —
+    docs explode once into thin (md5-bigram, doc_id, count) rows, and
+    whether a bigram is in-vocabulary is decided INSIDE its own
+    groupby(g) group (the group holds every occurrence, so the corpus
+    total is local — same single-shuffle membership trick as
+    ops/curation.decontaminate). A second groupby(doc_id) sums the
+    per-gram verdicts back to one row per doc. Two key shuffles over
+    thin rows, zero driver state, no join to feed empty partitions at
+    small scale or to re-partition at 100 TB.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        import hashlib
+        out_g, out_d, out_c = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (text or "").split(" ")
+            if len(ws) < 2:
+                # bigram-less doc: zero-count sentinel keeps the doc in
+                # the output (scored 0/0/0, mirroring the oracle's
+                # UNION ALL branch); total 0 can never enter the vocab
+                out_g.append("-")
+                out_d.append(did)
+                out_c.append(0)
+                continue
+            c = collections.Counter(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+            for g, n in c.items():
+                out_g.append(hashlib.md5(g.encode()).hexdigest())
+                out_d.append(did)
+                out_c.append(n)
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    grams = docs.map_batches(bigram_rows, batch_format="pyarrow")
+
+    def per_gram(group: pa.Table) -> pa.Table:
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        known = 1 if int(cnt.sum()) >= min_count else 0
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "n_bigrams": group["cnt"],
+            "n_known": pa.array(cnt * known, pa.int64()),
+        })
+
+    per_doc = (grams.groupby("g")
+               .map_groups(per_gram, batch_format="pyarrow")
+               .groupby("doc_id")
+               .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                          Sum("n_known", alias_name="n_known")))
+
+    def score(t: pa.Table) -> pa.Table:
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False)
+        nk = t["n_known"].to_numpy(zero_copy_only=False)
+        bp = np.where(nb > 0, (nb - nk) * 10_000 // np.maximum(nb, 1), 0)
+        return t.append_column("novelty_bp", pa.array(bp.astype(np.int64)))
+
+    return per_doc.map_batches(score, batch_format="pyarrow")
+
+
+NOVELTY_ORACLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                         FOR i IN range(1, len(ws))]) AS g
+  FROM w),
+vocab AS (
+  SELECT g FROM bg GROUP BY g HAVING count(*) >= {NOVELTY_MIN_COUNT}),
+per AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         sum(CASE WHEN v.g IS NULL THEN 0 ELSE 1 END) AS n_known
+  FROM bg LEFT JOIN vocab v USING (g) GROUP BY bg.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_known AS BIGINT) AS n_known,
+       CAST((n_bigrams - n_known) * 10000 // n_bigrams AS BIGINT)
+           AS novelty_bp
+FROM per WHERE n_bigrams > 0
+UNION ALL
+SELECT doc_id, 0, 0, 0 FROM w WHERE len(ws) < 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling (per-group rates)
+
+STRATA_RATES = {"en": 10}     # pct per lang; everything else:
+STRATA_DEFAULT_PCT = 30
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Per-language sampling rates (downsample the dominant language,
+    keep more of the rest — the class-rebalancing read): same
+    content-addressed md5 bucket as ops/curation.doc_sample, but the
+    threshold varies by the row's stratum. Map-only, no RNG state, the
+    same slice on any cluster size or block layout."""
+    import hashlib
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) % 100
+            < STRATA_RATES.get(lang, STRATA_DEFAULT_PCT)
+            for d, lang in zip(t["doc_id"].to_pylist(), langs)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+STRATIFIED_ORACLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < (CASE WHEN lang = 'en' THEN {STRATA_RATES['en']}
+               ELSE {STRATA_DEFAULT_PCT} END)
+""".strip()

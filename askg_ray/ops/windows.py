@@ -1,0 +1,337 @@
+"""Window-function family beyond the running/sliding/lag ops in
+ops/relational.py and ops/joins.py: ranking windows (ROW_NUMBER / RANK
+/ DENSE_RANK / NTILE), FIRST_VALUE/LAST_VALUE as a map-side combiner,
+an interval range-join (ALL matches in a time window, vs. the as-of
+join's latest-only and the sliding window's counts-only), and an
+ordered list aggregation (string_agg).
+
+Shared design rules (same as the rest of ops/):
+  * reads prune to the columns the op touches;
+  * per-group kernels are numpy/Arrow vectorized — no Python loop over
+    rows inside a group;
+  * anything that can shrink before the shuffle does (the first/last op
+    ships ≤ one row per (user, batch); the range join ships each click
+    row at most twice, never a cross product);
+  * every output that feeds the driver's hash compare is integer or
+    string typed with pinned tie-breaks, mirrored in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DAY_US = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows
+
+
+def events_rank_family(sf_dir: str):
+    """ROW_NUMBER / RANK / DENSE_RANK / NTILE(4) per user over
+    ``value`` descending (row_number and ntile totally ordered by the
+    (value DESC, event_id ASC) tie-break; rank/dense_rank over value
+    alone so ties share a rank). One groupby(user) shuffle; the
+    per-group kernel is a single lexsort plus vectorized first-index
+    arithmetic — ranks for the whole group come out of two
+    ``np.unique`` style passes, no per-row Python.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("rn", pa.int64()), ("rnk", pa.int64()),
+        ("drnk", pa.int64()), ("ntile4", pa.int64()),
+    ])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("value", "descending"),
+                                                 ("event_id", "ascending")]))
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        n = len(vals)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        # new_run[i] == True where vals[i] differs from its predecessor
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(vals[1:], vals[:-1], out=new_run[1:])
+        # RANK: first row number of the value run; DENSE_RANK: run index
+        rnk = np.maximum.accumulate(np.where(new_run, rn, 0))
+        drnk = np.cumsum(new_run)
+        # NTILE(4): first (n % 4) tiles get one extra row
+        q, r = divmod(n, 4)
+        big = r * (q + 1)          # rows covered by the (q+1)-sized tiles
+        i = rn - 1
+        if q == 0:                 # fewer rows than tiles
+            ntile = i + 1
+        else:
+            ntile = np.where(i < big, i // (q + 1), r + (i - big) // q) + 1
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "rn": pa.array(rn),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "drnk": pa.array(drnk.astype(np.int64)),
+            "ntile4": pa.array(ntile.astype(np.int64)),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+RANK_FAMILY_ORACLE_SQL = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER wo AS BIGINT) AS rn,
+       CAST(rank()       OVER wv AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+       CAST(ntile(4)     OVER wo AS BIGINT) AS ntile4
+FROM events
+WINDOW wo AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+       wv AS (PARTITION BY user_id ORDER BY value DESC)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE via map-side combiner (no full sort)
+
+
+def events_first_last(sf_dir: str):
+    """Per-user FIRST_VALUE/LAST_VALUE of event_type in (ts, event_id)
+    order, plus the count — computed WITHOUT sorting the event log:
+    each batch emits one candidate row per user it sees (argmin/argmax
+    by the (ts, event_id) key plus a partial count), then a tiny
+    groupby(user) reduce picks the global extremes and sums the counts.
+    The shuffle carries ≤ one row per (user, batch) instead of one row
+    per event — the map-side-combiner shape every bounded aggregate
+    should take at 100 TB.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    mid_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("first_ts", pa.timestamp("us")), ("first_eid", pa.int64()),
+        ("first_type", pa.string()),
+        ("last_ts", pa.timestamp("us")), ("last_eid", pa.int64()),
+        ("last_type", pa.string()),
+        ("n_events", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        # lexsort by (user, ts, eid): per-user first = run start,
+        # last = run end — one sort replaces per-user argmin/argmax
+        order = np.lexsort((eid, us, uids))
+        su = uids[order]
+        starts = np.flatnonzero(np.r_[True, su[1:] != su[:-1]])
+        ends = np.r_[starts[1:], len(su)] - 1
+        fi, li = order[starts], order[ends]
+        types = t["event_type"]
+        return pa.table({
+            "user_id": pa.array(su[starts], pa.int64()),
+            "first_ts": t["ts"].take(pa.array(fi)).combine_chunks(),
+            "first_eid": pa.array(eid[fi], pa.int64()),
+            "first_type": types.take(pa.array(fi)).combine_chunks(),
+            "last_ts": t["ts"].take(pa.array(li)).combine_chunks(),
+            "last_eid": pa.array(eid[li], pa.int64()),
+            "last_type": types.take(pa.array(li)).combine_chunks(),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+        }, schema=mid_schema)
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("first_type", pa.string()), ("last_type", pa.string()),
+        ("n_events", pa.int64()),
+    ])
+
+    def reduce_user(t: pa.Table) -> pa.Table:
+        fkey = pc.sort_indices(t, sort_keys=[("first_ts", "ascending"),
+                                             ("first_eid", "ascending")])
+        lkey = pc.sort_indices(t, sort_keys=[("last_ts", "descending"),
+                                             ("last_eid", "descending")])
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "first_type": t["first_type"].take(fkey[:1]).combine_chunks(),
+            "last_type": t["last_type"].take(lkey[:1]).combine_chunks(),
+            "n_events": pa.array([pc.sum(t["n_events"]).as_py()], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(reduce_user, batch_format="pyarrow"))
+
+
+FIRST_LAST_ORACLE_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rdesc
+  FROM events)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rdesc = 1 THEN event_type END) AS last_type,
+       count(*) AS n_events
+FROM r GROUP BY user_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Interval range-join: ALL same-user clicks within 24 h before a purchase
+
+
+def events_range_join(sf_dir: str):
+    """Interval join: every (purchase, click) pair of the SAME user
+    with ``click.ts`` in ``[purchase.ts − 24 h, purchase.ts)`` — the
+    as-of join keeps only the latest match and the sliding window only
+    counts; a range join must emit EVERY pair. Distributed shape:
+    bucket time into days, replicate each click to its own and the
+    following day bucket (the 24 h window spans at most two), keep each
+    purchase in exactly one bucket, then one groupby((user, day))
+    shuffle; the per-group kernel resolves all pairs with two
+    searchsorted calls + np.repeat (no per-row Python, no cross
+    product). Replication factor is a fixed 2, so the exchange is
+    ≤ 2× the click rows at any scale; a purchase lives in one group,
+    so pairs are emitted exactly once.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    mid_schema = pa.schema([
+        ("user_id", pa.int64()), ("bucket", pa.int64()),
+        ("kind", pa.int8()),     # 0 = purchase (own bucket), 1 = click replica
+        ("event_id", pa.int64()), ("ts_us", pa.int64()),
+    ])
+
+    def route(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        us = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        eids = t["event_id"].to_numpy(zero_copy_only=False)
+        is_click = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False)
+        day = us // DAY_US
+        # purchases once; clicks to day and day+1
+        pu, cl = ~is_click, is_click
+        cols = {
+            "user_id": np.concatenate([uids[pu], uids[cl], uids[cl]]),
+            "bucket": np.concatenate([day[pu], day[cl], day[cl] + 1]),
+            "kind": np.concatenate([
+                np.zeros(int(pu.sum()), np.int8),
+                np.ones(int(cl.sum()) * 2, np.int8)]),
+            "event_id": np.concatenate([eids[pu], eids[cl], eids[cl]]),
+            "ts_us": np.concatenate([us[pu], us[cl], us[cl]]),
+        }
+        return pa.table({k: pa.array(v) for k, v in cols.items()},
+                        schema=mid_schema)
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("purchase_event_id", pa.int64()),
+        ("click_event_id", pa.int64()),
+        ("gap_us", pa.int64()),
+    ])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        p = kind == 0
+        pts, peid = ts[p], eid[p]
+        order = np.argsort(ts[~p], kind="stable")
+        cts, ceid = ts[~p][order], eid[~p][order]
+        lo = np.searchsorted(cts, pts - DAY_US, side="left")
+        hi = np.searchsorted(cts, pts, side="left")   # click.ts < purchase.ts
+        cnt = hi - lo
+        pi = np.repeat(np.arange(len(pts)), cnt)
+        # concatenated ranges [lo[i], hi[i]) without a Python loop
+        ci = np.arange(int(cnt.sum())) - np.repeat(
+            np.cumsum(cnt) - cnt - lo, cnt)
+        return pa.table({
+            "user_id": pa.array(
+                np.full(len(pi), t["user_id"][0].as_py(), np.int64)),
+            "purchase_event_id": pa.array(peid[pi], pa.int64()),
+            "click_event_id": pa.array(ceid[ci], pa.int64()),
+            "gap_us": pa.array(pts[pi] - cts[ci], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(route, batch_format="pyarrow")
+            .groupby(["user_id", "bucket"])
+            .map_groups(pairs, batch_format="pyarrow"))
+
+
+RANGE_JOIN_ORACLE_SQL = """
+SELECT p.user_id, p.event_id AS purchase_event_id,
+       c.event_id AS click_event_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM events p
+JOIN events c ON c.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Ordered list aggregation (string_agg / collect_list)
+
+
+JOURNEY_K = 10
+
+
+def events_user_journey(sf_dir: str, k: int = JOURNEY_K):
+    """Per-user 'journey': the first ``k`` event types in (ts,
+    event_id) order joined with '>', plus the total event count — the
+    ordered-list aggregation (string_agg / collect_list) shape. One
+    groupby(user) shuffle; the group kernel sorts once and joins ≤ k
+    short strings (output is one row per user, so the concat cost is
+    bounded by k, not the event count).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("journey", pa.string()),
+        ("n_events", pa.int64()),
+    ])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        head = t.take(pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])[:k])
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "journey": pa.array([">".join(head["event_type"].to_pylist())],
+                                pa.string()),
+            "n_events": pa.array([t.num_rows], pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+JOURNEY_ORACLE_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn)
+           FILTER (WHERE rn <= {JOURNEY_K}) AS journey,
+       count(*) AS n_events
+FROM r GROUP BY user_id
+""".strip()
