@@ -230,8 +230,8 @@ def _repo_links(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from askg_ray.ops import (curation, dedup, graph, joins, relational,
-                              similarity, stats, text, windows)
+    from askg_ray.ops import (curation, dedup, graph, joins, packing,
+                              relational, similarity, stats, text, windows)
     from askg_ray.ops.multimodal import media_features, media_frames, media_resize
 
     def fingerprints_sql_cols(sf_dir):
@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": relational.events_type_pivot,
         "orders_price_quantiles": relational.orders_price_quantiles,
         "events_rollup": relational.events_rollup,
+        "parts_above_brand_avg": relational.parts_above_brand_avg,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
@@ -297,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_lang_overlap": stats.token_lang_overlap,
         "doc_bigram_novelty": stats.doc_bigram_novelty,
         "docs_stratified_sample": stats.docs_stratified_sample,
+        "doc_top_terms": text.doc_top_terms,
+        "docs_pack_sequences": packing.docs_pack_sequences,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -383,13 +386,16 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
     )
-    from askg_ray.ops.relational import (ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
+    from askg_ray.ops.packing import PACK_ORACLE_SQL
+    from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
+        ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.stats import (DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, REGRESSION_ORACLE_SQL,
         STRATIFIED_ORACLE_SQL)
-    from askg_ray.ops.text import BPE_ORACLE_SQL, STOPWORDS, bm25_oracle_sql
+    from askg_ray.ops.text import (BPE_ORACLE_SQL, STOPWORDS,
+                                   TOP_TERMS_ORACLE_SQL, bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
         JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL)
 
@@ -437,6 +443,9 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": PIVOT_ORACLE_SQL,
         "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
         "events_rollup": ROLLUP_ORACLE_SQL,
+        "parts_above_brand_avg": ABOVE_AVG_ORACLE_SQL,
+        "doc_top_terms": TOP_TERMS_ORACLE_SQL,
+        "docs_pack_sequences": PACK_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,

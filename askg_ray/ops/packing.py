@@ -1,0 +1,111 @@
+"""Training-sequence packing: assign every document a position in the
+concatenated token stream (docs in ``doc_id`` order) and derive the
+fixed-budget training sequence it starts in — the "concat then chop
+every N tokens" layout LLM data loaders use.
+
+The core primitive is a **distributed global prefix scan**: an ordered
+running total over the whole corpus, which no single groupby can
+express. Shape (two thin shuffles + O(#buckets) driver state):
+
+  1. map_batches shrinks each doc to a thin ``(bucket, doc_id,
+     n_tokens)`` row, where ``bucket = doc_id // BUCKET_SPAN`` — a
+     RANGE partition by key, not by block layout, so the result is
+     deterministic on any cluster size.
+  2. groupby(bucket).sum gives per-bucket token totals — #buckets =
+     n_docs / BUCKET_SPAN rows, the only thing the driver ever holds.
+     The driver prefix-sums that small table and broadcasts the
+     bucket→offset map with ``ray.put`` (at 10^12 docs, pick
+     BUCKET_SPAN so #buckets stays ~10^6, or nest the same trick one
+     level deeper: scan the bucket table itself).
+  3. a second groupby(bucket) sorts each bucket by doc_id, local-
+     cumsums, and adds the broadcast offset: every doc now knows its
+     exact global token start without any global sort or barrier
+     beyond the two keyed exchanges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BUCKET_SPAN = 1_000          # docs per scan bucket (drives driver state size)
+SEQ_BUDGET = 256             # tokens per packed training sequence
+
+
+def docs_pack_sequences(sf_dir: str, budget: int = SEQ_BUDGET):
+    """Per doc: its whitespace token count, the global token offset of
+    its first token (docs concatenated in doc_id order), the training
+    sequence that token lands in (``seq_id = start // budget``) and the
+    offset inside that sequence. Token counting mirrors the oracle's
+    ``len(string_split(text, ' '))`` exactly (empty text = 1 token).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    thin_schema = pa.schema([("bucket", pa.int64()),
+                             ("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        # list_value_length(split_pattern) == len(str.split(' ')) for
+        # every string including '' (one empty element)
+        ntok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        return pa.table({"bucket": pa.array(did // BUCKET_SPAN),
+                         "doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_tokens": ntok}, schema=thin_schema)
+
+    thin_ds = docs.map_batches(thin, batch_format="pyarrow").materialize()
+
+    # -- step 2: bucket totals -> driver prefix-sum -> broadcast ---------
+    totals = (thin_ds.select_columns(["bucket", "n_tokens"])
+              .groupby("bucket").aggregate(Sum("n_tokens", alias_name="s"))
+              .to_pandas())
+    totals = totals.sort_values("bucket")
+    offs = np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]])
+    offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), offs)))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("seq_id", pa.int64()),
+                            ("offset_in_seq", pa.int64())])
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        start = (np.cumsum(ntok) - ntok
+                 + int(offsets[int(g["bucket"][0].as_py())]))
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "seq_id": pa.array(start // budget, pa.int64()),
+            "offset_in_seq": pa.array(start % budget, pa.int64()),
+        }, schema=out_schema)
+
+    return (thin_ds.groupby("bucket")
+            .map_groups(scan_bucket, batch_format="pyarrow"))
+
+
+PACK_ORACLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+""".strip()

@@ -15,6 +15,7 @@ each with a DuckDB oracle (see __ray_entry__.oracle_sql). Design rules:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -761,4 +762,79 @@ def events_rollup(sf_dir: str):
 ROLLUP_ORACLE_SQL = """
 SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
 FROM events GROUP BY ROLLUP(event_type, day)
+""".strip()
+
+
+def parts_above_brand_avg(sf_dir: str):
+    """Correlated-subquery shape: parts priced strictly above their
+    brand's average retail price. Two passes over the pruned fact
+    columns: per-brand (sum_cents, n) partials shrink to one row per
+    (brand, batch) before a groupby whose output is the BRAND table —
+    25 rows at any TPC-H scale factor (brands are a fixed vocabulary,
+    unlike customer/supplier, so the ``ray.put`` broadcast needs no
+    size gate). The filter compares in exact integer cross-multiplied
+    form (price_cents * n > sum_cents) — no float average, so the
+    strictly-above predicate cannot drift from the oracle's.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand",
+                                     "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        brands = t["p_brand"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(brands, return_inverse=True)
+        return pa.table({
+            "p_brand": pa.array(uniq, pa.string()),
+            "s": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    brand_stats = (parts.map_batches(partial, batch_format="pyarrow")
+                   .groupby("p_brand")
+                   .aggregate(Sum("s", alias_name="s"),
+                              Sum("n", alias_name="n"))
+                   .to_pandas())
+    stats_ref = ray.put({b: (int(s), int(n)) for b, s, n in zip(
+        brand_stats["p_brand"], brand_stats["s"], brand_stats["n"])})
+
+    out_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("p_brand", pa.string()),
+                            ("price_cents", pa.int64())])
+
+    def above(t: pa.Table) -> pa.Table:
+        stats = ray.get(stats_ref)
+        cents = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        brands = t["p_brand"].to_numpy(zero_copy_only=False)
+        # vectorized lookup: factorize the batch's brands once
+        uniq, inv = np.unique(brands, return_inverse=True)
+        s = np.array([stats[b][0] for b in uniq], np.int64)[inv]
+        n = np.array([stats[b][1] for b in uniq], np.int64)[inv]
+        keep = cents * n > s
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()),
+            "p_brand": t["p_brand"],
+            "price_cents": pa.array(cents[keep], pa.int64()),
+        }, schema=out_schema)
+
+    return parts.map_batches(above, batch_format="pyarrow")
+
+
+ABOVE_AVG_ORACLE_SQL = """
+WITH b AS (
+  SELECT p_brand,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM part GROUP BY p_brand)
+SELECT p_partkey, p.p_brand,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part p JOIN b USING (p_brand)
+WHERE CAST(round(p_retailprice * 100) AS BIGINT) * n > s
 """.strip()

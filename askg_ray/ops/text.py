@@ -302,3 +302,90 @@ BPE_ORACLE_SQL = (
     "SELECT doc_id, len(regexp_extract_all(text, '"
     + BPE_PAT.replace("'", "''")
     + "')) AS n_bpe_tokens FROM documents")
+
+
+TOP_TERMS_K = 5
+
+
+def doc_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
+    """TF-IDF-style top-k terms per document, with the document
+    frequency attached INSIDE the token's own group rather than by
+    broadcasting or joining a vocabulary table: docs explode once to
+    one (token, doc_id, tf) row per distinct (token, doc) pair, so a
+    groupby(token) group holds exactly df rows — the group size IS the
+    df. A second groupby(doc_id) takes the per-doc top-k. Scoring is
+    exact integer micro-units (tf * 1e6 // df) so ranking and the
+    driver hash cannot drift on float rounding; ties break on token.
+
+    Two thin-row shuffles, zero driver state, no vocab broadcast —
+    the same single-shuffle membership trick as ops/stats.
+    doc_bigram_novelty, extended with a per-group size statistic.
+    """
+    import collections
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    tf_schema = pa.schema([("token", pa.string()),
+                           ("doc_id", pa.int64()),
+                           ("tf", pa.int64())])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks, dids, tfs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = collections.Counter((text or "").split(" "))
+            for w, n in c.items():
+                toks.append(w)
+                dids.append(did)
+                tfs.append(n)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64()),
+                         "tf": pa.array(tfs, pa.int64())}, schema=tf_schema)
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        # one row per distinct doc => group size == document frequency
+        df = g.num_rows
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "token": g["token"],
+            "tf": g["tf"],
+            "df": pa.array(np.full(df, df, np.int64)),
+            "score_micro": pa.array(tf * 1_000_000 // df, pa.int64()),
+        })
+
+    scored = (docs.map_batches(tf_rows, batch_format="pyarrow")
+              .groupby("token")
+              .map_groups(attach_df, batch_format="pyarrow"))
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("score_micro", "descending"),
+                                            ("token", "ascending")])[:k]
+        g = g.take(idx)
+        return g.append_column("rn", pa.array(
+            np.arange(1, g.num_rows + 1, dtype=np.int64)))
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+TOP_TERMS_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token),
+s AS (
+  SELECT doc_id, token, tf, df,
+         tf * 1000000 // df AS score_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * 1000000 // df DESC, token) AS rn
+  FROM tf JOIN df USING (token))
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro, CAST(rn AS BIGINT) AS rn
+FROM s WHERE rn <= {TOP_TERMS_K}
+""".strip()
