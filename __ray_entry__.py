@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": relational.orders_price_quantiles,
         "events_rollup": relational.events_rollup,
         "parts_above_brand_avg": relational.parts_above_brand_avg,
+        "events_gap_fill": relational.events_gap_fill,
+        "top_return_customers": joins.top_return_customers,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
@@ -300,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
+        "doc_inverted_index": text.doc_inverted_index,
+        "events_value_outliers": stats.events_value_outliers,
+        "events_type_cooccurrence": stats.events_type_cooccurrence,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -385,17 +390,20 @@ def oracle_sql() -> dict[str, str]:
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
+        RETURN_CUSTOMERS_ORACLE_SQL,
     )
     from askg_ray.ops.packing import PACK_ORACLE_SQL
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
-        ASOF_ORACLE_SQL, PIVOT_ORACLE_SQL,
+        ASOF_ORACLE_SQL, GAP_FILL_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
-    from askg_ray.ops.stats import (DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
-        LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, REGRESSION_ORACLE_SQL,
-        STRATIFIED_ORACLE_SQL)
-    from askg_ray.ops.text import (BPE_ORACLE_SQL, STOPWORDS,
-                                   TOP_TERMS_ORACLE_SQL, bm25_oracle_sql)
+    from askg_ray.ops.stats import (COOCCURRENCE_ORACLE_SQL,
+        DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
+        LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
+        REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL)
+    from askg_ray.ops.text import (BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
+                                   STOPWORDS, TOP_TERMS_ORACLE_SQL,
+                                   bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
         JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL)
 
@@ -446,6 +454,11 @@ def oracle_sql() -> dict[str, str]:
         "parts_above_brand_avg": ABOVE_AVG_ORACLE_SQL,
         "doc_top_terms": TOP_TERMS_ORACLE_SQL,
         "docs_pack_sequences": PACK_ORACLE_SQL,
+        "events_gap_fill": GAP_FILL_ORACLE_SQL,
+        "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
+        "doc_inverted_index": INVERTED_ORACLE_SQL,
+        "events_value_outliers": OUTLIERS_ORACLE_SQL,
+        "events_type_cooccurrence": COOCCURRENCE_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,

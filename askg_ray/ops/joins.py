@@ -387,3 +387,99 @@ DISTINCT_USERS_ORACLE_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Q10-flavored: top customers by returned revenue (fact ⋈ fact ⋈ dim)
+
+RETURN_TOPK = 10
+
+
+def top_return_customers(sf_dir: str, k: int = RETURN_TOPK,
+                         num_partitions: int | None = None,
+                         broadcast_threshold: int | None = None):
+    """TPC-H-Q10-flavored: the k customers who returned the most
+    revenue. Three-table shape exercising both join policies in one
+    pipeline: lineitem (pre-filtered to l_returnflag='R' BEFORE the
+    exchange, ~¼ of rows) ⋈ orders runs as the hash shuffle join —
+    both sides scale with the corpus — then the per-customer revenue
+    aggregate (one small row per custkey) attaches c_name through the
+    size-gated dim policy, so a scale-factor-grown customer table
+    falls back to the partitioned join instead of a driver broadcast.
+    Revenue is exact integer units; top-k is per-block then one tiny
+    final sort, never a global sort of the aggregate.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("revenue_u", pa.int64())])
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders", "customer")) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
+                         f"{sf_dir}/orders.parquet")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        part = (pa.table({"l_orderkey": t["l_orderkey"],
+                          "rev": _rev_cents(t)})
+                .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return part.rename_columns(["l_orderkey", "rev"])
+
+    li = li.map_batches(returned_rev, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = li.join(orders, join_type="inner", num_partitions=npart,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        part = (t.select(["o_custkey", "rev"])
+                .group_by("o_custkey").aggregate([("rev", "sum")]))
+        return part.rename_columns(["c_custkey", "revenue_u"])
+
+    agg = (joined.map_batches(per_cust, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("revenue_u", alias_name="revenue_u")))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    agg = attach_dim(agg, cust, "c_custkey", "c_custkey", ["c_name"],
+                     broadcast_threshold=bt)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("revenue_u", "descending"),
+                          ("c_custkey", "ascending")])
+        return t.take(order[:k]).select(
+            ["c_custkey", "c_name", "revenue_u"])
+
+    return (agg.map_batches(block_topk, batch_format="pyarrow")
+            .sort(["revenue_u", "c_custkey"], descending=[True, False])
+            .limit(k))
+
+
+RETURN_CUSTOMERS_ORACLE_SQL = f"""
+SELECT o.o_custkey AS c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue_u DESC, c_custkey
+LIMIT {RETURN_TOPK}
+""".strip()

@@ -838,3 +838,71 @@ SELECT p_partkey, p.p_brand,
 FROM part p JOIN b USING (p_brand)
 WHERE CAST(round(p_retailprice * 100) AS BIGINT) * n > s
 """.strip()
+
+
+def events_gap_fill(sf_dir: str):
+    """Time-series densification: per (user, day) event counts with the
+    missing days BETWEEN each user's first and last active day filled
+    with n=0 — the gap-fill/resample step a metrics pipeline runs
+    before any window math. Shape: a per-batch (user, day, count)
+    partial shrinks the exchange to at most (users × active days) thin
+    rows, then ONE groupby(user_id) whose kernel merges the partials
+    and materializes the dense day range with a vectorized searchsorted
+    scatter — per-group output is bounded by the user's own span, and
+    there is no generate_series-style global driver loop.
+    """
+    import ray.data as rd
+
+    DAY_US = 86_400_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    thin_schema = pa.schema([("user_id", pa.int64()),
+                             ("day_us", pa.int64()),
+                             ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"].cast(pa.timestamp("us")),
+                                unit="day").cast(pa.int64())
+        g = (pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                       "day_us": day})
+             .group_by(["user_id", "day_us"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"user_id": g["user_id"], "day_us": g["day_us"],
+                         "n": g["count_all"].cast(pa.int64())},
+                        schema=thin_schema)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.timestamp("us")),
+                            ("n", pa.int64())])
+
+    def fill(g: pa.Table) -> pa.Table:
+        uid = g["user_id"][0].as_py()
+        day = g["day_us"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        dense = np.arange(day.min(), day.max() + DAY_US, DAY_US)
+        counts = np.zeros(len(dense), np.int64)
+        np.add.at(counts, np.searchsorted(dense, day), n)
+        return pa.table({
+            "user_id": pa.array(np.full(len(dense), uid, np.int64)),
+            "day": pa.array(dense, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(counts, pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(fill, batch_format="pyarrow"))
+
+
+GAP_FILL_ORACLE_SQL = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d
+      GROUP BY user_id),
+s AS (SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b)
+SELECT s.user_id, s.day, coalesce(d.n, 0)::BIGINT AS n
+FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+""".strip()

@@ -401,3 +401,161 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 100 < (CASE WHEN lang = 'en' THEN {STRATA_RATES['en']}
                ELSE {STRATA_DEFAULT_PCT} END)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact integer sigma-clipping (grouped z-score outlier filter)
+
+
+def events_value_outliers(sf_dir: str):
+    """Flag events whose value sits more than 2σ from their event_type's
+    mean — the sigma-clip every metrics/quality pipeline runs — in
+    EXACT integer arithmetic so the driver hash cannot drift: the
+    predicate |v − s/n| > 2σ cross-multiplies to (n·v − s)² > 4(n·ss −
+    s²), which the driver solves ONCE per type with Python bigints
+    (``isqrt``) into two integer thresholds; the per-batch filter is
+    then a pure int64 comparison. Moments come from per-batch partials
+    (3 ints per (batch, type)), so the only shuffle is over the tiny
+    type vocabulary. int64 bound: ss ≤ 9.2e18 holds to ~1e9 events at
+    value ≤ $30k; beyond that widen the ss partial to two lanes.
+    """
+    import ray
+    import ray.data as rd
+    from math import isqrt
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=vc).astype(np.int64)),
+            "ss": pa.array(np.bincount(inv, weights=vc * vc)
+                           .astype(np.int64)),
+        })
+
+    mom = (ev.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas())
+    # exact integer thresholds: flag iff n·v − s ≥ r+1 or ≤ −(r+1),
+    # r = isqrt(4(n·ss − s²)) — i.e. v ≥ ceil((s+r+1)/n) or
+    # v ≤ floor((s−r−1)/n). Python bigints: no intermediate overflow.
+    bounds = {}
+    for _, row in mom.iterrows():
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        r = isqrt(4 * (n * ss - s * s))
+        bounds[row["event_type"]] = (-(-(s + r + 1) // n),  # hi: ceil
+                                     (s - r - 1) // n)      # lo: floor
+    bounds_ref = ray.put(bounds)
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("value_cents", pa.int64())])
+
+    def clip(t: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        vc = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        hi = np.array([b[u][0] for u in uniq], np.int64)[inv]
+        lo = np.array([b[u][1] for u in uniq], np.int64)[inv]
+        keep = (vc >= hi) | (vc <= lo)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "value_cents": pa.array(vc[keep], pa.int64()),
+        }, schema=out_schema)
+
+    return ev.map_batches(clip, batch_format="pyarrow")
+
+
+OUTLIERS_ORACLE_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+m AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(vc) AS HUGEINT) AS s,
+         CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS ss
+  FROM v GROUP BY event_type)
+SELECT v.event_id, v.user_id, v.event_type, v.vc AS value_cents
+FROM v JOIN m USING (event_type)
+WHERE (n * v.vc - s) * (n * v.vc - s) > 4 * (n * ss - s * s)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type co-occurrence (association counts)
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """How many users exhibit each unordered PAIR of event types — the
+    co-occurrence/association count (market-basket shape, same math as
+    token co-occurrence over documents). Per-batch local distinct
+    shrinks the exchange to (user, type) pairs, one groupby(user)
+    emits the user's C(k,2) pairs (k ≤ the fixed type vocabulary, so
+    per-group output is bounded), and per-batch partial counts shrink
+    the final pair groupby to the vocabulary-squared key space.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    dist = (ev.map_batches(local_distinct, batch_format="pyarrow")
+            .groupby(["user_id", "event_type"])
+            .aggregate(Count(alias_name="__c")))
+
+    pair_schema = pa.schema([("type_a", pa.string()),
+                             ("type_b", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = sorted(set(g["event_type"].to_pylist()))
+        a, b = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                a.append(ts[i])
+                b.append(ts[j])
+        return pa.table({"type_a": pa.array(a, pa.string()),
+                         "type_b": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(len(a), np.int64))},
+                        schema=pair_schema)
+
+    def partial_count(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["type_a", "type_b"]).aggregate([("n", "sum")]))
+        return g.rename_columns(["type_a", "type_b", "n"])
+
+    return (dist.groupby("user_id").map_groups(pairs,
+                                               batch_format="pyarrow")
+            .map_batches(partial_count, batch_format="pyarrow")
+            .groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_users")))
+
+
+COOCCURRENCE_ORACLE_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""".strip()

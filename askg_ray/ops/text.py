@@ -389,3 +389,71 @@ SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(score_micro AS BIGINT) AS score_micro, CAST(rn AS BIGINT) AS rn
 FROM s WHERE rn <= {TOP_TERMS_K}
 """.strip()
+
+
+POSTINGS_CAP = 10
+
+
+def doc_inverted_index(sf_dir: str, cap: int = POSTINGS_CAP):
+    """Inverted-index build: token → document frequency + the first
+    ``cap`` posting doc_ids (comma-joined, ascending). The cap is the
+    scale guard: a stopword's full posting list is the whole corpus,
+    so the emitted row is bounded at ``cap`` ids regardless of df,
+    while df still reports the true count. One explode to distinct
+    (token, doc_id) thin rows (per-batch Counter keys — a doc never
+    emits a token twice), one groupby(token) whose kernel sorts its
+    own postings; no vocabulary broadcast, no driver state.
+    """
+    import collections
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    td_schema = pa.schema([("token", pa.string()),
+                           ("doc_id", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks, dids = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in collections.Counter((text or "").split(" ")):
+                toks.append(w)
+                dids.append(did)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64())},
+                        schema=td_schema)
+
+    out_schema = pa.schema([("token", pa.string()),
+                            ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def postings(g: pa.Table) -> pa.Table:
+        ids = np.sort(g["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "token": g["token"].slice(0, 1),
+            "df": pa.array([len(ids)], pa.int64()),
+            "postings": pa.array(
+                [",".join(str(i) for i in ids[:cap])], pa.string()),
+        }, schema=out_schema)
+
+    return (docs.map_batches(explode, batch_format="pyarrow")
+            .groupby("token").map_groups(postings, batch_format="pyarrow"))
+
+
+INVERTED_ORACLE_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+r AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM tok)
+SELECT token, df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM r WHERE rn <= {POSTINGS_CAP}
+GROUP BY token, df
+""".strip()

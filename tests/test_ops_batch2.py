@@ -1,0 +1,159 @@
+"""Adversarial coverage for events_gap_fill, events_value_outliers,
+events_type_cooccurrence, doc_inverted_index and top_return_customers:
+single-day users, an exact mean+2σ boundary value, σ=0 groups,
+single-type users, posting lists longer than the cap, revenue ties and
+a forced shuffle-path dim attach — each hash-compared against its
+DuckDB oracle on the same synthetic parquet."""
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].astype(str)
+    return sorted("|".join(x) for x in df.itertuples(index=False))
+
+
+@pytest.fixture()
+def gap_events(tmp_path):
+    """User 0: one single active day. User 1: two events 10 days apart
+    (9 gap days). User 2: exact-midnight events on adjacent days.
+    Type 'flat' has σ=0; type 'edge' = four 0.00 plus one 1.00, so the
+    1.00 sits EXACTLY at mean+2σ (strictly-above must exclude it);
+    'wild' has one extreme outlier that must be flagged."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+
+    def add(ts, uid, kind, val):
+        nonlocal eid
+        rows.append({"event_id": eid, "ts": ts, "user_id": uid,
+                     "event_type": kind, "value": float(val), "props": ""})
+        eid += 1
+
+    add(base + dt.timedelta(hours=5), 0, "flat", 7.0)
+    add(base, 1, "flat", 7.0)
+    add(base + dt.timedelta(days=10, hours=3), 1, "flat", 7.0)
+    add(base, 2, "edge", 0.0)              # exact midnight
+    add(base + dt.timedelta(days=1), 2, "edge", 0.0)
+    add(base + dt.timedelta(days=1, hours=1), 2, "edge", 0.0)
+    add(base + dt.timedelta(hours=2), 2, "edge", 0.0)
+    add(base + dt.timedelta(hours=3), 2, "edge", 1.0)   # == mean+2σ
+    # 20 baseline wild events + 1 extreme: with n=21 the extreme's
+    # z-score (~4.5) clears 2σ; a smaller group could never flag
+    # (max z among n points is < 2 for n <= 5)
+    for i in range(20):
+        add(base + dt.timedelta(minutes=i), i % 3, "wild", 10.0)
+    add(base + dt.timedelta(hours=1), 1, "wild", 1000.0)  # flagged
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_gap_fill_adversarial(ray_session, gap_events):
+    from askg_ray.ops import relational as r
+
+    sf, con = gap_events
+    got = r.events_gap_fill(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(r.GAP_FILL_ORACLE_SQL).df())
+    # user 0: single active day -> exactly one row; user 1: 11 dense
+    # days of which 9 are zero-filled
+    assert len(got[got["user_id"] == 0]) == 1
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 11 and (u1["n"] == 0).sum() == 9
+
+
+def test_outliers_boundary_and_sigma_zero(ray_session, gap_events):
+    from askg_ray.ops import stats as s
+
+    sf, con = gap_events
+    got = s.events_value_outliers(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(s.OUTLIERS_ORACLE_SQL).df())
+    # σ=0 group flags nothing; the exact mean+2σ value is NOT flagged
+    # (strict >); only the planted extreme survives
+    assert list(got["event_type"]) == ["wild"]
+    assert list(got["value_cents"]) == [100000]
+
+
+def test_cooccurrence_single_type_user(ray_session, gap_events):
+    from askg_ray.ops import stats as s
+
+    sf, con = gap_events
+    got = s.events_type_cooccurrence(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(s.COOCCURRENCE_ORACLE_SQL).df())
+    # users 0/1 have {flat, wild}, user 2 {edge, wild}: two pairs, and
+    # pair members are always lexicographically ordered
+    assert (got["type_a"] < got["type_b"]).all()
+    n = got.set_index(["type_a", "type_b"])["n_users"]
+    assert n[("flat", "wild")] == 2 and n[("edge", "wild")] == 1
+
+
+@pytest.fixture()
+def tiny_docs_idx(tmp_path):
+    """12 docs all sharing token 'common' (df > cap) with in-doc
+    repeats that must count once."""
+    docs = [{"doc_id": i, "text": "common common tok%d" % (i % 3)}
+            for i in range(12)]
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    return str(tmp_path), con
+
+
+def test_inverted_index_cap_and_repeats(ray_session, tiny_docs_idx):
+    from askg_ray.ops import text as t
+
+    sf, con = tiny_docs_idx
+    got = t.doc_inverted_index(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(t.INVERTED_ORACLE_SQL).df())
+    row = got.set_index("token").loc["common"]
+    assert row["df"] == 12                       # true df survives the cap
+    assert row["postings"] == ",".join(str(i) for i in range(10))
+
+
+@pytest.fixture()
+def tiny_tpch(tmp_path):
+    """Two customers tied on returned revenue (tie-break by custkey)
+    plus one with nothing returned."""
+    custs = [{"c_custkey": i, "c_name": f"Cust#{i}"} for i in range(3)]
+    orders = [{"o_orderkey": 10 + i, "o_custkey": i} for i in range(3)]
+    li = [
+        {"l_orderkey": 10, "l_extendedprice": 50.0, "l_discount": 0.0,
+         "l_returnflag": "R"},
+        {"l_orderkey": 11, "l_extendedprice": 25.0, "l_discount": 0.0,
+         "l_returnflag": "R"},
+        {"l_orderkey": 11, "l_extendedprice": 25.0, "l_discount": 0.0,
+         "l_returnflag": "R"},
+        {"l_orderkey": 12, "l_extendedprice": 99.0, "l_discount": 0.0,
+         "l_returnflag": "N"},
+    ]
+    for name, rows in [("customer", custs), ("orders", orders),
+                       ("lineitem", li)]:
+        pq.write_table(pa.Table.from_pylist(rows),
+                       str(tmp_path / f"{name}.parquet"))
+    con = duckdb.connect()
+    for name in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {name} AS SELECT * "
+                f"FROM read_parquet('{tmp_path}/{name}.parquet')")
+    return str(tmp_path), con
+
+
+def test_top_return_customers_tie_and_shuffle_path(ray_session, tiny_tpch):
+    from askg_ray.ops import joins as j
+
+    sf, con = tiny_tpch
+    exp = _canon(con.sql(j.RETURN_CUSTOMERS_ORACLE_SQL).df())
+    # broadcast attach path AND forced partitioned-join attach path
+    for bt in (None, 0):
+        got = j.top_return_customers(sf, broadcast_threshold=bt).to_pandas()
+        assert _canon(got) == exp, f"broadcast_threshold={bt}"
+        # revenue tie (5000u) breaks on the lower custkey first
+        assert list(got["c_custkey"]) == [0, 1]
