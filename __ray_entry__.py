@@ -230,7 +230,7 @@ def _repo_links(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from askg_ray.ops import (curation, dedup, graph, joins, packing,
+    from askg_ray.ops import (curation, dedup, funnel, graph, joins, packing,
                               relational, similarity, stats, text, windows)
     from askg_ray.ops.multimodal import media_features, media_frames, media_resize
 
@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_above_brand_avg": relational.parts_above_brand_avg,
         "events_gap_fill": relational.events_gap_fill,
         "top_return_customers": joins.top_return_customers,
+        "events_funnel": funnel.events_funnel,
+        "events_cohort_retention": funnel.events_cohort_retention,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
@@ -381,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
+    from askg_ray.ops.funnel import COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL
     from askg_ray.ops.graph import DEGREE_ORACLE_SQL
     from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
     from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
@@ -456,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": PACK_ORACLE_SQL,
         "events_gap_fill": GAP_FILL_ORACLE_SQL,
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
+        "events_funnel": FUNNEL_ORACLE_SQL,
+        "events_cohort_retention": COHORT_ORACLE_SQL,
         "doc_inverted_index": INVERTED_ORACLE_SQL,
         "events_value_outliers": OUTLIERS_ORACLE_SQL,
         "events_type_cooccurrence": COOCCURRENCE_ORACLE_SQL,

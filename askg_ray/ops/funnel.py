@@ -1,0 +1,176 @@
+"""User-behavior analytics: ordered funnel conversion and cohort
+retention — the two aggregate shapes a product-metrics pipeline runs on
+an event log.
+
+Both share one scale discipline: the events table is pruned and
+pre-shrunk per batch BEFORE the only corpus-proportional exchange (a
+groupby(user_id)), each per-user kernel is bounded by that user's own
+history, and the final aggregates are over tiny key spaces (stages,
+cohort×offset cells) reached through per-batch partial counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Funnel stage sequence, in order. A stage counts as reached when an
+# event of its type occurs STRICTLY AFTER the previous stage's matched
+# event (greedy earliest-match, which is exact for subsequence
+# existence); equal timestamps do not advance the funnel on either the
+# Ray or the SQL side.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Per funnel depth, how many users reached exactly that stage
+    (0 = active but never viewed). One filtered scan (only the three
+    stage types survive to the shuffle... plus a thin all-users pass so
+    stage-0 users still count), one groupby(user_id) whose kernel runs
+    the greedy subsequence match over the user's sorted history, then a
+    stages-sized partial-count aggregate.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    thin_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("stage", pa.int8())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        # stage index per event; -1 rows are kept ONLY as user markers
+        # (deduped per batch) so users with no funnel events count at 0
+        st = np.full(t.num_rows, -1, np.int8)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        for i, name in enumerate(FUNNEL_STAGES):
+            st[types == name] = i
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = st >= 0
+        marker_uids = np.unique(uid[~keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate([uid[keep], marker_uids])),
+            "ts_us": pa.array(np.concatenate(
+                [ts[keep], np.zeros(len(marker_uids), np.int64)])),
+            "stage": pa.array(np.concatenate(
+                [st[keep], np.full(len(marker_uids), -1, np.int8)])),
+        }, schema=thin_schema)
+
+    depth_schema = pa.schema([("stage_reached", pa.int64()),
+                              ("n_users", pa.int64())])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        st = g["stage"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, ts))  # ts asc; stage order irrelevant
+        st, ts = st[order], ts[order]
+        reached, last_t = 0, None
+        for k in range(len(FUNNEL_STAGES)):
+            cand = (st == k) if last_t is None else ((st == k)
+                                                     & (ts > last_t))
+            pos = np.flatnonzero(cand)
+            if len(pos) == 0:
+                break
+            last_t = ts[pos[0]]
+            reached = k + 1
+        return pa.table({"stage_reached": pa.array([reached], pa.int64()),
+                         "n_users": pa.array([1], pa.int64())},
+                        schema=depth_schema)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("stage_reached").aggregate([("n_users", "sum")])
+        return g.rename_columns(["stage_reached", "n_users"])
+
+    return (ev.map_batches(thin, batch_format="pyarrow")
+            .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("stage_reached")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+FUNNEL_ORACLE_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS stage_reached,
+       count(*) AS n_users
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+GROUP BY 1
+""".strip()
+
+
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by their FIRST active
+    day, counted per day-offset they came back on. Per-batch (user,
+    day) distinct partials shrink the exchange; one groupby(user_id)
+    kernel derives (cohort, offset) cells from the user's own distinct
+    days (each user contributes at most one row per cell by
+    construction, so the final count is a sum of ones); per-batch
+    partials shrink the last aggregate to the cohort×offset key space.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"].cast(pa.timestamp("us")),
+                                unit="day").cast(pa.int64())
+        return (pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                          "day_us": day})
+                .group_by(["user_id", "day_us"]).aggregate([]))
+
+    cell_schema = pa.schema([("cohort_day", pa.timestamp("us")),
+                             ("day_offset", pa.int64()),
+                             ("n_users", pa.int64())])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        d = np.unique(g["day_us"].to_numpy(zero_copy_only=False))
+        cohort = d[0]
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(d), cohort, np.int64))
+                            .cast(pa.timestamp("us")),
+            "day_offset": pa.array((d - cohort) // DAY_US, pa.int64()),
+            "n_users": pa.array(np.ones(len(d), np.int64)),
+        }, schema=cell_schema)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["cohort_day", "day_offset"])
+             .aggregate([("n_users", "sum")]))
+        return g.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return (ev.map_batches(days, batch_format="pyarrow")
+            .groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+COHORT_ORACLE_SQL = """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events),
+f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+SELECT f.cohort AS cohort_day,
+       CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+""".strip()

@@ -157,3 +157,56 @@ def test_top_return_customers_tie_and_shuffle_path(ray_session, tiny_tpch):
         assert _canon(got) == exp, f"broadcast_threshold={bt}"
         # revenue tie (5000u) breaks on the lower custkey first
         assert list(got["c_custkey"]) == [0, 1]
+
+
+@pytest.fixture()
+def funnel_events(tmp_path):
+    """One user per funnel depth, plus the strict-order edges: a click
+    AT the view's exact timestamp must not advance (user 10), and a
+    purchase BEFORE the view/click chain must not count (user 11)."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 5, 1)
+
+    def add(uid, kind, hours):
+        nonlocal eid
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(hours=hours),
+                     "user_id": uid, "event_type": kind,
+                     "value": 1.0, "props": ""})
+        eid += 1
+
+    add(0, "error", 0)                              # stage 0
+    add(1, "view", 0)                               # stage 1
+    add(2, "view", 0); add(2, "click", 1)           # stage 2
+    add(3, "view", 0); add(3, "click", 1); add(3, "purchase", 2)  # 3
+    add(10, "view", 0); add(10, "click", 0)         # same ts: stage 1
+    add(11, "purchase", 0); add(11, "view", 1); add(11, "click", 2)  # 2
+    # user 12: second chance — first click precedes view, later one counts
+    add(12, "click", 0); add(12, "view", 1); add(12, "click", 2)     # 2
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_funnel_strict_order(ray_session, funnel_events):
+    from askg_ray.ops import funnel as f
+
+    sf, con = funnel_events
+    got = f.events_funnel(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(f.FUNNEL_ORACLE_SQL).df())
+    n = got.set_index("stage_reached")["n_users"]
+    assert n[0] == 1 and n[1] == 2 and n[2] == 3 and n[3] == 1
+
+
+def test_cohort_retention_offsets(ray_session, gap_events):
+    from askg_ray.ops import funnel as f
+
+    sf, con = gap_events
+    got = f.events_cohort_retention(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(f.COHORT_ORACLE_SQL).df())
+    # user 1's 10-day return shows as offset 10 in its cohort
+    assert 10 in set(got["day_offset"])
+    # offset-0 row(s) cover every user exactly once
+    assert got[got["day_offset"] == 0]["n_users"].sum() == 3
