@@ -117,3 +117,47 @@ def export_neo4j_bulk(kg: dict, out_dir: str) -> dict:
             "categories": cat_ds.count(),
             "edges": kg["edges"].count(),
             "membership": kg["membership"].count()}
+
+
+def export_corpus_jsonl(sf_dir: str, out_dir: str,
+                        columns: list[str] | None = None) -> dict:
+    """Training-corpus JSONL sink: documents stream out as one
+    ``.jsonl`` shard per block via ``Dataset.write_json`` — the
+    interchange format LLM data loaders ingest — plus a
+    ``manifest.json`` recording row/byte totals and the shard list so
+    a consumer (or a resumed run) can verify completeness without
+    re-reading the data. Rerun-safe: the shard directory is recreated
+    fresh (``write_json`` would otherwise append new shards beside
+    stale ones). No driver materialization at any size — the only
+    driver state is the shard listing.
+    """
+    import json
+    import shutil
+
+    import ray.data as rd
+
+    cols = columns or ["doc_id", "text", "lang", "source"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    shard_dir = f"{out_dir}/docs"
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    os.makedirs(shard_dir, exist_ok=True)
+    docs.write_json(shard_dir)
+
+    shards = sorted(f for f in os.listdir(shard_dir)
+                    if f.endswith((".json", ".jsonl")))
+    n_rows = rd.read_json([f"{shard_dir}/{s}" for s in shards]).count()
+    manifest = {
+        "format": "jsonl",
+        "columns": cols,
+        "n_rows": n_rows,
+        "n_shards": len(shards),
+        "total_bytes": sum(os.path.getsize(f"{shard_dir}/{s}")
+                           for s in shards),
+        "shards": shards,
+    }
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, f"{out_dir}/manifest.json")
+    return manifest

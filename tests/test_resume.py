@@ -105,3 +105,34 @@ def test_neo4j_bulk_export_rerun_idempotent(ray_session, tmp_path):
     c2 = export_neo4j_bulk(kg, out)
     n_files2 = len(glob.glob(f"{out}/*/*.csv"))
     assert c1 == c2 and n_files1 == n_files2
+
+
+def test_corpus_jsonl_export_roundtrip(ray_session, tmp_path):
+    """JSONL sink round-trips the documents table exactly (values and
+    row count), writes a manifest that matches the shards on disk, and
+    a rerun replaces rather than appends."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from askg_ray.pipelines.export import export_corpus_jsonl
+
+    out = str(tmp_path / "jsonl")
+    m1 = export_corpus_jsonl("/root/testdata/sf0.001", out)
+    assert m1["n_rows"] == 500 and m1["n_shards"] >= 1
+    on_disk = sorted(f for f in os.listdir(f"{out}/docs")
+                     if f.endswith((".json", ".jsonl")))
+    assert on_disk == m1["shards"]
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == m1
+
+    back = rd.read_json(f"{out}/docs").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    src = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=m1["columns"]).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert back[m1["columns"]].equals(src[m1["columns"]])
+
+    m2 = export_corpus_jsonl("/root/testdata/sf0.001", out)
+    assert m2["n_rows"] == 500  # rerun replaced, not appended
