@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": text.doc_inverted_index,
         "events_value_outliers": stats.events_value_outliers,
         "events_type_cooccurrence": stats.events_type_cooccurrence,
+        "events_type_median": stats.events_type_median,
+        "events_share_of_day": windows.events_share_of_day,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -403,12 +405,14 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.stats import (COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
-        REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL)
+        REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
+        TYPE_MEDIAN_ORACLE_SQL)
     from askg_ray.ops.text import (BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
-        JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL)
+        JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL,
+        SHARE_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -461,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
         "events_funnel": FUNNEL_ORACLE_SQL,
         "events_cohort_retention": COHORT_ORACLE_SQL,
+        "events_type_median": TYPE_MEDIAN_ORACLE_SQL,
+        "events_share_of_day": SHARE_ORACLE_SQL,
         "doc_inverted_index": INVERTED_ORACLE_SQL,
         "events_value_outliers": OUTLIERS_ORACLE_SQL,
         "events_type_cooccurrence": COOCCURRENCE_ORACLE_SQL,

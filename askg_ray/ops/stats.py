@@ -559,3 +559,79 @@ FROM d a JOIN d b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact order statistics (median / p90 by discrete index)
+
+
+def events_type_median(sf_dir: str):
+    """Exact per-type median and p90 of value, as ORDER STATISTICS at
+    integer indices (lower median = sorted[(n−1)//2], p90 =
+    sorted[9(n−1)//10]) — no float quantile convention to drift from
+    the oracle. Shape: per-batch (type, cents)→count partials bound
+    the exchange by type × distinct cent values (value domains are
+    finite in cents), then one groupby(type) kernel cumsums the counts
+    and reads both indices off a searchsorted — the full value list is
+    never shuffled or held anywhere.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(types.astype(str), "\x00"),
+                          vc.astype(str))
+        uniq, first, inv = np.unique(key, return_index=True,
+                                     return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(types[first], pa.string()),
+            "vc": pa.array(vc[first], pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("median_cents", pa.int64()),
+                            ("p90_cents", pa.int64())])
+
+    def order_stats(g: pa.Table) -> pa.Table:
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vc)
+        vc, n = vc[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        idx = np.array([(total - 1) // 2, 9 * (total - 1) // 10])
+        picked = vc[np.searchsorted(cum, idx, side="right")]
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n": pa.array([total], pa.int64()),
+            "median_cents": pa.array([picked[0]], pa.int64()),
+            "p90_cents": pa.array([picked[1]], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(order_stats, batch_format="pyarrow"))
+
+
+TYPE_MEDIAN_ORACLE_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+r AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, n,
+       max(CASE WHEN rn = (n - 1) // 2 + 1 THEN vc END) AS median_cents,
+       max(CASE WHEN rn = 9 * (n - 1) // 10 + 1 THEN vc END) AS p90_cents
+FROM r GROUP BY event_type, n
+""".strip()

@@ -335,3 +335,62 @@ SELECT user_id,
        count(*) AS n_events
 FROM r GROUP BY user_id
 """.strip()
+
+
+def events_share_of_day(sf_dir: str):
+    """Ratio-to-report window: each (day, event_type) cell's share of
+    its day's total events, in exact integer ppm. Per-batch (day,
+    type)→count partials shrink the exchange to the day×type key
+    space; ONE groupby(day) kernel owns the whole day (a bounded
+    type-vocabulary group), sums its own total and emits the shares —
+    the window never sees individual events and there is no second
+    pass or totals join.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"].cast(pa.timestamp("us")),
+                                unit="day").cast(pa.int64())
+        g = (pa.table({"day_us": day, "event_type": t["event_type"]})
+             .group_by(["day_us", "event_type"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"day_us": g["day_us"],
+                         "event_type": g["event_type"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("share_ppm", pa.int64())])
+
+    def shares(g: pa.Table) -> pa.Table:
+        # partials for the same (day, type) may arrive from many
+        # batches: re-aggregate before the ratio
+        g = (g.select(["day_us", "event_type", "n"])
+             .group_by(["day_us", "event_type"]).aggregate([("n", "sum")]))
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        total = n.sum()
+        return pa.table({
+            "day": g["day_us"].cast(pa.timestamp("us")),
+            "event_type": g["event_type"],
+            "n": pa.array(n, pa.int64()),
+            "share_ppm": pa.array(n * 1_000_000 // total, pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("day_us").map_groups(shares, batch_format="pyarrow"))
+
+
+SHARE_ORACLE_SQL = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY day) AS BIGINT)
+           AS share_ppm
+FROM c
+""".strip()

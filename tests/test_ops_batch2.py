@@ -210,3 +210,62 @@ def test_cohort_retention_offsets(ray_session, gap_events):
     assert 10 in set(got["day_offset"])
     # offset-0 row(s) cover every user exactly once
     assert got[got["day_offset"] == 0]["n_users"].sum() == 3
+
+
+@pytest.fixture()
+def stat_events(tmp_path):
+    """Order-statistic boundary groups: n=1, even n (lower median),
+    n=10 (p90 index 9·9//10=8 → the 9th value), duplicated values; one
+    day with a single type (share exactly 1e6) and one day splitting
+    1:2 (floor shares 333333/666666)."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 7, 1)
+
+    def add(kind, val, day=0, uid=0):
+        nonlocal eid
+        rows.append({"event_id": eid,
+                     "ts": base + dt.timedelta(days=day, minutes=eid),
+                     "user_id": uid, "event_type": kind,
+                     "value": float(val), "props": ""})
+        eid += 1
+
+    add("solo", 42.5)                       # n=1: median = p90 = 4250
+    for v in (1, 2, 3, 4):                  # even n: lower median = 200
+        add("even", v)
+    for v in (5, 1, 1, 2, 2, 3, 3, 4, 4, 5):  # n=10 with dups: p90 = 500
+        add("ten", v)
+    add("alone", 1, day=5)                  # single-type day
+    add("pair", 1, day=6)                   # 1:2 day split
+    add("trio", 1, day=6)
+    add("trio", 2, day=6)
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_type_median_order_statistics(ray_session, stat_events):
+    from askg_ray.ops import stats as s
+
+    sf, con = stat_events
+    got = s.events_type_median(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(s.TYPE_MEDIAN_ORACLE_SQL).df())
+    m = got.set_index("event_type")
+    assert m.loc["solo", "median_cents"] == 4250
+    assert m.loc["solo", "p90_cents"] == 4250
+    assert m.loc["even", "median_cents"] == 200     # lower middle of 4
+    assert m.loc["ten", "p90_cents"] == 500         # 9th of 10 sorted
+
+
+def test_share_of_day_floor_ppm(ray_session, stat_events):
+    from askg_ray.ops import windows as w
+
+    sf, con = stat_events
+    got = w.events_share_of_day(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(w.SHARE_ORACLE_SQL).df())
+    by = got.set_index("event_type")
+    assert by.loc["alone", "share_ppm"] == 1_000_000
+    assert by.loc["pair", "share_ppm"] == 333_333   # floor, not round
+    assert by.loc["trio", "share_ppm"] == 666_666
