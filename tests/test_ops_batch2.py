@@ -269,3 +269,98 @@ def test_share_of_day_floor_ppm(ray_session, stat_events):
     assert by.loc["alone", "share_ppm"] == 1_000_000
     assert by.loc["pair", "share_ppm"] == 333_333   # floor, not round
     assert by.loc["trio", "share_ppm"] == 666_666
+
+
+@pytest.fixture()
+def random_events(tmp_path):
+    """Seeded collision-heavy random corpus: tiny ts domain (many exact
+    duplicate timestamps), tiny value domain (ties everywhere), skewed
+    type mix — the distributions that break tie-breaks and boundary
+    arithmetic if anything is off."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 400
+    base = dt.datetime(2024, 1, 1)
+    rows = [{
+        "event_id": i,
+        # 40 distinct hour slots over 10 days -> heavy ts collisions
+        "ts": base + dt.timedelta(days=int(rng.randint(10)),
+                                  hours=int(rng.randint(4))),
+        "user_id": int(rng.randint(12)),
+        "event_type": ["view", "click", "purchase", "error",
+                       "signup"][rng.randint(5)],
+        "value": float(rng.randint(7)) / 2.0,   # 7 values incl. x.5
+        "props": "",
+    } for i in range(n)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_randomized_event_ops_parity(ray_session, random_events):
+    from askg_ray.ops import funnel as f
+    from askg_ray.ops import relational as r
+    from askg_ray.ops import stats as s
+    from askg_ray.ops import windows as w
+
+    sf, con = random_events
+    cases = [
+        (r.events_gap_fill, r.GAP_FILL_ORACLE_SQL),
+        (s.events_value_outliers, s.OUTLIERS_ORACLE_SQL),
+        (s.events_type_cooccurrence, s.COOCCURRENCE_ORACLE_SQL),
+        (s.events_type_median, s.TYPE_MEDIAN_ORACLE_SQL),
+        (w.events_share_of_day, w.SHARE_ORACLE_SQL),
+        (f.events_funnel, f.FUNNEL_ORACLE_SQL),
+        (f.events_cohort_retention, f.COHORT_ORACLE_SQL),
+    ]
+    for fn, sql in cases:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got == exp, fn.__name__
+
+
+@pytest.fixture()
+def random_docs(tmp_path):
+    """Seeded random docs over an 8-word vocab (df/tf ties everywhere),
+    including empty and single-token docs, with doc_ids spread across
+    packing buckets."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    docs = []
+    for i in range(60):
+        did = int(i * 97 % 3500)            # spreads over buckets 0-3
+        k = int(rng.randint(0, 12))
+        docs.append({"doc_id": did,
+                     "text": " ".join(vocab[rng.randint(8)]
+                                      for _ in range(k))})
+    pq.write_table(pa.Table.from_pylist(docs),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    return str(tmp_path), con
+
+
+def test_randomized_doc_ops_parity(ray_session, random_docs):
+    from askg_ray.ops import packing as p
+    from askg_ray.ops import text as t
+
+    sf, con = random_docs
+    for fn, sql in [(p.docs_pack_sequences, p.PACK_ORACLE_SQL),
+                    (t.doc_top_terms, t.TOP_TERMS_ORACLE_SQL),
+                    (t.doc_inverted_index, t.INVERTED_ORACLE_SQL)]:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got == exp, fn.__name__
+    # packing invariant vs a naive driver scan: offsets are a cumsum
+    got = p.docs_pack_sequences(sf).to_pandas().sort_values("doc_id")
+    starts = (got["seq_id"] * 256 + got["offset_in_seq"]).to_numpy()
+    ntok = got["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert ((starts[1:] - starts[:-1]) == ntok[:-1]).all()
