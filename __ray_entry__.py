@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": curation.doc_sample,
         "passage_dedup": curation.passage_dedup,
         "corpus_prep": curation.corpus_prep,
+        "corpus_pack": packing.corpus_pack,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
         "events_running_total": relational.events_running_total,
@@ -397,7 +398,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL,
     )
-    from askg_ray.ops.packing import PACK_ORACLE_SQL
+    from askg_ray.ops.packing import CORPUS_PACK_ORACLE_SQL, PACK_ORACLE_SQL
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
         ASOF_ORACLE_SQL, GAP_FILL_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
@@ -461,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_above_brand_avg": ABOVE_AVG_ORACLE_SQL,
         "doc_top_terms": TOP_TERMS_ORACLE_SQL,
         "docs_pack_sequences": PACK_ORACLE_SQL,
+        "corpus_pack": CORPUS_PACK_ORACLE_SQL,
         "events_gap_fill": GAP_FILL_ORACLE_SQL,
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
         "events_funnel": FUNNEL_ORACLE_SQL,

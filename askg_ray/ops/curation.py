@@ -406,32 +406,33 @@ FROM p JOIN o ON p.h = o.h GROUP BY p.doc_id
 
 # ---- composite: end-to-end training-corpus prep ------------------------------
 
-def corpus_prep(sf_dir: str, num_partitions: int | None = None):
-    """The ops composed as ONE pipeline — the shape a real
-    training-data prep run takes: exact-dedup to representatives, drop
-    the eval slice and everything contaminated by it, keep only
-    quality='good' docs, assign the content-hash split, and account
-    chunks per split. Output: (split, n_docs, n_chunks).
+KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("split", pa.string()),
+                         ("n_chunks", pa.int64()), ("n_tokens", pa.int64())])
+
+
+def corpus_kept(sf_dir: str, num_partitions: int | None = None):
+    """The retained-document set the composite prep pipeline trains on:
+    exact-dedup representatives, minus the eval slice and everything
+    contaminated by it, quality='good' only, each row carrying its
+    content-hash split plus chunk and token counts. ``corpus_prep``
+    aggregates this; ``ops/packing.corpus_pack`` packs its train split.
 
     Execution shape: one pass over documents computes quality, split
-    and chunk counts per doc (a doc's chunks never leave their batch,
-    so the count is batch-local); the two global facts — dedup
+    and chunk/token counts per doc (a doc's chunks never leave their
+    batch, so the count is batch-local); the two global facts — dedup
     representatives and the contaminated set — arrive as hash joins
     (semi via inner, anti via left-outer null marker). No driver state
     beyond the empty-contamination guard's one count.
     """
     import numpy as np
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     from ..rayutil import default_nblocks, parquet_num_rows
     from .dedup import exact_dedup
     from .text import quality_batch
 
-    out_schema = pa.schema([("split", pa.string()), ("n_docs", pa.int64()),
-                            ("n_chunks", pa.int64())])
     if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
-        return rd.from_arrow(out_schema.empty_table())
+        return rd.from_arrow(KEPT_SCHEMA.empty_table())
     npart = (num_partitions if num_partitions is not None
              else default_nblocks())
 
@@ -443,14 +444,17 @@ def corpus_prep(sf_dir: str, num_partitions: int | None = None):
         u, c = np.unique(ch["doc_id"].to_numpy(zero_copy_only=False),
                          return_counts=True)
         n_chunks = c[np.searchsorted(u, ids)]   # every doc has ≥1 chunk
+        ntok = pc.list_value_length(pc.split_pattern(
+            pc.fill_null(t["text"], ""), " ")).cast(pa.int64())
         keep = ((np.asarray(q["quality"].to_pylist()) == "good")
                 & (ids % EVAL_MOD != 0))        # eval slice never trains
+        take = pa.array(np.nonzero(keep)[0])
         return pa.table({
             "doc_id": pa.array(ids[keep], pa.int64()),
-            "split": s["split"].combine_chunks().take(
-                pa.array(np.nonzero(keep)[0])),
+            "split": s["split"].combine_chunks().take(take),
             "n_chunks": pa.array(n_chunks[keep].astype(np.int64)),
-        })
+            "n_tokens": pc.take(ntok.combine_chunks(), take),
+        }, schema=KEPT_SCHEMA)
 
     candidates = _read_docs(sf_dir).map_batches(per_doc,
                                                 batch_format="pyarrow")
@@ -490,7 +494,23 @@ def corpus_prep(sf_dir: str, num_partitions: int | None = None):
         kept = kept.map_batches(
             lambda t: t.filter(pc.is_null(t["n_hit_grams"])),
             batch_format="pyarrow")
-    return (kept.groupby("split")
+    return kept.map_batches(lambda t: t.select(KEPT_SCHEMA.names),
+                            batch_format="pyarrow")
+
+
+def corpus_prep(sf_dir: str, num_partitions: int | None = None):
+    """The ops composed as ONE pipeline — the shape a real
+    training-data prep run takes: exact-dedup to representatives, drop
+    the eval slice and everything contaminated by it, keep only
+    quality='good' docs, assign the content-hash split, and account
+    chunks per split. Output: (split, n_docs, n_chunks). The retained
+    set itself comes from ``corpus_kept`` (shared with the packing
+    composite); this is just its per-split aggregate.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    return (corpus_kept(sf_dir, num_partitions)
+            .groupby("split")
             .aggregate(Count(alias_name="n_docs"),
                        Sum("n_chunks", alias_name="n_chunks")))
 

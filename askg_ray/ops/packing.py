@@ -62,19 +62,31 @@ def docs_pack_sequences(sf_dir: str, budget: int = SEQ_BUDGET):
                          "n_tokens": ntok}, schema=thin_schema)
 
     thin_ds = docs.map_batches(thin, batch_format="pyarrow").materialize()
+    return _pack_thin(thin_ds, budget)
 
-    # -- step 2: bucket totals -> driver prefix-sum -> broadcast ---------
+
+PACK_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("n_tokens", pa.int64()),
+                         ("seq_id", pa.int64()),
+                         ("offset_in_seq", pa.int64())])
+
+
+def _pack_thin(thin_ds, budget: int):
+    """Steps 2-3 of the scan over a MATERIALIZED thin (bucket, doc_id,
+    n_tokens) dataset — shared by the raw-corpus and the prep-composite
+    packers."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
     totals = (thin_ds.select_columns(["bucket", "n_tokens"])
               .groupby("bucket").aggregate(Sum("n_tokens", alias_name="s"))
               .to_pandas())
+    if len(totals) == 0:
+        return rd.from_arrow(PACK_SCHEMA.empty_table())
     totals = totals.sort_values("bucket")
     offs = np.concatenate([[0], np.cumsum(totals["s"].to_numpy())[:-1]])
     offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), offs)))
-
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("n_tokens", pa.int64()),
-                            ("seq_id", pa.int64()),
-                            ("offset_in_seq", pa.int64())])
 
     def scan_bucket(g: pa.Table) -> pa.Table:
         offsets = ray.get(offsets_ref)
@@ -87,10 +99,94 @@ def docs_pack_sequences(sf_dir: str, budget: int = SEQ_BUDGET):
             "n_tokens": g["n_tokens"],
             "seq_id": pa.array(start // budget, pa.int64()),
             "offset_in_seq": pa.array(start % budget, pa.int64()),
-        }, schema=out_schema)
+        }, schema=PACK_SCHEMA)
 
     return (thin_ds.groupby("bucket")
             .map_groups(scan_bucket, batch_format="pyarrow"))
+
+
+def corpus_pack(sf_dir: str, budget: int = SEQ_BUDGET):
+    """The prep→pack composite: run the full training-corpus prep
+    (exact-dedup reps, eval slice + contamination dropped, quality
+    filter, content-hash split — ``ops/curation.corpus_kept``), keep
+    the TRAIN split, and assign every surviving doc its packed-sequence
+    position in doc_id order. This is the end-to-end layout step a
+    data loader consumes; the oracle composes the prep CTEs with the
+    window cumsum, so the hash check covers the whole chain.
+
+    Scale shape: corpus_kept's joins + one filter feed the same
+    two-shuffle prefix scan as ``docs_pack_sequences`` — token counts
+    ride the kept rows (computed once in the prep pass), so no second
+    read of the documents table.
+    """
+    from .curation import corpus_kept
+
+    kept = corpus_kept(sf_dir)
+
+    thin_schema = pa.schema([("bucket", pa.int64()),
+                             ("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["split"], "train"))
+        return pa.table({
+            "bucket": pa.array(t["doc_id"].to_numpy(zero_copy_only=False)
+                               // BUCKET_SPAN),
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+        }, schema=thin_schema)
+
+    return _pack_thin(
+        kept.map_batches(thin, batch_format="pyarrow").materialize(),
+        budget)
+
+
+def _corpus_pack_oracle_sql() -> str:
+    from .curation import (DECON_N, EVAL_MOD, SPLIT_MOD, SPLIT_TRAIN,
+                           SPLIT_VAL)
+    from .text import STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(ws,i,i+{DECON_N - 1}),' ') g
+          FROM toks, LATERAL (SELECT unnest(
+               range(1, greatest(len(ws)-{DECON_N - 1},0)+1)) i)),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (g)
+         WHERE g.doc_id % {EVAL_MOD} <> 0),
+q AS (SELECT doc_id FROM (
+      SELECT doc_id, string_split(text,' ') ws FROM documents)
+      WHERE len(ws) >= 50
+        AND (len(list_filter(ws, x -> x IN ({stoplist}))) * 100) // len(ws)
+            BETWEEN 5 AND 60),
+s AS (SELECT doc_id,
+      CASE WHEN md5_number_upper(coalesce(text,'')) % {SPLIT_MOD}
+                < {SPLIT_TRAIN} THEN 'train'
+           WHEN md5_number_upper(coalesce(text,'')) % {SPLIT_MOD}
+                < {SPLIT_VAL} THEN 'val' ELSE 'test' END AS split,
+      CAST(len(string_split(coalesce(text,''),' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+kept AS (SELECT s.doc_id, s.n_tokens
+         FROM reps JOIN q USING (doc_id) JOIN s USING (doc_id)
+         WHERE reps.doc_id % {EVAL_MOD} <> 0
+           AND reps.doc_id NOT IN (SELECT doc_id FROM cont)
+           AND s.split = 'train'),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM kept)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+FROM c
+""".strip()
+
+
+CORPUS_PACK_ORACLE_SQL = _corpus_pack_oracle_sql()
 
 
 PACK_ORACLE_SQL = f"""

@@ -364,3 +364,20 @@ def test_randomized_doc_ops_parity(ray_session, random_docs):
     ntok = got["n_tokens"].to_numpy()
     assert starts[0] == 0
     assert ((starts[1:] - starts[:-1]) == ntok[:-1]).all()
+
+
+def test_corpus_pack_consistent_with_prep(ray_session):
+    """The prep→pack composite covers exactly the train split corpus_prep
+    reports, and its offsets form one contiguous token stream."""
+    from askg_ray.ops.curation import corpus_prep
+    from askg_ray.ops.packing import SEQ_BUDGET, corpus_pack
+
+    sf = "/root/testdata/sf0.001"
+    prep = corpus_prep(sf).to_pandas().set_index("split")
+    packed = corpus_pack(sf).to_pandas().sort_values("doc_id")
+    assert len(packed) == prep.loc["train", "n_docs"]
+    starts = (packed["seq_id"] * SEQ_BUDGET
+              + packed["offset_in_seq"]).to_numpy()
+    ntok = packed["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert ((starts[1:] - starts[:-1]) == ntok[:-1]).all()
