@@ -302,9 +302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": stats.token_doc_freq,
         "token_lang_overlap": stats.token_lang_overlap,
         "doc_bigram_novelty": stats.doc_bigram_novelty,
+        "doc_lm_score": stats.doc_lm_score,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
+        "doc_shuffle_index": packing.doc_shuffle_index,
         "doc_inverted_index": text.doc_inverted_index,
         "events_value_outliers": stats.events_value_outliers,
         "events_type_cooccurrence": stats.events_type_cooccurrence,
@@ -398,14 +400,16 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL,
     )
-    from askg_ray.ops.packing import CORPUS_PACK_ORACLE_SQL, PACK_ORACLE_SQL
+    from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
+        PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
         ASOF_ORACLE_SQL, GAP_FILL_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.stats import (COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
-        LANG_OVERLAP_ORACLE_SQL, NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
+        LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
+        NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
         TYPE_MEDIAN_ORACLE_SQL)
     from askg_ray.ops.text import (BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
@@ -462,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_above_brand_avg": ABOVE_AVG_ORACLE_SQL,
         "doc_top_terms": TOP_TERMS_ORACLE_SQL,
         "docs_pack_sequences": PACK_ORACLE_SQL,
+        "doc_shuffle_index": SHUFFLE_INDEX_ORACLE_SQL,
         "corpus_pack": CORPUS_PACK_ORACLE_SQL,
         "events_gap_fill": GAP_FILL_ORACLE_SQL,
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
@@ -483,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "token_doc_freq": DOC_FREQ_ORACLE_SQL,
         "token_lang_overlap": LANG_OVERLAP_ORACLE_SQL,
         "doc_bigram_novelty": NOVELTY_ORACLE_SQL,
+        "doc_lm_score": LM_SCORE_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

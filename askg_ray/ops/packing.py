@@ -189,6 +189,82 @@ FROM c
 CORPUS_PACK_ORACLE_SQL = _corpus_pack_oracle_sql()
 
 
+def doc_shuffle_index(sf_dir: str):
+    """Deterministic global training shuffle: every doc gets a dense
+    rank 0..n-1 in md5(doc_id) order — the content-addressed stand-in
+    for `ORDER BY random()` that reproduces bit-identically on any
+    cluster size, block layout, or resumed run (the property a
+    restartable data loader needs; seeded RNG over blocks does not
+    survive a re-partition).
+
+    Same distributed prefix scan as the packer, with the bucket taken
+    from the top byte of the hash instead of a doc_id range: hex md5
+    ordering is lexicographic and the first two hex chars order
+    exactly like their integer value, so ranks assigned inside bucket
+    b, offset by the count of all docs hashing below b, form the
+    global permutation with no global sort. Driver state is the
+    256-row bucket histogram at ANY corpus size.
+    """
+    import hashlib
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    thin_schema = pa.schema([("bucket", pa.int64()),
+                             ("key", pa.string()),
+                             ("doc_id", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("shuffle_rank", pa.int64())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = [hashlib.md5(str(int(d)).encode()).hexdigest() for d in ids]
+        return pa.table({
+            "bucket": pa.array([int(k[:2], 16) for k in keys], pa.int64()),
+            "key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        }, schema=thin_schema)
+
+    thin_ds = docs.map_batches(thin, batch_format="pyarrow").materialize()
+    totals = (thin_ds.select_columns(["bucket"])
+              .groupby("bucket").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    if len(totals) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    totals = totals.sort_values("bucket")
+    offs = np.concatenate([[0], np.cumsum(totals["n"].to_numpy())[:-1]])
+    offsets_ref = ray.put(dict(zip(totals["bucket"].astype(int), offs)))
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        # doc_id tie-break mirrors the oracle's ORDER BY (md5 collisions
+        # cannot occur over int64 ids, but the rule is pinned anyway)
+        g = g.take(pc.sort_indices(g, sort_keys=[("key", "ascending"),
+                                                 ("doc_id", "ascending")]))
+        base = int(offsets[int(g["bucket"][0].as_py())])
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "shuffle_rank": pa.array(base + np.arange(g.num_rows),
+                                     pa.int64()),
+        }, schema=out_schema)
+
+    return (thin_ds.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+SHUFFLE_INDEX_ORACLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS shuffle_rank
+FROM documents
+""".strip()
+
+
 PACK_ORACLE_SQL = f"""
 WITH t AS (
   SELECT doc_id,

@@ -340,6 +340,107 @@ def doc_bigram_novelty(sf_dir: str, min_count: int = NOVELTY_MIN_COUNT):
     return per_doc.map_batches(score, batch_format="pyarrow")
 
 
+def doc_lm_score(sf_dir: str):
+    """Conditional-probability bigram-LM scoring — the normalized
+    sibling of ``doc_bigram_novelty``: pass 1 'trains' the model
+    (corpus counts c(w1,w2) and the prefix totals c(w1·)), pass 2
+    scores each document by Σ over its bigram occurrences of
+    ⌊c(w1,w2)·10⁶ / c(w1·)⌋ — an integer perplexity proxy (high =
+    made of predictable transitions, low = unusual text). Integer
+    math end-to-end so the DuckDB oracle hash-matches bit-exactly.
+
+    Distributed shape: ONE groupby keyed on the md5 of the PREFIX
+    token delivers both counts locally — a prefix group holds every
+    corpus occurrence of every bigram starting with w1, so c(w1·) is
+    the group's total and each c(w1,w2) a subtotal (np.unique inverse;
+    no join, no broadcast vocabulary). A second groupby(doc_id) sums
+    the per-occurrence scores back to one row per doc. Skew note: the
+    hottest prefix ("the") owns a group sized O(distinct (w2, doc)
+    under it) — per-batch Counter pre-shrink bounds it by docs×vocab,
+    and at extreme scale the prefix key can be salted by w2's first
+    md5 nibble with c(w1·) carried via a 16-way subtotal exchange;
+    this corpus is far below that threshold.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        import hashlib
+        out_p, out_g, out_d, out_c = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = (text or "").split(" ")
+            if len(ws) < 2:
+                # bigram-less doc: zero-count sentinel keeps the doc in
+                # the output (scored 0/0, mirroring the oracle's
+                # UNION ALL branch); the shared "-" group is all-zero
+                out_p.append("-")
+                out_g.append("-")
+                out_d.append(did)
+                out_c.append(0)
+                continue
+            c = collections.Counter(
+                ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1))
+            for g, n in c.items():
+                w1 = g.split(" ", 1)[0]
+                out_p.append(hashlib.md5(w1.encode()).hexdigest())
+                out_g.append(hashlib.md5(g.encode()).hexdigest())
+                out_d.append(did)
+                out_c.append(n)
+        return pa.table({"p": pa.array(out_p, pa.string()),
+                         "g": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    grams = docs.map_batches(bigram_rows, batch_format="pyarrow")
+
+    def per_prefix(group: pa.Table) -> pa.Table:
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        np_total = int(cnt.sum())
+        if np_total == 0:            # the bigram-less sentinel group
+            zero = pa.array(np.zeros(group.num_rows, np.int64))
+            return pa.table({"doc_id": group["doc_id"],
+                             "n_bigrams": zero, "score": zero})
+        _, inv = np.unique(np.asarray(group["g"].to_pylist(), dtype=object),
+                           return_inverse=True)
+        nb = np.bincount(inv, weights=cnt).astype(np.int64)[inv]
+        per_occ = (nb * 1_000_000) // np_total
+        return pa.table({
+            "doc_id": group["doc_id"],
+            "n_bigrams": group["cnt"],
+            "score": pa.array(cnt * per_occ, pa.int64()),
+        })
+
+    return (grams.groupby("p")
+            .map_groups(per_prefix, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                       Sum("score", alias_name="lm_score_micro")))
+
+
+LM_SCORE_ORACLE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                         FOR i IN range(1, len(ws))]) AS g
+  FROM w),
+cb AS (SELECT g, count(*) AS nb FROM bg GROUP BY g),
+cp AS (SELECT string_split(g, ' ')[1] AS w1, sum(nb) AS np
+       FROM cb GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((cb.nb * 1000000) // cp.np) AS BIGINT) AS lm_score_micro
+FROM bg JOIN cb USING (g)
+JOIN cp ON string_split(bg.g, ' ')[1] = cp.w1
+GROUP BY bg.doc_id
+UNION ALL
+SELECT doc_id, 0, 0 FROM w WHERE len(ws) < 2
+""".strip()
+
+
 NOVELTY_ORACLE_SQL = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -349,10 +349,13 @@ def random_docs(tmp_path):
 
 def test_randomized_doc_ops_parity(ray_session, random_docs):
     from askg_ray.ops import packing as p
+    from askg_ray.ops import stats as s
     from askg_ray.ops import text as t
 
     sf, con = random_docs
     for fn, sql in [(p.docs_pack_sequences, p.PACK_ORACLE_SQL),
+                    (p.doc_shuffle_index, p.SHUFFLE_INDEX_ORACLE_SQL),
+                    (s.doc_lm_score, s.LM_SCORE_ORACLE_SQL),
                     (t.doc_top_terms, t.TOP_TERMS_ORACLE_SQL),
                     (t.doc_inverted_index, t.INVERTED_ORACLE_SQL)]:
         got = _canon(fn(sf).to_pandas())
@@ -364,6 +367,17 @@ def test_randomized_doc_ops_parity(ray_session, random_docs):
     ntok = got["n_tokens"].to_numpy()
     assert starts[0] == 0
     assert ((starts[1:] - starts[:-1]) == ntok[:-1]).all()
+    # shuffle index is a dense permutation covering every doc exactly once
+    import numpy as np
+    sh = p.doc_shuffle_index(sf).to_pandas()
+    assert sorted(sh["shuffle_rank"]) == list(range(len(sh)))
+    assert sh["doc_id"].nunique() == len(got)
+    # lm score bounds: every doc appears; per-occurrence score <= 1e6
+    lm = s.doc_lm_score(sf).to_pandas()
+    assert len(lm) == len(got)
+    assert (lm["lm_score_micro"]
+            <= lm["n_bigrams"] * 1_000_000).all()
+    assert (lm.loc[lm["n_bigrams"] == 0, "lm_score_micro"] == 0).all()
 
 
 def test_corpus_pack_consistent_with_prep(ray_session):
