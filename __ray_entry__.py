@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
         "supplier_pagerank": graph.supplier_pagerank,
+        "parts_triangle_count": graph.parts_triangle_count,
         # -- window-function family (SQL-checked) --------------------------
         "events_rank_family": windows.events_rank_family,
         "events_first_last": windows.events_first_last,
@@ -303,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_lang_overlap": stats.token_lang_overlap,
         "doc_bigram_novelty": stats.doc_bigram_novelty,
         "doc_lm_score": stats.doc_lm_score,
+        "events_user_hll": stats.events_user_hll,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
@@ -389,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.funnel import COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL
-    from askg_ray.ops.graph import DEGREE_ORACLE_SQL
+    from askg_ray.ops.graph import (DEGREE_ORACLE_SQL,
+        TRIANGLE_ORACLE_SQL)
     from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
     from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
     from askg_ray.ops.joins import (
@@ -407,7 +410,7 @@ def oracle_sql() -> dict[str, str]:
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.stats import (COOCCURRENCE_ORACLE_SQL,
-        DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL,
+        DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
@@ -478,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_outliers": OUTLIERS_ORACLE_SQL,
         "events_type_cooccurrence": COOCCURRENCE_ORACLE_SQL,
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
+        "parts_triangle_count": TRIANGLE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,
         "events_first_last": FIRST_LAST_ORACLE_SQL,
@@ -489,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "token_lang_overlap": LANG_OVERLAP_ORACLE_SQL,
         "doc_bigram_novelty": NOVELTY_ORACLE_SQL,
         "doc_lm_score": LM_SCORE_ORACLE_SQL,
+        "events_user_hll": HLL_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

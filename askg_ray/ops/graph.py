@@ -89,6 +89,151 @@ GROUP BY o.o_custkey
 """.strip()
 
 
+def co_order_edges(sf_dir: str, num_partitions: int | None = None):
+    """DISTINCT undirected part—part edges (u < v by id): two parts are
+    adjacent when some order contains lineitems of both. One
+    groupby(orderkey) whose kernel emits the order's local pair
+    triangle (orders hold ≤7 lineitems, so groups are tiny at any SF),
+    then a distinct pass over thin (u, v) rows."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..rayutil import parquet_num_rows
+
+    empty = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return rd.from_arrow(empty.empty_table())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ks = np.unique(g["l_partkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        if len(ks) < 2:
+            return empty.empty_table()
+        iu, iv = np.triu_indices(len(ks), k=1)
+        return pa.table({"u": pa.array(ks[iu]), "v": pa.array(ks[iv])},
+                        schema=empty)
+
+    return (li.groupby("l_orderkey")
+            .map_groups(pairs, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
+            .select_columns(["u", "v"]))
+
+
+def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
+    """Per-part triangle count on the co-order graph — distributed
+    triangle enumeration by DEGREE ORIENTATION, the standard trick that
+    keeps wedge generation subquadratic at scale: orient every edge
+    from its lower-(degree, id) endpoint to the higher, so out-degrees
+    are O(√m) and the wedge set Σ out_deg² is bounded; each triangle is
+    then found exactly once, at its orientation-minimal vertex. The
+    per-vertex counts are orientation-invariant, so the id-ordered SQL
+    oracle hash-matches.
+
+    Dataflow: edges → degree groupby → two hash joins attach endpoint
+    degrees → a groupby(src) kernel emits the oriented wedge pairs →
+    one (a, b)-keyed hash join against the oriented edges closes the
+    wedges → explode each triangle to its 3 vertices → count. Every
+    exchange is keyed; no broadcast, no driver state.
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet")
+    edges = co_order_edges(sf_dir, num_partitions).materialize()
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("n_triangles", pa.int64())])
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    deg = (edges.map_batches(both_ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+
+    e = edges.join(deg, join_type="inner", num_partitions=npart,
+                   on=("u",), right_on=("node",))
+    e = e.map_batches(lambda t: pa.table(
+        {"u": t["u"], "v": t["v"], "deg_u": t["deg"]}),
+        batch_format="pyarrow")
+    e = e.join(deg, join_type="inner", num_partitions=npart,
+               on=("v",), right_on=("node",))
+
+    ORI_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                            ("dst_deg", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["deg_u"].to_numpy(zero_copy_only=False)
+        dv = t["deg"].to_numpy(zero_copy_only=False)
+        # src = (deg, id)-smaller endpoint; u < v by id, so ties go u→v
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({
+            "src": pa.array(np.where(fwd, u, v)),
+            "dst": pa.array(np.where(fwd, v, u)),
+            "dst_deg": pa.array(np.where(fwd, dv, du)),
+        }, schema=ORI_SCHEMA)
+
+    oriented = e.map_batches(orient, batch_format="pyarrow").materialize()
+
+    WEDGE_SCHEMA = pa.schema([("w_src", pa.int64()), ("a", pa.int64()),
+                              ("b", pa.int64())])
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # canonical (a, b): a precedes b in the SAME (deg, id) total
+        # order that oriented the edges, so the closing edge is a→b
+        d = g["dst_deg"].to_numpy(zero_copy_only=False)
+        n = g["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, d))
+        n, src = n[order], int(g["src"][0].as_py())
+        if len(n) < 2:
+            return WEDGE_SCHEMA.empty_table()
+        ia, ib = np.triu_indices(len(n), k=1)
+        return pa.table({"w_src": pa.array(np.full(len(ia), src, np.int64)),
+                         "a": pa.array(n[ia]), "b": pa.array(n[ib])},
+                        schema=WEDGE_SCHEMA)
+
+    cand = oriented.groupby("src").map_groups(wedges,
+                                              batch_format="pyarrow")
+    # dst_deg rides along as the non-key marker column: a key-only
+    # right side coalesces away entirely in Ray 2.49's hash join
+    # (same workaround as ops/joins.py / ops/curation.py)
+    tri = cand.join(oriented, join_type="inner", num_partitions=npart,
+                    on=("a", "b"), right_on=("src", "dst"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pa.concat_arrays(
+            [t["w_src"].combine_chunks(), t["a"].combine_chunks(),
+             t["b"].combine_chunks()]),
+            "n": pa.array(np.ones(3 * t.num_rows, np.int64))})
+
+    return (tri.map_batches(explode, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .aggregate(Sum("n", alias_name="n_triangles")))
+
+
+TRIANGLE_ORACLE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+verts AS (SELECT unnest([x, y, z]) AS l_partkey FROM tri)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY l_partkey
+""".strip()
+
+
 def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
                       num_partitions: int | None = None):
     """PageRank by synchronous power iteration on the undirected

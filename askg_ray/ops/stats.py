@@ -736,3 +736,69 @@ SELECT event_type, n,
        max(CASE WHEN rn = 9 * (n - 1) // 10 + 1 THEN vc END) AS p90_cents
 FROM r GROUP BY event_type, n
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (approximate distinct users)
+
+HLL_P = 8                      # 2^p = 256 registers
+
+
+def events_user_hll(sf_dir: str):
+    """HyperLogLog register table for distinct-user counting — the
+    sketch that makes COUNT(DISTINCT) a near-free aggregate at 100 TB:
+    each batch collapses to ≤256 (register, rho) partials (max-combine,
+    so re-aggregation is associative at any tree depth / cluster
+    width), and the full-corpus sketch is ONE tiny groupby-Max. The
+    registers themselves are deterministic integers (md5-derived), so
+    unlike the float estimate they hash-match a SQL oracle exactly;
+    the estimator is a reader-side formula over the 256 rows (see
+    tests/test_ops_batch2.py, which checks it lands within 15% of the
+    true distinct count).
+
+    Hash contract (mirrors ops/curation.doc_split): 64-bit
+    little-endian first-8-md5-bytes == DuckDB ``md5_number_upper``;
+    register = low ``HLL_P`` bits, rho = leading-zero count of the
+    remaining 56-bit window + 1.
+    """
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    mask = (1 << HLL_P) - 1
+    width = 64 - HLL_P
+
+    def partial(t: pa.Table) -> pa.Table:
+        uids = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        regs = np.empty(len(uids), np.int64)
+        rhos = np.empty(len(uids), np.int64)
+        for i, u in enumerate(uids):
+            h = int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[:8], "little")
+            regs[i] = h & mask
+            rest = h >> HLL_P
+            rhos[i] = width + 1 - rest.bit_length()
+        # batch-local max-combine: ≤2^p rows leave the batch
+        out_r = np.unique(regs)
+        out_m = np.zeros(len(out_r), np.int64)
+        np.maximum.at(out_m, np.searchsorted(out_r, regs), rhos)
+        return pa.table({"register": pa.array(out_r),
+                         "rho": pa.array(out_m)})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("register").aggregate(Max("rho", alias_name="max_rho")))
+
+
+HLL_ORACLE_SQL = f"""
+WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS x
+           FROM events),
+r AS (SELECT CAST(x % {1 << HLL_P} AS BIGINT) AS register,
+             CAST(CASE WHEN (x >> {HLL_P}) = 0 THEN {64 - HLL_P + 1}
+                  ELSE {64 - HLL_P + 1} - length(bin(x >> {HLL_P}))
+                  END AS BIGINT) AS rho
+      FROM h)
+SELECT register, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY register
+""".strip()

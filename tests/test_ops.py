@@ -487,6 +487,48 @@ def test_graph_degree_and_pagerank(ray_session):
     assert max(pr, key=lambda k: (pr[k], k)) == nodes[int(_np.argmax(r))]
 
 
+def test_triangle_count_handcrafted(ray_session, tmp_path):
+    """Degree-oriented triangle counting on a graph with KNOWN
+    triangles: K4 on parts 1-4 (4 triangles, 3 per vertex) plus a
+    pendant edge 4-5 (no triangles) and an isolated co-order pair 6-7,
+    built from synthetic orders. Exercises the tie-heavy orientation
+    (K4 is degree-regular) and the itertools brute count."""
+    import itertools
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from askg_ray.ops import graph as g
+
+    # orders: each row set puts its parts pairwise in co-order
+    orders = [(100, [1, 2, 3]), (101, [1, 4]), (102, [2, 4]),
+              (103, [3, 4]), (104, [1, 3]),   # duplicate edge 1-3
+              (105, [4, 5]), (106, [6, 7])]
+    rows = [{"l_orderkey": ok, "l_partkey": p, "l_suppkey": 1,
+             "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+             "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": None}
+            for ok, parts in orders for p in parts]
+    _pq.write_table(_pa.Table.from_pylist(rows),
+                    str(tmp_path / "lineitem.parquet"))
+
+    got = {r["l_partkey"]: r["n_triangles"]
+           for r in _rows(g.parts_triangle_count(str(tmp_path)))}
+
+    # brute-force reference over the distinct co-order edge set
+    edges = set()
+    for _, parts in orders:
+        edges.update(itertools.combinations(sorted(parts), 2))
+    verts = sorted({x for e in edges for x in e})
+    exp: dict[int, int] = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            for v in (a, b, c):
+                exp[v] = exp.get(v, 0) + 1
+    assert exp  # the fixture really contains triangles
+    assert got == exp
+
+
 def test_embedding_centroids_vs_duckdb(ray_session):
     """Per-label centroid accumulators hash-match the oracle (floor
     quantization is tie-rule-free, f32→f64 exact)."""

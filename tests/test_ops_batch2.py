@@ -395,3 +395,32 @@ def test_corpus_pack_consistent_with_prep(ray_session):
     ntok = packed["n_tokens"].to_numpy()
     assert starts[0] == 0
     assert ((starts[1:] - starts[:-1]) == ntok[:-1]).all()
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """The register sketch feeds the standard HLL estimator to within
+    15% of the true distinct-user count (sf0.1: 1500 users over 256
+    registers — the raw-estimate regime; small corpora would need the
+    linear-counting correction)."""
+    import math
+
+    import duckdb
+
+    from askg_ray.ops.stats import HLL_P, events_user_hll
+
+    sf = "/root/testdata/sf0.1"
+    regs = {r["register"]: r["max_rho"]
+            for r in events_user_hll(sf).take_all()}
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    true = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+    assert abs(est - true) / true < 0.15, (est, true)
+    # registers are a max-combine: re-running on a different block
+    # layout must give the identical table
+    regs2 = {r["register"]: r["max_rho"]
+             for r in events_user_hll(sf).take_all()}
+    assert regs == regs2
