@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": fingerprints_sql_cols,
         "langid": text.langid,
         "doc_bpe_tokens": text.bpe_token_counts,
+        "bpe_merge_vocab": text.bpe_merge_vocab,
         # -- training-data curation (SQL-checked) --------------------------
         "decontaminate": curation.decontaminate,
         "pii_scrub": curation.pii_scrub,
@@ -415,7 +416,8 @@ def oracle_sql() -> dict[str, str]:
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
         TYPE_MEDIAN_ORACLE_SQL)
-    from askg_ray.ops.text import (BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
+    from askg_ray.ops.text import (BPE_MERGE_ORACLE_SQL,
+        BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
@@ -552,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints":
             "SELECT doc_id, md5(text) AS fp FROM documents",
         "doc_bpe_tokens": BPE_ORACLE_SQL,
+        "bpe_merge_vocab": BPE_MERGE_ORACLE_SQL,
         "doc_quality":
             "WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS ws, "
             "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) "

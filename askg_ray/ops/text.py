@@ -457,3 +457,60 @@ SELECT token, df,
 FROM r WHERE rn <= {POSTINGS_CAP}
 GROUP BY token, df
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge selection (tokenizer vocabulary induction, round 1)
+
+BPE_MERGE_K = 30
+
+
+def bpe_merge_vocab(sf_dir: str, k: int = BPE_MERGE_K):
+    """The merge-selection step of BPE tokenizer training: count every
+    adjacent character pair inside whitespace tokens across the corpus
+    and keep the top-k merges (the pair a real trainer would fuse
+    first, iterated; one exact round is the representative kernel —
+    later rounds are the same count-and-pick over re-segmented text).
+
+    Scale shape: a per-batch Counter collapses each batch to its
+    distinct-pair partials (the pair alphabet is tiny — bounded by
+    charset², not corpus), one small groupby-Sum, then the per-block
+    top-k + bounded driver merge of ops/stats._topk_table. Tie-break
+    (n DESC, pair ASC) is pinned on both sides of the oracle.
+    """
+    import collections
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stats import _topk_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for text in t["text"].to_pylist():
+            for tok in (text or "").split(" "):
+                for i in range(len(tok) - 1):
+                    c[tok[i:i + 2]] += 1
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("pair").aggregate(Sum("n", alias_name="n")))
+    return _topk_table(counts,
+                       [("n", "descending"), ("pair", "ascending")], k,
+                       pa.schema([("pair", pa.string()),
+                                  ("n", pa.int64())]))
+
+
+BPE_MERGE_ORACLE_SQL = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+prs AS (SELECT unnest([substr(tok, i, 2) FOR i IN range(1, len(tok))])
+               AS pair
+        FROM w WHERE len(tok) >= 2),
+c AS (SELECT pair, count(*) AS n FROM prs GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, pair ASC LIMIT {BPE_MERGE_K}
+""".strip()

@@ -327,11 +327,12 @@ def test_randomized_event_ops_parity(ray_session, random_events):
 def random_docs(tmp_path):
     """Seeded random docs over an 8-word vocab (df/tf ties everywhere),
     including empty and single-token docs, with doc_ids spread across
-    packing buckets."""
+    packing buckets. Words share 2-letter prefixes/suffixes so
+    char-pair (BPE merge) counts collide and tie too."""
     import numpy as np
 
     rng = np.random.RandomState(11)
-    vocab = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    vocab = ["a", "ab", "ba", "abc", "bb", "c", "ca", "cb"]
     docs = []
     for i in range(60):
         did = int(i * 97 % 3500)            # spreads over buckets 0-3
@@ -357,7 +358,8 @@ def test_randomized_doc_ops_parity(ray_session, random_docs):
                     (p.doc_shuffle_index, p.SHUFFLE_INDEX_ORACLE_SQL),
                     (s.doc_lm_score, s.LM_SCORE_ORACLE_SQL),
                     (t.doc_top_terms, t.TOP_TERMS_ORACLE_SQL),
-                    (t.doc_inverted_index, t.INVERTED_ORACLE_SQL)]:
+                    (t.doc_inverted_index, t.INVERTED_ORACLE_SQL),
+                    (t.bpe_merge_vocab, t.BPE_MERGE_ORACLE_SQL)]:
         got = _canon(fn(sf).to_pandas())
         exp = _canon(con.sql(sql).df())
         assert got == exp, fn.__name__
