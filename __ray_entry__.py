@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": joins.order_revenue_topk,
         "orders_with_returns": joins.orders_with_returns,
         "orders_without_returns": joins.orders_without_returns,
+        "customer_order_dist": joins.customer_order_dist,
+        "documents_upsert": joins.documents_upsert,
         "events_lead_lag": joins.events_lead_lag,
         "events_distinct_users": joins.events_distinct_users,
         "events_sliding_count": relational.events_sliding_count,
@@ -401,8 +403,8 @@ def oracle_sql() -> dict[str, str]:
         LEAD_LAG_ORACLE_SQL,
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
-        ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
-        RETURN_CUSTOMERS_ORACLE_SQL,
+        ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
+        RETURN_CUSTOMERS_ORACLE_SQL, UPSERT_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
@@ -462,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_topk": ORDER_REVENUE_ORACLE_SQL,
         "orders_with_returns": ORDERS_WITH_RETURNS_ORACLE_SQL,
         "orders_without_returns": ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
+        "customer_order_dist": Q13_ORACLE_SQL,
+        "documents_upsert": UPSERT_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
         "events_sliding_count": SLIDING_ORACLE_SQL,

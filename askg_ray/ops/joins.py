@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -482,4 +483,159 @@ WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2
 ORDER BY revenue_u DESC, c_custkey
 LIMIT {RETURN_TOPK}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: LEFT-OUTER join distribution (zero-order customers)
+
+
+def customer_order_dist(sf_dir: str, num_partitions: int | None = None):
+    """Customer distribution by order count INCLUDING zero-order
+    customers — the Q13 shape whose whole point is the left-outer join
+    (an inner join silently drops the c_count=0 bucket, usually the
+    biggest one). Orders pre-shrink to (custkey, n) per-key counts
+    before the join, so the exchange carries one row per ordering
+    customer, and the unmatched-null marker maps to 0 before the final
+    tiny groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("c_count", pa.int64()),
+                            ("custdist", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    if parquet_num_rows(f"{sf_dir}/orders.parquet") == 0:
+        return (cust.map_batches(
+            lambda t: pa.table({"c_count": pa.array(
+                np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+            .groupby("c_count").aggregate(Count(alias_name="custdist")))
+
+    counts = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n")))
+    j = cust.join(counts, join_type="left_outer",
+                  num_partitions=_npartitions(
+                      num_partitions, f"{sf_dir}/customer.parquet",
+                      f"{sf_dir}/orders.parquet"),
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": pc.fill_null(t["n"], 0)
+                         .cast(pa.int64())})
+
+    return (j.map_batches(fill, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Count(alias_name="custdist")))
+
+
+Q13_ORACLE_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse merge-into (upsert, latest version wins)
+
+
+def documents_upsert(sf_dir: str, num_partitions: int | None = None):
+    """MERGE INTO / upsert: apply a CDC delta to the documents table,
+    latest version wins per key. The delta is derived deterministically
+    from the corpus so the op is self-contained: every doc_id % 10 == 3
+    arrives updated ('UPD ' prefix, version 2) and every
+    doc_id % 25 == 0 spawns a brand-new row at doc_id + 1_000_000
+    ('NEW ' prefix, version 2); everything else stays version 1.
+
+    Shape: base ∪ delta streams into ONE groupby(doc_id).Max(version),
+    then the winners attach back by an equi-join on the composite
+    (doc_id, version) — the argmax-join-back that replaces a
+    per-group Python kernel with two vectorized keyed exchanges.
+    Output carries md5 fingerprints, not text, so the compare is thin.
+    """
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("version", pa.int64()),
+                            ("fp", pa.string())])
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "version": pa.array(np.ones(t.num_rows, np.int64)),
+            "fp": pa.array([hashlib.md5((x or "").encode()).hexdigest()
+                            for x in t["text"].to_pylist()], pa.string()),
+        }, schema=out_schema)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        out_i, out_f = [], []
+        for d, x in zip(ids, texts):
+            if d % 10 == 3:
+                out_i.append(int(d))
+                out_f.append(hashlib.md5(
+                    ("UPD " + (x or "")).encode()).hexdigest())
+            if d % 25 == 0:
+                out_i.append(int(d) + 1_000_000)
+                out_f.append(hashlib.md5(
+                    ("NEW " + (x or "")).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_i, pa.int64()),
+            "version": pa.array(np.full(len(out_i), 2, np.int64)),
+            "fp": pa.array(out_f, pa.string()),
+        }, schema=out_schema)
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow")
+    delta = docs.map_batches(delta_rows, batch_format="pyarrow")
+    merged = base.union(delta)
+
+    winners = (merged.select_columns(["doc_id", "version"])
+               .groupby("doc_id").aggregate(Max("version",
+                                                alias_name="version")))
+    # both winner columns are join keys; a key-only side coalesces away
+    # in Ray 2.49's hash join, so ride a constant marker along
+    winners = winners.map_batches(
+        lambda t: t.append_column("__w", pa.array(
+            np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    npart = _npartitions(num_partitions, f"{sf_dir}/documents.parquet")
+    j = merged.join(winners, join_type="inner", num_partitions=npart,
+                    on=("doc_id", "version"))
+    return j.map_batches(lambda t: t.select(["doc_id", "version", "fp"]),
+                         batch_format="pyarrow")
+
+
+UPSERT_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 AS version, md5(coalesce(text, '')) AS fp
+  FROM documents),
+delta AS (
+  SELECT doc_id, 2 AS version, md5('UPD ' || coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 2, md5('NEW ' || coalesce(text, ''))
+  FROM documents WHERE doc_id % 25 = 0),
+m AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+w AS (SELECT doc_id, max(version) AS version FROM m GROUP BY doc_id)
+SELECT m.doc_id, CAST(m.version AS BIGINT) AS version, m.fp
+FROM m JOIN w ON m.doc_id = w.doc_id AND m.version = w.version
 """.strip()

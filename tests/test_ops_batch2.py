@@ -121,9 +121,10 @@ def test_inverted_index_cap_and_repeats(ray_session, tiny_docs_idx):
 
 @pytest.fixture()
 def tiny_tpch(tmp_path):
-    """Two customers tied on returned revenue (tie-break by custkey)
-    plus one with nothing returned."""
-    custs = [{"c_custkey": i, "c_name": f"Cust#{i}"} for i in range(3)]
+    """Two customers tied on returned revenue (tie-break by custkey),
+    one with nothing returned, and one with no orders at all (the Q13
+    zero bucket)."""
+    custs = [{"c_custkey": i, "c_name": f"Cust#{i}"} for i in range(4)]
     orders = [{"o_orderkey": 10 + i, "o_custkey": i} for i in range(3)]
     li = [
         {"l_orderkey": 10, "l_extendedprice": 50.0, "l_discount": 0.0,
@@ -426,3 +427,41 @@ def test_hll_estimate_accuracy(ray_session):
     regs2 = {r["register"]: r["max_rho"]
              for r in events_user_hll(sf).take_all()}
     assert regs == regs2
+
+
+def test_upsert_and_q13_semantics(ray_session):
+    """Latest-wins upsert: %10==3 keys land on version 2 with the UPD
+    fingerprint, spawned keys exist above 1e6, everything else stays
+    version 1 and the key set is exactly base ∪ new. Q13: the
+    zero-order bucket exists and buckets sum to the customer count."""
+    import duckdb
+
+    from askg_ray.ops.joins import customer_order_dist, documents_upsert
+
+    sf = "/root/testdata/sf0.001"
+    up = documents_upsert(sf).to_pandas()
+    assert up["doc_id"].is_unique
+    old = up[up["doc_id"] < 1_000_000]
+    assert ((old["version"] == 2) == (old["doc_id"] % 10 == 3)).all()
+    new = up[up["doc_id"] >= 1_000_000]
+    assert (new["version"] == 2).all()
+    n_docs, n_new = duckdb.sql(
+        f"SELECT count(*), count(*) FILTER (doc_id % 25 = 0) FROM "
+        f"read_parquet('{sf}/documents.parquet')").fetchone()
+    assert len(old) == n_docs and len(new) == n_new
+
+    q13 = customer_order_dist(sf).to_pandas()
+    n_cust = duckdb.sql(f"SELECT count(*) FROM "
+                        f"read_parquet('{sf}/customer.parquet')").fetchone()[0]
+    assert q13["custdist"].sum() == n_cust
+
+
+def test_q13_zero_bucket(ray_session, tiny_tpch):
+    """The bucket an inner join silently loses: the orderless customer
+    lands in c_count=0, and the Ray output hash-matches the oracle."""
+    from askg_ray.ops import joins as j
+
+    sf, con = tiny_tpch
+    got = j.customer_order_dist(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(j.Q13_ORACLE_SQL).df())
+    assert got.set_index("c_count").loc[0, "custdist"] == 1
