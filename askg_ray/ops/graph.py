@@ -289,3 +289,89 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     return ranks.map_batches(
         lambda t: pa.table({"node": t["u"], "rank": t["rank"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Connected components as a driver-visible query
+
+
+_PAD = 12                      # int64 partkeys fit; string min == numeric min
+
+
+def parts_components(sf_dir: str, num_partitions: int | None = None,
+                     driver_threshold: int = 2_000_000):
+    """Connected components of the co-order part graph: every part
+    labeled with the MIN partkey of its component — the same
+    distributed hash-to-min machinery the dedup cascade runs
+    (stages/components.connected_components, driver union-find below
+    the pair threshold, label-propagation rounds above; both paths
+    unit-forced there). Keys travel zero-padded so the string min the
+    component stage takes IS the numeric min; the recursive-CTE oracle
+    closes reachability the same way. Parts that never co-order with
+    anything carry no label (same contract as the stage)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.components import connected_components
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("component", pa.int64())])
+    edges = co_order_edges(sf_dir, num_partitions)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_pylist()
+        v = t["v"].to_pylist()
+        return pa.table({"a": pa.array([f"{x:0{_PAD}d}" for x in u]),
+                         "b": pa.array([f"{x:0{_PAD}d}" for x in v])})
+
+    labels = connected_components(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        driver_threshold=driver_threshold)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["node"].cast(pa.int64()),
+            "component": t["component"].cast(pa.int64()),
+        }, schema=out_schema)
+
+    return labels.map_batches(back, batch_format="pyarrow")
+
+
+def _components_oracle_sql(rounds: int = 24) -> str:
+    """Synchronous min-label propagation, UNROLLED (DuckDB 1.0 has no
+    keyed recursion, and the naive reachability closure is O(n·m) —
+    73 s at sf0.01 vs 0.8 s for this). Each round is one edge join +
+    groupby-min; MATERIALIZED pins the edge table to a single scan
+    (inlined CTEs re-open the parquet per reference and exhaust file
+    handles). Convergence is self-checking: if any label could still
+    shrink after the last round, a poison (-1, -1) row is emitted and
+    the driver's row/hash compare fails LOUDLY instead of silently
+    blessing a truncated propagation."""
+    parts = ["""WITH
+li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+lab0 AS (SELECT u AS node, u AS lbl FROM e GROUP BY u)"""]
+    for k in range(1, rounds + 1):
+        mat = "MATERIALIZED " if k % 4 == 0 else ""
+        parts.append(
+            f"""nb{k} AS (SELECT e.v AS node, min(l.lbl) AS m
+  FROM lab{k - 1} l JOIN e ON e.u = l.node GROUP BY e.v),
+lab{k} AS {mat}(SELECT l.node, least(l.lbl, coalesce(n.m, l.lbl)) AS lbl
+  FROM lab{k - 1} l LEFT JOIN nb{k} n ON n.node = l.node)""")
+    # the fixpoint probe must be a FRESH propagation FROM the final
+    # labels (nb{rounds} is already folded into lab{rounds} and can
+    # never flag)
+    return ",\n".join(parts) + f""",
+probe AS (SELECT e.v AS node, min(l.lbl) AS m
+  FROM lab{rounds} l JOIN e ON e.u = l.node GROUP BY e.v),
+conv AS (SELECT count(*) AS bad FROM lab{rounds} a JOIN probe n
+         ON n.node = a.node AND n.m < a.lbl)
+SELECT node AS l_partkey, CAST(lbl AS BIGINT) AS component FROM lab{rounds}
+UNION ALL
+SELECT -1, -1 FROM conv WHERE bad > 0"""
+
+
+COMPONENTS_ORACLE_SQL = _components_oracle_sql()

@@ -722,3 +722,41 @@ def test_corpus_prep_composite_vs_duckdb(ray_session):
     assert got and got == exp
     assert {s for s, _, _ in got} <= {"train", "val", "test"}
     assert sum(n for _, n, _ in got) > 0
+
+
+def test_parts_components_paths_and_poison(ray_session, tmp_path):
+    """Distributed label-propagation path (driver_threshold=0) agrees
+    with the driver union-find path; and a deliberately truncated
+    oracle unroll emits the poison row instead of silently passing."""
+    import duckdb
+
+    from askg_ray.ops import graph as g
+
+    a = {r["l_partkey"]: r["component"]
+         for r in _rows(g.parts_components(SF))}
+    b = {r["l_partkey"]: r["component"]
+         for r in _rows(g.parts_components(SF, driver_threshold=0))}
+    assert a == b and a
+
+    # a 6-node path graph needs 5 propagation rounds; rounds=2 must
+    # trip the convergence guard
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    rows = [{"l_orderkey": i, "l_partkey": p, "l_suppkey": 1,
+             "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+             "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": None}
+            for i in range(5) for p in (i, i + 1)]
+    _pq.write_table(_pa.Table.from_pylist(rows),
+                    str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+    short = con.sql(g._components_oracle_sql(rounds=2)).df()
+    assert (short["l_partkey"] == -1).any()          # poison present
+    full = con.sql(g.COMPONENTS_ORACLE_SQL).df()
+    assert not (full["l_partkey"] == -1).any()
+    assert set(full["component"]) == {0}             # one path component
+    got = {r["l_partkey"]: r["component"]
+           for r in _rows(g.parts_components(str(tmp_path)))}
+    assert got == {i: 0 for i in range(6)}
