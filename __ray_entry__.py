@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": graph.supplier_pagerank,
         "parts_triangle_count": graph.parts_triangle_count,
         "parts_components": graph.parts_components,
+        "parts_kcore": graph.parts_kcore,
         # -- window-function family (SQL-checked) --------------------------
         "events_rank_family": windows.events_rank_family,
         "events_first_last": windows.events_first_last,
@@ -396,7 +397,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.funnel import COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL
     from askg_ray.ops.graph import (COMPONENTS_ORACLE_SQL,
-        DEGREE_ORACLE_SQL, TRIANGLE_ORACLE_SQL)
+        DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, TRIANGLE_ORACLE_SQL)
     from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
     from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
     from askg_ray.ops.joins import (
@@ -490,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "parts_triangle_count": TRIANGLE_ORACLE_SQL,
         "parts_components": COMPONENTS_ORACLE_SQL,
+        "parts_kcore": KCORE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,
         "events_first_last": FIRST_LAST_ORACLE_SQL,

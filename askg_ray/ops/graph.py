@@ -375,3 +375,101 @@ SELECT -1, -1 FROM conv WHERE bad > 0"""
 
 
 COMPONENTS_ORACLE_SQL = _components_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel)
+
+KCORE_K = 64
+
+
+def parts_kcore(sf_dir: str, k: int = KCORE_K, max_rounds: int = 30,
+                num_partitions: int | None = None):
+    """The k-core of the co-order graph — iterative peeling with
+    DATA-DEPENDENT termination (the dataflow shape PageRank's fixed
+    count doesn't cover): drop every part with fewer than ``k``
+    co-order neighbors, recompute degrees on the shrunken subgraph,
+    repeat until no node drops. Output: surviving parts with their
+    IN-CORE degree.
+
+    Each round is one degree groupby + two survivor semi-joins over the
+    remaining directed edges — everything keyed, the driver holds only
+    the round's survivor COUNT (the fixpoint test). Edge sets shrink
+    monotonically, so the per-round cost falls as the peel proceeds.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("core_degree", pa.int64())])
+    edges = co_order_edges(sf_dir, num_partitions)
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([t["u"].combine_chunks(),
+                                      t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])})
+
+    cur = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet")
+
+    for _ in range(max_rounds):
+        deg = (cur.groupby("node").aggregate(Count(alias_name="deg"))
+               .materialize())
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        surv = deg.filter(expr=f"deg >= {int(k)}").materialize()
+        if surv.count() == n_nodes:        # fixpoint: nobody dropped
+            return surv.map_batches(
+                lambda t: pa.table({"l_partkey": t["node"],
+                                    "core_degree": t["deg"]},
+                                   schema=out_schema),
+                batch_format="pyarrow")
+        if surv.count() == 0:
+            return rd.from_arrow(out_schema.empty_table())
+        # restrict edges to survivor×survivor (deg is the marker column
+        # both times; key-only sides coalesce away in Ray 2.49)
+        cur = cur.join(surv, join_type="inner", num_partitions=npart,
+                       on=("node",))
+        cur = (cur.map_batches(lambda t: t.select(["node", "nbr"]),
+                               batch_format="pyarrow")
+               .join(surv, join_type="inner", num_partitions=npart,
+                     on=("nbr",), right_on=("node",)))
+        cur = cur.map_batches(lambda t: t.select(["node", "nbr"]),
+                              batch_format="pyarrow").materialize()
+    raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = 8) -> str:
+    """Unrolled peel with the same poison-row convergence guard as the
+    components oracle: if an extra round would still drop a node, a
+    (-1, -1) row makes the driver compare fail loudly."""
+    parts = ["""WITH
+li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+                   UNION ALL SELECT v AS node, u AS nbr FROM e0),
+v0 AS (SELECT DISTINCT node FROM e)"""]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (SELECT e.node, count(*) AS deg
+  FROM e JOIN v{r - 1} a ON a.node = e.node
+         JOIN v{r - 1} b ON b.node = e.nbr
+  GROUP BY e.node),
+v{r} AS {"MATERIALIZED " if r % 2 == 0 else ""}(SELECT node FROM d{r} WHERE deg >= {k})""")
+    return ",\n".join(parts) + f""",
+probe AS (SELECT e.node, count(*) AS deg
+  FROM e JOIN v{rounds} a ON a.node = e.node
+         JOIN v{rounds} b ON b.node = e.nbr
+  GROUP BY e.node),
+conv AS (SELECT count(*) AS bad FROM probe WHERE deg < {k})
+SELECT node AS l_partkey, CAST(deg AS BIGINT) AS core_degree FROM probe
+UNION ALL
+SELECT -1, -1 FROM conv WHERE bad > 0"""
+
+
+KCORE_ORACLE_SQL = _kcore_oracle_sql()

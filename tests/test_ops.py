@@ -760,3 +760,40 @@ def test_parts_components_paths_and_poison(ray_session, tmp_path):
     got = {r["l_partkey"]: r["component"]
            for r in _rows(g.parts_components(str(tmp_path)))}
     assert got == {i: 0 for i in range(6)}
+
+
+def test_kcore_deep_peel(ray_session, tmp_path):
+    """A path of 8 nodes (peels to nothing from both ends over several
+    rounds at k=2) hanging off a 4-clique (stays, in-core degree 3):
+    the iterative peel must cascade, and an unrolled oracle with too
+    few rounds must emit the poison row."""
+    import duckdb
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from askg_ray.ops import graph as g
+
+    # clique 100-103 via one 4-part order; path 0..7 via 2-part orders;
+    # node 0 also touches the clique so the path is attached
+    orders = [(900, [100, 101, 102, 103]), (901, [100, 0])]
+    orders += [(910 + i, [i, i + 1]) for i in range(7)]
+    rows = [{"l_orderkey": ok, "l_partkey": p, "l_suppkey": 1,
+             "l_quantity": 1.0, "l_extendedprice": 1.0, "l_discount": 0.0,
+             "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": None}
+            for ok, parts in orders for p in parts]
+    _pq.write_table(_pa.Table.from_pylist(rows),
+                    str(tmp_path / "lineitem.parquet"))
+
+    got = {r["l_partkey"]: r["core_degree"]
+           for r in _rows(g.parts_kcore(str(tmp_path), k=2))}
+    assert got == {100: 3, 101: 3, 102: 3, 103: 3}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+    full = con.sql(g._kcore_oracle_sql(k=2, rounds=8)).df()
+    assert dict(zip(full["l_partkey"], full["core_degree"])) == got
+    short = con.sql(g._kcore_oracle_sql(k=2, rounds=2)).df()
+    assert (short["l_partkey"] == -1).any()      # truncated unroll trips
