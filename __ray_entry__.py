@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
         "doc_shuffle_index": packing.doc_shuffle_index,
+        "docs_curriculum_decile": packing.docs_curriculum_decile,
         "doc_inverted_index": text.doc_inverted_index,
         "events_value_outliers": stats.events_value_outliers,
         "events_type_cooccurrence": stats.events_type_cooccurrence,
@@ -409,7 +410,7 @@ def oracle_sql() -> dict[str, str]:
         RETURN_CUSTOMERS_ORACLE_SQL, UPSERT_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
-        PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
+        CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
         ASOF_ORACLE_SQL, GAP_FILL_ORACLE_SQL, PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
@@ -478,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": TOP_TERMS_ORACLE_SQL,
         "docs_pack_sequences": PACK_ORACLE_SQL,
         "doc_shuffle_index": SHUFFLE_INDEX_ORACLE_SQL,
+        "docs_curriculum_decile": CURRICULUM_ORACLE_SQL,
         "corpus_pack": CORPUS_PACK_ORACLE_SQL,
         "events_gap_fill": GAP_FILL_ORACLE_SQL,
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,

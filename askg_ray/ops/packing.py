@@ -281,3 +281,74 @@ SELECT doc_id, n_tokens,
        CAST((cum - n_tokens) % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
 FROM c
 """.strip()
+
+
+N_CURRICULUM_BUCKETS = 10
+
+
+def docs_curriculum_decile(sf_dir: str, nb: int = N_CURRICULUM_BUCKETS):
+    """Curriculum bucketing: every doc gets its corpus-wide token-length
+    decile (1..nb, shortest first) — the length-ordered schedule a
+    curriculum loader consumes. Third use of the distributed prefix
+    scan, this time RANGE-partitioned by the value itself: token counts
+    are low-cardinality, so groupby(n_tokens) counts → driver prefix
+    sums over the distinct-length histogram (the only driver state;
+    bounded by max doc length, not corpus size) → per-length groups
+    rank locally by doc_id. decile = 1 + rank·nb // N exactly, ties
+    split by doc_id on both oracle sides — no global sort."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("decile", pa.int64())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "n_tokens": ntok})
+
+    thin_ds = docs.map_batches(thin, batch_format="pyarrow").materialize()
+    hist = (thin_ds.select_columns(["n_tokens"])
+            .groupby("n_tokens").aggregate(Count(alias_name="c"))
+            .to_pandas())
+    if len(hist) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    hist = hist.sort_values("n_tokens")
+    total = int(hist["c"].sum())
+    offs = np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]])
+    offsets_ref = ray.put(dict(zip(hist["n_tokens"].astype(int), offs)))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        base = int(offsets[int(g["n_tokens"][0].as_py())])
+        rk = base + np.arange(g.num_rows)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "decile": pa.array(1 + (rk * nb) // total, pa.int64()),
+        }, schema=out_schema)
+
+    return (thin_ds.groupby("n_tokens")
+            .map_groups(rank_group, batch_format="pyarrow"))
+
+
+CURRICULUM_ORACLE_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(coalesce(text, ''), ' '))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS rk
+      FROM t),
+c AS (SELECT count(*) AS n FROM t)
+SELECT doc_id, n_tokens,
+       CAST(1 + (rk * {N_CURRICULUM_BUCKETS}) // n AS BIGINT) AS decile
+FROM r, c
+""".strip()

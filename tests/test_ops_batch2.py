@@ -357,6 +357,7 @@ def test_randomized_doc_ops_parity(ray_session, random_docs):
     sf, con = random_docs
     for fn, sql in [(p.docs_pack_sequences, p.PACK_ORACLE_SQL),
                     (p.doc_shuffle_index, p.SHUFFLE_INDEX_ORACLE_SQL),
+                    (p.docs_curriculum_decile, p.CURRICULUM_ORACLE_SQL),
                     (s.doc_lm_score, s.LM_SCORE_ORACLE_SQL),
                     (t.doc_top_terms, t.TOP_TERMS_ORACLE_SQL),
                     (t.doc_inverted_index, t.INVERTED_ORACLE_SQL),
@@ -375,6 +376,11 @@ def test_randomized_doc_ops_parity(ray_session, random_docs):
     sh = p.doc_shuffle_index(sf).to_pandas()
     assert sorted(sh["shuffle_rank"]) == list(range(len(sh)))
     assert sh["doc_id"].nunique() == len(got)
+    # curriculum deciles: monotone in length, balanced within one doc
+    cd = p.docs_curriculum_decile(sf).to_pandas().sort_values(
+        ["n_tokens", "doc_id"])
+    assert cd["decile"].is_monotonic_increasing
+    assert cd["decile"].value_counts().max() <= -(-len(cd) // 10) + 1
     # lm score bounds: every doc appears; per-occurrence score <= 1e6
     lm = s.doc_lm_score(sf).to_pandas()
     assert len(lm) == len(got)
