@@ -797,3 +797,77 @@ def test_kcore_deep_peel(ray_session, tmp_path):
     assert dict(zip(full["l_partkey"], full["core_degree"])) == got
     short = con.sql(g._kcore_oracle_sql(k=2, rounds=2)).df()
     assert (short["l_partkey"] == -1).any()      # truncated unroll trips
+
+
+def test_graph_ops_randomized_brute_parity(ray_session, tmp_path):
+    """Three seeded random multigraph corpora (dense / sparse / heavy
+    key collisions) — triangle counts, k-core and components all equal
+    a pure-python brute force."""
+    import collections
+    import itertools
+
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from askg_ray.ops import graph as g
+
+    for seed, n_orders, n_parts, fanout, k in [(3, 40, 12, 4, 3),
+                                               (5, 25, 30, 3, 2),
+                                               (9, 60, 8, 5, 4)]:
+        rng = _np.random.RandomState(seed)
+        d = tmp_path / f"g{seed}"
+        d.mkdir()
+        orders = [(i, sorted(set(rng.randint(0, n_parts, fanout).tolist())))
+                  for i in range(n_orders)]
+        rows = [{"l_orderkey": ok, "l_partkey": int(p), "l_suppkey": 1,
+                 "l_quantity": 1.0, "l_extendedprice": 1.0,
+                 "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+                 "l_linestatus": "O", "l_shipdate": None}
+                for ok, parts in orders for p in parts]
+        _pq.write_table(_pa.Table.from_pylist(rows),
+                        str(d / "lineitem.parquet"))
+
+        edges = set()
+        for _, parts in orders:
+            edges.update(itertools.combinations(parts, 2))
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v); adj[v].add(u)
+
+        # triangles
+        exp_tri: dict[int, int] = {}
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                exp_tri[c] = exp_tri.get(c, 0) + 1
+        got_tri = {r["l_partkey"]: r["n_triangles"]
+                   for r in _rows(g.parts_triangle_count(str(d)))}
+        assert got_tri == {v: c for v, c in exp_tri.items()}, f"tri seed {seed}"
+
+        # k-core
+        a2 = {x: set(s) for x, s in adj.items()}
+        while True:
+            drop = [x for x, s in a2.items() if len(s) < k]
+            if not drop:
+                break
+            for x in drop:
+                for m in a2[x]:
+                    a2[m].discard(x)
+                del a2[x]
+        got_core = {r["l_partkey"]: r["core_degree"]
+                    for r in _rows(g.parts_kcore(str(d), k=k))}
+        assert got_core == {x: len(s) for x, s in a2.items()}, f"core seed {seed}"
+
+        # components (min-label)
+        lbl = {x: x for x in adj}
+        changed = True
+        while changed:
+            changed = False
+            for u, v in edges:
+                m = min(lbl[u], lbl[v])
+                if lbl[u] != m or lbl[v] != m:
+                    lbl[u] = lbl[v] = m
+                    changed = True
+        got_cc = {r["l_partkey"]: r["component"]
+                  for r in _rows(g.parts_components(str(d)))}
+        assert got_cc == lbl, f"cc seed {seed}"
