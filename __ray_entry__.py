@@ -231,7 +231,8 @@ def _repo_links(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, funnel, graph, joins, packing,
-                              relational, similarity, stats, text, windows)
+                              relational, similarity, stats, text, webqual,
+                              windows)
     from askg_ray.ops.multimodal import media_features, media_frames, media_resize
 
     def fingerprints_sql_cols(sf_dir):
@@ -258,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         "doc_bpe_tokens": text.bpe_token_counts,
         "bpe_merge_vocab": text.bpe_merge_vocab,
+        "doc_gopher_quality": webqual.gopher_quality,
+        "doc_prefix_containment": webqual.prefix_containment,
         # -- training-data curation (SQL-checked) --------------------------
         "decontaminate": curation.decontaminate,
         "pii_scrub": curation.pii_scrub,
@@ -285,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": relational.events_type_pivot,
         "orders_price_quantiles": relational.orders_price_quantiles,
         "events_rollup": relational.events_rollup,
+        "events_cube": relational.events_cube,
         "parts_above_brand_avg": relational.parts_above_brand_avg,
         "events_gap_fill": relational.events_gap_fill,
         "top_return_customers": joins.top_return_customers,
@@ -294,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
         "supplier_pagerank": graph.supplier_pagerank,
+        "supplier_pagerank_int": graph.supplier_pagerank_int,
         "parts_triangle_count": graph.parts_triangle_count,
         "parts_components": graph.parts_components,
         "parts_kcore": graph.parts_kcore,
@@ -398,7 +403,10 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.funnel import COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL
     from askg_ray.ops.graph import (COMPONENTS_ORACLE_SQL,
-        DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, TRIANGLE_ORACLE_SQL)
+        DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
+        TRIANGLE_ORACLE_SQL)
+    from askg_ray.ops.webqual import (CONTAINMENT_ORACLE_SQL,
+                                      GOPHER_ORACLE_SQL)
     from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
     from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
     from askg_ray.ops.joins import (
@@ -412,7 +420,8 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
-        ASOF_ORACLE_SQL, GAP_FILL_ORACLE_SQL, PIVOT_ORACLE_SQL,
+        ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, GAP_FILL_ORACLE_SQL,
+        PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.stats import (COOCCURRENCE_ORACLE_SQL,
@@ -475,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": PIVOT_ORACLE_SQL,
         "orders_price_quantiles": PRICE_QUANTILES_ORACLE_SQL,
         "events_rollup": ROLLUP_ORACLE_SQL,
+        "events_cube": CUBE_ORACLE_SQL,
         "parts_above_brand_avg": ABOVE_AVG_ORACLE_SQL,
         "doc_top_terms": TOP_TERMS_ORACLE_SQL,
         "docs_pack_sequences": PACK_ORACLE_SQL,
@@ -493,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_supplier_degree": DEGREE_ORACLE_SQL,
         "parts_triangle_count": TRIANGLE_ORACLE_SQL,
         "parts_components": COMPONENTS_ORACLE_SQL,
+        "supplier_pagerank_int": PAGERANK_INT_ORACLE_SQL,
+        "doc_gopher_quality": GOPHER_ORACLE_SQL,
+        "doc_prefix_containment": CONTAINMENT_ORACLE_SQL,
         "parts_kcore": KCORE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,

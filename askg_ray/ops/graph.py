@@ -291,6 +291,107 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
         batch_format="pyarrow")
 
 
+PR_SCALE = 10 ** 12        # fixed-point rank unit
+PR_ITERS = 5
+
+
+def supplier_pagerank_int(sf_dir: str, iters: int = PR_ITERS,
+                          num_partitions: int | None = None):
+    """PageRank in exact int64 fixed-point (rank × 10^12). Integer
+    floor-division contributions make every per-node sum
+    order-independent across shuffles, so — unlike the float variant
+    above — this one IS hash-checkable against a DuckDB oracle that
+    unrolls the same ``iters`` synchronous steps with identical
+    ``//`` arithmetic (``PAGERANK_INT_ORACLE_SQL``). Same dataflow as
+    ``supplier_pagerank``: the damped update is
+
+        rank' = base + (85 * sum(rank_u // deg_u)) // 100
+
+    with ``base = (15 * (SCALE // n)) // 100``. Worst-case magnitude
+    85 × 10^12 sits far inside int64.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    npart = _npartitions(num_partitions)
+
+    edges = customer_supplier_edges(sf_dir, num_partitions).materialize()
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("rank_fp", pa.int64())])
+    if edges.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    deg = edges.groupby("u").aggregate(Count(alias_name="deg"))
+    edges = edges.join(deg, join_type="inner", num_partitions=npart,
+                       on=("u",)).materialize()
+    n = deg.count()
+    init = PR_SCALE // n
+    base = (15 * init) // 100
+
+    ranks = deg.map_batches(
+        lambda t: pa.table({"u": t["u"],
+                            "rank": pa.array([init] * t.num_rows,
+                                             pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = edges.join(ranks, join_type="inner",
+                             num_partitions=npart, on=("u",))
+        contrib = contrib.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "c": pc.divide(t["rank"].cast(pa.int64()),
+                               t["deg"].cast(pa.int64()))}),
+            batch_format="pyarrow")
+        summed = contrib.groupby("v").aggregate(Sum("c", alias_name="s"))
+        ranks = summed.map_batches(
+            lambda t: pa.table({
+                "u": t["v"],
+                "rank": pc.add(
+                    pa.scalar(base, pa.int64()),
+                    pc.divide(pc.multiply(pa.scalar(85, pa.int64()),
+                                          t["s"].cast(pa.int64())),
+                              pa.scalar(100, pa.int64())))}),
+            batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["u"],
+                            "rank_fp": t["rank"].cast(pa.int64())},
+                           schema=out_schema),
+        batch_format="pyarrow")
+
+
+def _pagerank_int_oracle_sql(iters: int = PR_ITERS) -> str:
+    """The same fixed-point power iteration, UNROLLED (one edge join +
+    groupby-sum per step — the components-oracle pattern). n is data-
+    dependent, so init/base come from scalar subqueries over the node
+    count; every division is DuckDB's integer ``//`` on BIGINTs, which
+    floors exactly like Python's on the nonnegative values here."""
+    parts = [f"""WITH
+e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+e AS MATERIALIZED (
+   SELECT CAST(c AS BIGINT) AS u, CAST(-(s + 1) AS BIGINT) AS v FROM e0
+   UNION ALL
+   SELECT CAST(-(s + 1) AS BIGINT) AS u, CAST(c AS BIGINT) AS v FROM e0),
+deg AS MATERIALIZED (SELECT u AS node, count(*) AS deg FROM e GROUP BY u),
+nn AS (SELECT count(*) AS n FROM deg),
+ed AS MATERIALIZED (SELECT e.u, e.v, d.deg FROM e
+                    JOIN deg d ON d.node = e.u),
+r0 AS (SELECT node, (SELECT {PR_SCALE} // n FROM nn) AS rank FROM deg)"""]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""r{k} AS (SELECT ed.v AS node,
+  (SELECT (15 * ({PR_SCALE} // n)) // 100 FROM nn)
+  + (85 * sum(r{k - 1}.rank // ed.deg)) // 100 AS rank
+  FROM ed JOIN r{k - 1} ON r{k - 1}.node = ed.u GROUP BY ed.v)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, CAST(rank AS BIGINT) AS rank_fp"
+              f" FROM r{iters}")
+
+
+PAGERANK_INT_ORACLE_SQL = _pagerank_int_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Connected components as a driver-visible query
 

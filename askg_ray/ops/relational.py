@@ -765,6 +765,69 @@ FROM events GROUP BY ROLLUP(event_type, day)
 """.strip()
 
 
+def events_cube(sf_dir: str):
+    """CUBE(event_type, day): the rollup's three levels plus the
+    (·, day) marginal. Same one-scan shape — the fact table is
+    aggregated once at the finest grain and all three coarser levels
+    re-aggregate that tiny (types × days) result. Matches DuckDB
+    GROUP BY CUBE.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..rayutil import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/events.parquet") == 0:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.nulls(1, pa.string()),
+            "day": pa.nulls(1, pa.timestamp("us")),
+            "n": pa.array([0], pa.int64())}))
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.floor_temporal(
+                             t["ts"].cast(pa.timestamp("us")), unit="day")})
+
+    finest = (ev.map_batches(to_day, batch_format="pyarrow")
+              .groupby(["event_type", "day"])
+              .aggregate(Count(alias_name="n"))).materialize()
+
+    def _shape(t: pa.Table, null_type: bool, null_day: bool) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "event_type": (pa.nulls(n, pa.string()) if null_type
+                           else t["event_type"]),
+            "day": (pa.nulls(n, pa.timestamp("us")) if null_day
+                    else t["day"].cast(pa.timestamp("us"))),
+            "n": t["n"].cast(pa.int64()),
+        })
+
+    by_type = (finest.groupby("event_type")
+               .aggregate(Sum("n", alias_name="n"))
+               .map_batches(lambda t: _shape(t, False, True),
+                            batch_format="pyarrow"))
+    by_day = (finest.groupby("day")
+              .aggregate(Sum("n", alias_name="n"))
+              .map_batches(lambda t: _shape(t, True, False),
+                           batch_format="pyarrow"))
+    total = rd.from_arrow(pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day": pa.nulls(1, pa.timestamp("us")),
+        "n": pa.array([int(finest.sum("n"))], pa.int64())}))
+    fin = finest.map_batches(lambda t: _shape(t, False, False),
+                             batch_format="pyarrow")
+    return fin.union(by_type).union(by_day).union(total)
+
+
+CUBE_ORACLE_SQL = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+FROM events GROUP BY CUBE(event_type, day)
+""".strip()
+
+
 def parts_above_brand_avg(sf_dir: str):
     """Correlated-subquery shape: parts priced strictly above their
     brand's average retail price. Two passes over the pruned fact

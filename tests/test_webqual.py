@@ -1,0 +1,141 @@
+"""Adversarial coverage for the web-text quality battery, token-aligned
+prefix containment, fixed-point PageRank and CUBE: rule-boundary word
+counts, an empty document, a non-token-aligned character match that a
+naive substring check would miscount, mutual containment of identical
+documents, and the int-vs-float PageRank agreement — each hash-compared
+against its DuckDB oracle on the same synthetic parquet."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from askg_ray.ops import webqual as wq
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].astype(str)
+    return sorted("|".join(x) for x in df.itertuples(index=False))
+
+
+def _docs_fixture(tmp_path, texts):
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(texts), pa.string()),
+                  "source": pa.array(["t"] * len(texts), pa.string()),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    return str(tmp_path), con
+
+
+def test_gopher_rule_boundaries(ray_session, tmp_path):
+    # 5-char filler keeps mean word length in the [400,520] band for
+    # the boundary-count docs (28*5+3+1 = 144 chars / 30 words = 480);
+    # the planted failures each break exactly ONE rule
+    w29 = " ".join(["words"] * 27 + ["the", "a"])         # n_words=29 < 30
+    w30 = " ".join(["words"] * 28 + ["the", "a"])         # boundary pass
+    w90 = " ".join(["words"] * 88 + ["the", "a"])         # boundary pass
+    w91 = " ".join(["words"] * 89 + ["the", "a"])         # > 90 fails
+    symb = " ".join(["words"] * 28 + ["the", "a"]) + " ###"  # 3 '#'/31 w
+    digits = " ".join(["12345"] * 28 + ["the", "a"])      # alpha fails
+    onestop = " ".join(["words"] * 29 + ["the"])          # hits=1 fails
+    short_mean = " ".join(["ab"] * 28 + ["the", "a"])     # mean 200 < 400
+    empty = ""
+    dots = "words.... words " + " ".join(["words"] * 28 + ["the", "a"])
+    sf, con = _docs_fixture(tmp_path, [w29, w30, w90, w91, symb, digits,
+                                       onestop, short_mean, empty, dots])
+    got = wq.gopher_quality(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(wq.GOPHER_ORACLE_SQL).df())
+    by_id = got.set_index("doc_id")
+    assert list(by_id.loc[[0, 1, 2, 3], "keep"]) == [0, 1, 1, 0]
+    assert by_id.loc[4, "symbol_permille"] == 3 * 1000 // 31
+    assert by_id.loc[4, "keep"] == 1          # 96 permille < 100 passes
+    assert by_id.loc[5, "alpha_permille"] == 2 * 1000 // 30  # 'the','a'
+    assert list(by_id.loc[[5, 6, 7], "keep"]) == [0, 0, 0]
+    assert by_id.loc[8, "n_words"] == 0 and by_id.loc[8, "keep"] == 0
+    # 'words....' yields ONE non-overlapping '...' (python str.count
+    # semantics == replace-diff//3 in SQL); 32 tokens in that doc
+    assert by_id.loc[9, "symbol_permille"] == 1 * 1000 // 32
+    assert by_id.loc[9, "keep"] == 1
+
+
+def test_prefix_containment_alignment(ray_session, tmp_path):
+    prefix = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    a = prefix + " tail tail"                        # the probed doc
+    b = "lead lead " + prefix + " more words here"   # token-aligned hit
+    # character-level match only: probe chars appear inside a merged
+    # first token ('xalpha'), so token-aligned containment must say NO
+    c = "lead xalpha beta gamma delta eps zeta eta theta iota kappa " \
+        "lam mu more"
+    d = "short doc under twelve tokens"              # probed = 0
+    dup = prefix + " tail tail"                      # identical to a
+    sf, con = _docs_fixture(tmp_path, [a, b, c, d, dup])
+    got = wq.prefix_containment(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(wq.CONTAINMENT_ORACLE_SQL).df())
+    by_id = got.set_index("doc_id")
+    # a's prefix lives in b and in dup (2 containers); c's merged-token
+    # char match is rejected by the padded check on BOTH sides
+    assert by_id.loc[0, "n_containers"] == 2
+    assert by_id.loc[4, "n_containers"] == 2          # dup mirrors a
+    assert by_id.loc[2, "n_containers"] == 0          # c's own probe
+    assert by_id.loc[3, "probed"] == 0
+    assert by_id.loc[3, "n_containers"] == 0
+
+
+def test_pagerank_int_matches_oracle_and_float(ray_session, tmp_path):
+    # 3 customers x 4 suppliers bipartite graph with skewed degrees
+    orders = pa.table({"o_orderkey": pa.array(range(6), pa.int64()),
+                       "o_custkey": pa.array([0, 0, 0, 1, 1, 2],
+                                             pa.int64())})
+    li = pa.table({
+        "l_orderkey": pa.array([0, 0, 1, 2, 3, 4, 5, 5], pa.int64()),
+        "l_suppkey": pa.array([0, 1, 2, 3, 0, 1, 0, 2], pa.int64())})
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{tmp_path}/{t}.parquet')")
+
+    from askg_ray.ops import graph as g
+
+    got = g.supplier_pagerank_int(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(g.PAGERANK_INT_ORACLE_SQL).df())
+    # fixed-point result tracks the float power iteration to ~1e-9
+    flo = (g.supplier_pagerank(str(tmp_path)).to_pandas()
+           .set_index("node")["rank"])
+    for node, fp in zip(got["node"], got["rank_fp"]):
+        assert abs(fp / g.PR_SCALE - flo[node]) < 1e-6
+    # 7 nodes (3 customers + 4 suppliers), probability mass ~1
+    assert len(got) == 7
+    assert abs(got["rank_fp"].sum() / g.PR_SCALE - 1.0) < 1e-3
+
+
+def test_events_cube_levels(ray_session, tmp_path):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 5, 1)
+    for i in range(8):
+        rows.append({"event_id": i, "ts": base + dt.timedelta(
+            days=i % 2, hours=i), "user_id": i % 3,
+            "event_type": "click" if i % 2 else "view",
+            "value": 1.0, "props": ""})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops import relational as r
+
+    got = r.events_cube(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(r.CUBE_ORACLE_SQL).df())
+    # all four grouping levels present
+    both = got[got["event_type"].isna() & got["day"].isna()]
+    assert len(both) == 1 and both["n"].iloc[0] == 8
+    assert got["event_type"].isna().sum() > 1     # (·, day) marginal
+    assert got["day"].isna().sum() > 1            # (type, ·) marginal
