@@ -802,3 +802,105 @@ r AS (SELECT CAST(x % {1 << HLL_P} AS BIGINT) AS register,
 SELECT register, CAST(max(rho) AS BIGINT) AS max_rho
 FROM r GROUP BY register
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-Sketch heavy hitters over the document token stream
+
+CMS_D = 4                      # sketch depth (independent hash rows)
+CMS_W = 1024                   # sketch width (buckets per row)
+CMS_THRESHOLD = 500            # report tokens whose estimate >= this
+
+
+def _cms_bucket(j: int, tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{j}:{tok}".encode()).hexdigest()[:12],
+               16) % CMS_W
+
+
+def token_cms_topk(sf_dir: str, threshold: int = CMS_THRESHOLD):
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    2005): per-batch token counts fold into D×W bucket partials
+    (md5-derived row hashes), one tiny groupby merges them into the
+    global sketch — a CONSTANT 4,096 counters however large the corpus,
+    which is the whole point: the shuffle and the driver state are both
+    O(D·W), not O(vocab) and never O(tokens). The sketch is broadcast
+    once (``ray.put``) and the candidate vocabulary streams through a
+    ``map_batches`` estimator (est = min over rows of the token's
+    bucket counter; one-sided error, so every true heavy hitter
+    survives the threshold). The DuckDB oracle rebuilds the identical
+    sketch — same md5 bucket hash via hex-cast — so the estimates,
+    collisions included, hash-match exactly.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in (text or "").split(" ") if w)
+        agg: dict = {}
+        for tok, n in c.items():
+            for j in range(CMS_D):
+                k = (j, _cms_bucket(j, tok))
+                agg[k] = agg.get(k, 0) + n
+        ks = sorted(agg)
+        return pa.table({
+            "j": pa.array([k[0] for k in ks], pa.int64()),
+            "b": pa.array([k[1] for k in ks], pa.int64()),
+            "c": pa.array([agg[k] for k in ks], pa.int64())})
+
+    sketch_rows = (docs.map_batches(partial, batch_format="pyarrow")
+                   .groupby(["j", "b"])
+                   .aggregate(Sum("c", alias_name="sc"))).take_all()
+    sketch = {(r["j"], r["b"]): r["sc"] for r in sketch_rows}
+    sketch_ref = ray.put(sketch)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks = set()
+        for text in t["text"].to_pylist():
+            toks.update(w for w in (text or "").split(" ") if w)
+        return pa.table({"token": pa.array(sorted(toks), pa.string())})
+
+    cand = (docs.map_batches(tok_rows, batch_format="pyarrow")
+            .groupby("token").aggregate(Count(alias_name="__n"))
+            .select_columns(["token"]))
+
+    def estimate(t: pa.Table) -> pa.Table:
+        sk = ray.get(sketch_ref)
+        toks, ests = [], []
+        for tok in t["token"].to_pylist():
+            est = min(sk.get((j, _cms_bucket(j, tok)), 0)
+                      for j in range(CMS_D))
+            if est >= threshold:
+                toks.append(tok)
+                ests.append(est)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "est_count": pa.array(ests, pa.int64())})
+
+    return cand.map_batches(estimate, batch_format="pyarrow")
+
+
+CMS_ORACLE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(j)),
+tb AS (SELECT cnt.tok, cnt.c, js.j,
+         ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || cnt.tok),
+                         1, 12))::BIGINT % {CMS_W} AS b
+       FROM cnt CROSS JOIN js),
+sketch AS (SELECT j, b, sum(c) AS sc FROM tb GROUP BY j, b),
+est AS (SELECT tb.tok, min(sketch.sc) AS est
+        FROM tb JOIN sketch ON sketch.j = tb.j AND sketch.b = tb.b
+        GROUP BY tb.tok)
+SELECT tok AS token, CAST(est AS BIGINT) AS est_count
+FROM est WHERE est >= {CMS_THRESHOLD}
+""".strip()

@@ -139,3 +139,37 @@ def test_events_cube_levels(ray_session, tmp_path):
     assert len(both) == 1 and both["n"].iloc[0] == 8
     assert got["event_type"].isna().sum() > 1     # (·, day) marginal
     assert got["day"].isna().sum() > 1            # (type, ·) marginal
+
+
+def test_cms_one_sided_and_threshold(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import stats as s
+
+    # 'heavy' appears 600x (>= threshold 500); 'light' 499x (just
+    # under — must NOT appear unless a collision inflates it, in which
+    # case the oracle inflates identically); filler tokens add noise
+    texts = (["heavy " * 60] * 10 + ["light " * 499]
+             + [f"tok{i} tok{i} filler" for i in range(50)])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array([x.strip() for x in texts], pa.string()),
+                  "lang": ["en"] * len(texts),
+                  "source": ["t"] * len(texts),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+
+    got = s.token_cms_topk(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(s.CMS_ORACLE_SQL).df())
+    by_tok = got.set_index("token")["est_count"]
+    # one-sided error: the estimate never undercounts
+    assert by_tok["heavy"] >= 600
+    # every reported token's TRUE count is <= its estimate
+    true = con.sql(
+        "SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))"
+        " AS tok FROM documents").df()["tok"].value_counts()
+    for tok, est in by_tok.items():
+        assert true.get(tok, 0) <= est
