@@ -173,3 +173,28 @@ def test_cms_one_sided_and_threshold(ray_session, tmp_path):
         " AS tok FROM documents").df()["tok"].value_counts()
     for tok, est in by_tok.items():
         assert true.get(tok, 0) <= est
+
+
+def test_new_ops_degenerate_empty_inputs(ray_session, tmp_path):
+    """Zero-row input files must produce well-formed (mostly empty)
+    results for every op added in this batch."""
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import graph as g
+    from askg_ray.ops import relational as r
+    from askg_ray.ops import stats as s
+
+    SF = "/root/testdata/sf0.001"
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    for t in ["documents", "orders", "lineitem", "events"]:
+        pq.write_table(pq.read_table(f"{SF}/{t}.parquet").slice(0, 0),
+                       str(empty / f"{t}.parquet"))
+    e = str(empty)
+    assert wq.gopher_quality(e).count() == 0
+    assert wq.prefix_containment(e).count() == 0
+    assert g.supplier_pagerank_int(e).count() == 0
+    assert s.token_cms_topk(e).count() == 0
+    rows = [x for b in r.events_cube(e).iter_batches(
+        batch_format="pyarrow") for x in b.to_pylist()]
+    assert rows == [{"event_type": None, "day": None, "n": 0}]
