@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": stats.doc_lm_score,
         "events_user_hll": stats.events_user_hll,
         "token_cms_topk": stats.token_cms_topk,
+        "events_props_stats": stats.events_props_stats,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
     from askg_ray.ops.stats import (CMS_ORACLE_SQL, COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
+        PROPS_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_score": LM_SCORE_ORACLE_SQL,
         "events_user_hll": HLL_ORACLE_SQL,
         "token_cms_topk": CMS_ORACLE_SQL,
+        "events_props_stats": PROPS_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

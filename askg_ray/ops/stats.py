@@ -904,3 +904,75 @@ est AS (SELECT tb.tok, min(sketch.sc) AS est
 SELECT tok AS token, CAST(est AS BIGINT) AS est_count
 FROM est WHERE est >= {CMS_THRESHOLD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured property extraction (JSON field -> grouped aggregate)
+
+PROPS_FIELD = "k"
+
+
+def events_props_stats(sf_dir: str):
+    """Extract the integer ``k`` field out of the JSON ``props`` string
+    and aggregate per event type (count, rows-with-k, sum, max). The
+    extraction is ONE vectorized ``pc.extract_regex`` over the batch —
+    no ``json.loads`` row loop — with the documented contract that
+    ``props`` carries a flat integer field (the oracle uses the same
+    regex via ``regexp_extract`` so malformed rows degrade identically:
+    no match → excluded from sum/max, counted in ``n`` only; a group
+    with no valid k reports max_k = -1 — an explicit sentinel rather
+    than NULL, because a NULL BIGINT max renders as float NaN on the
+    DuckDB side and None on the Arrow side and the driver's string
+    hash would split on that). Per-batch partials shrink to one row
+    per (type, batch) before the tiny groupby.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(
+            t["props"].combine_chunks().cast(pa.string()),
+            pattern=r'"' + PROPS_FIELD + r'":\s*(?P<v>\d+)').field("v")
+        valid = pc.not_equal(ks, "").to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(valid), np.int64)
+        lst = ks.to_pylist()
+        vals[valid] = [int(x) for x, ok in zip(lst, valid) if ok]
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_k = np.bincount(inv[valid], minlength=len(uniq)).astype(np.int64)
+        sum_k = np.bincount(inv, weights=np.where(valid, vals, 0),
+                            minlength=len(uniq)).astype(np.int64)
+        max_k = np.full(len(uniq), -1, np.int64)
+        np.maximum.at(max_k, inv[valid], vals[valid])
+        return pa.table({
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "n_k": pa.array(n_k, pa.int64()),
+            "sum_k": pa.array(sum_k, pa.int64()),
+            "max_k": pa.array(max_k, pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_k", alias_name="n_k"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k")))
+
+
+PROPS_ORACLE_SQL = f"""
+WITH x AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"{PROPS_FIELD}":\\s*(\\d+)', 1)
+                  AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(max(k), -1) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+""".strip()

@@ -198,3 +198,40 @@ def test_new_ops_degenerate_empty_inputs(ray_session, tmp_path):
     rows = [x for b in r.events_cube(e).iter_batches(
         batch_format="pyarrow") for x in b.to_pylist()]
     assert rows == [{"event_type": None, "day": None, "n": 0}]
+
+
+def test_props_stats_malformed_and_null_max(ray_session, tmp_path):
+    """Malformed JSON, a missing field, and a type with ZERO valid k
+    (null max on both sides) must all hash-match the regex oracle."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import stats as s
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        {"event_id": 0, "event_type": "ok", "props": '{"k": 7}'},
+        {"event_id": 1, "event_type": "ok", "props": '{"k":42}'},
+        {"event_id": 2, "event_type": "ok", "props": "not json at all"},
+        {"event_id": 3, "event_type": "nok", "props": "{}"},
+        {"event_id": 4, "event_type": "nok", "props": '{"j": 9}'},
+        {"event_id": 5, "event_type": "ws", "props": '{"k":   13}'},
+    ]
+    for r_ in rows:
+        r_.update(ts=base, user_id=0, value=1.0)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    got = s.events_props_stats(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(s.PROPS_ORACLE_SQL).df())
+    by = got.set_index("event_type")
+    assert (by.loc["ok", "n"], by.loc["ok", "n_k"],
+            by.loc["ok", "sum_k"], by.loc["ok", "max_k"]) == (3, 2, 49, 42)
+    assert by.loc["nok", "n_k"] == 0 and by.loc["nok", "sum_k"] == 0
+    assert by.loc["nok", "max_k"] == -1        # sentinel, not NULL
+    assert by.loc["ws", "max_k"] == 13
