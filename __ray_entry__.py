@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": stats.events_user_hll,
         "token_cms_topk": stats.token_cms_topk,
         "events_props_stats": stats.events_props_stats,
+        "embedding_kmeans": similarity.embedding_kmeans,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
@@ -410,7 +411,8 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.webqual import (CONTAINMENT_ORACLE_SQL,
                                       GOPHER_ORACLE_SQL)
     from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
-    from askg_ray.ops.similarity import CENTROIDS_ORACLE_SQL
+    from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
+                                         KMEANS_ORACLE_SQL)
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
         LEAD_LAG_ORACLE_SQL,
@@ -511,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_prefix_containment": CONTAINMENT_ORACLE_SQL,
         "parts_kcore": KCORE_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
+        "embedding_kmeans": KMEANS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,
         "events_first_last": FIRST_LAST_ORACLE_SQL,
         "events_range_join": RANGE_JOIN_ORACLE_SQL,

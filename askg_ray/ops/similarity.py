@@ -292,3 +292,160 @@ SELECT label::BIGINT AS label, i AS dim,
 FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
 GROUP BY label, i
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd k-means in exact integer arithmetic
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+KMEANS_OFFSET = 1 << 20        # shift into nonneg so BIGINT // == floor
+
+
+def _kmeans_quantize(vecs) -> "np.ndarray":
+    # f32 → f64 is exact; floor has no tie rule, so DuckDB's
+    # floor(CAST(x AS DOUBLE)*1e6) reproduces it bit-for-bit. The
+    # offset keeps every coordinate nonnegative: Python's // floors
+    # but DuckDB's BIGINT // truncates toward zero, and the two only
+    # agree on nonnegative operands.
+    q = np.floor(vecs.astype(np.float64) * KMEANS_SCALE).astype(np.int64)
+    return q + KMEANS_OFFSET
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS):
+    """Lloyd's k-means over the embedding column, every step exact
+    int64 so the assignment is shuffle-order independent and the
+    unrolled DuckDB oracle hash-matches it. Init = the k
+    smallest-vec_id vectors (deterministic; per-block bottom-k then a
+    bounded k-per-block driver merge). Each iteration is ONE pass:
+    assignment happens inside ``map_batches`` against the broadcast
+    (k × dim) centroid table — squared L2 in int64, ties to the lowest
+    cluster id via argmin-first — and the batch collapses to
+    (cluster, dim, sum) + (cluster, count) partial rows, so the
+    groupby merges ≤ k·(dim+1) rows per batch and the driver holds
+    k × dim integers, both independent of corpus size. Clusters that
+    lose all members drop out (documented; mirrored in the oracle).
+    Output: (vec_id, cluster) from a final assignment pass.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster", pa.int64())])
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(ids, kind="stable")[:k]))
+
+    seed_rows = ds.map_batches(bottomk,
+                               batch_format="pyarrow").take_all()
+    if not seed_rows:
+        return rd.from_arrow(out_schema.empty_table())
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    seeds = seed_rows[:k]
+    centroids = _kmeans_quantize(
+        np.asarray([r["embedding"] for r in seeds], dtype=np.float64))
+    cluster_ids = np.arange(len(seeds), dtype=np.int64)
+
+    def assign(Q: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # (n,1,dim)-(1,k,dim) int64 diffs; argmin takes the FIRST
+        # minimum = lowest cluster index, matching the oracle's
+        # ORDER BY dist, cl tie rule
+        d = Q[:, None, :] - C[None, :, :]
+        return np.argmin((d * d).sum(axis=2), axis=1)
+
+    # iters-1 update steps, then one assignment pass: the result is the
+    # assignment AGAINST c_{iters-1}, matching the oracle's a{iters}
+    for _ in range(iters - 1):
+        cref = ray.put((centroids, cluster_ids))
+
+        def partial(t: pa.Table) -> pa.Table:
+            C, ids = ray.get(cref)
+            Q = _kmeans_quantize(list_col_matrix(t["embedding"]))
+            a = ids[assign(Q, C)]
+            dim = Q.shape[1]
+            uniq = np.unique(a)
+            cl, dd, ss = [], [], []
+            for c in uniq:
+                sel = Q[a == c]
+                cl += [int(c)] * (dim + 1)
+                dd += list(range(1, dim + 1)) + [0]   # d=0 row: count
+                ss += sel.sum(axis=0).tolist() + [sel.shape[0]]
+            return pa.table({"cl": pa.array(cl, pa.int64()),
+                             "d": pa.array(dd, pa.int64()),
+                             "s": pa.array(ss, pa.int64())})
+
+        rows = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["cl", "d"])
+                .aggregate(Sum("s", alias_name="s"))).take_all()
+        counts = {r["cl"]: r["s"] for r in rows if r["d"] == 0}
+        sums: dict = {}
+        for r in rows:
+            if r["d"] > 0:
+                sums.setdefault(r["cl"], {})[r["d"]] = r["s"]
+        cluster_ids = np.array(sorted(counts), dtype=np.int64)
+        dim = centroids.shape[1]
+        centroids = np.array(
+            [[sums[c][d] // counts[c] for d in range(1, dim + 1)]
+             for c in cluster_ids], dtype=np.int64)
+
+    cref = ray.put((centroids, cluster_ids))
+
+    def final(t: pa.Table) -> pa.Table:
+        C, ids = ray.get(cref)
+        Q = _kmeans_quantize(list_col_matrix(t["embedding"]))
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                         "cluster": pa.array(ids[assign(Q, C)],
+                                             pa.int64())},
+                        schema=out_schema)
+
+    return ds.map_batches(final, batch_format="pyarrow")
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                       dim: int = EMB_DIM) -> str:
+    """The same iterations UNROLLED: per step a CROSS JOIN distance
+    rank (ORDER BY dist, cl — the argmin-first tie rule) and an
+    exploded per-dimension integer mean rebuilt into an ordered list.
+    All arithmetic on the shifted BIGINT lattice, so ``//`` and
+    Python's floor agree."""
+    head = f"""WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT)
+                + {KMEANS_OFFSET}) AS v
+  FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         AS cl, v
+       FROM q ORDER BY vec_id LIMIT {k}),
+dims AS (SELECT unnest(range(1, {dim + 1})) AS d)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT q.vec_id, c.cl,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                       j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j]))),
+                      c.cl) AS rn
+    FROM q CROSS JOIN c{i - 1} c)
+  WHERE rn = 1)""")
+        if i < iters:                       # a{iters} is the output;
+            parts.append(f"""c{i} AS (
+  SELECT cl, list(m ORDER BY d) AS v FROM (
+    SELECT a.cl, dims.d, sum(q.v[dims.d]) // count(*) AS m
+    FROM a{i} a JOIN q USING (vec_id) CROSS JOIN dims
+    GROUP BY a.cl, dims.d)
+  GROUP BY cl)""")
+    return (",\n".join(parts)
+            + f"""
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters}""")
+
+
+KMEANS_ORACLE_SQL = _kmeans_oracle_sql()

@@ -235,3 +235,45 @@ def test_props_stats_malformed_and_null_max(ray_session, tmp_path):
     assert by.loc["nok", "n_k"] == 0 and by.loc["nok", "sum_k"] == 0
     assert by.loc["nok", "max_k"] == -1        # sentinel, not NULL
     assert by.loc["ws", "max_k"] == 13
+
+
+def test_kmeans_empty_cluster_drop_and_grouping(ray_session, tmp_path):
+    """Three true clusters, k=8 seeds with duplicates: tie-to-lowest
+    empties the duplicate seed clusters, which must drop out on BOTH
+    sides; the final partition must match the planted A/B/C groups."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import similarity as sim
+
+    # seeds (vec 0..7) are EXACT center duplicates, so the argmin tie
+    # rule funnels everything to clusters 0/1/2 and empties 3..7;
+    # non-seed rows carry a tiny deterministic jitter (no RNG)
+    centers = {0: 0.3, 1: -0.3, 2: 0.0}
+    vecs, ids = [], []
+    for i in range(12):
+        c = i % 3
+        v = np.full(64, centers[c]) + (1e-3 if i >= 8 else 0.0)
+        vecs.append(v.astype(np.float32))
+        ids.append(i)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in ids], pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/embeddings.parquet')")
+
+    got = sim.embedding_kmeans(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(sim.KMEANS_ORACLE_SQL).df())
+    by = got.set_index("vec_id")["cluster"]
+    # the planted partition survives: same-center vecs share a cluster,
+    # different-center vecs never do
+    for i in range(12):
+        for j in range(12):
+            same = by[i] == by[j]
+            assert same == (i % 3 == j % 3)
+    assert got["cluster"].nunique() == 3        # duplicates dropped
