@@ -52,8 +52,9 @@ def _bench_queries():
     from askg_ray.ops.dedup import minhash_dedup, simhash_dedup
     from askg_ray.ops.joins import order_revenue_topk
     from askg_ray.ops.relational import lineitem_pricing_summary, orders_by_segment
-    from askg_ray.ops.similarity import ann_bruteforce
+    from askg_ray.ops.similarity import ann_bruteforce, embedding_kmeans
     from askg_ray.ops.text import token_stats
+    from askg_ray.ops.webqual import gopher_quality
     from askg_ray.pipelines.kg import build_kg
     from askg_ray.sources.docs_adapter import pages_from_documents
 
@@ -76,6 +77,8 @@ def _bench_queries():
         "orders_join": lambda: orders_by_segment(SF_DIR).count(),
         "fact_join_topk": lambda: order_revenue_topk(SF_DIR).count(),
         "ann_cosine": lambda: ann_bruteforce(SF_DIR).count(),
+        "quality_gopher": lambda: gopher_quality(SF_DIR).count(),
+        "kmeans": lambda: embedding_kmeans(SF_DIR).count(),
     }
 
 
