@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cms_topk": stats.token_cms_topk,
         "events_props_stats": stats.events_props_stats,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "docs_bottomk_sample": curation.docs_bottomk_sample,
+        "events_zorder": relational.events_zorder,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
@@ -394,6 +396,7 @@ _NGRAM_CLOSURE_SQL = (
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.curation import (
+        BOTTOMK_ORACLE_SQL,
         CHUNK_ORACLE_SQL,
         CORPUS_PREP_ORACLE_SQL,
         DECON_ORACLE_SQL,
@@ -427,7 +430,8 @@ def oracle_sql() -> dict[str, str]:
         ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, GAP_FILL_ORACLE_SQL,
         PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
-        ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL)
+        ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL,
+        ZORDER_ORACLE_SQL)
     from askg_ray.ops.stats import (CMS_ORACLE_SQL, COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         PROPS_ORACLE_SQL,
@@ -527,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "events_user_hll": HLL_ORACLE_SQL,
         "token_cms_topk": CMS_ORACLE_SQL,
         "events_props_stats": PROPS_ORACLE_SQL,
+        "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,
+        "events_zorder": ZORDER_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

@@ -552,3 +552,47 @@ GROUP BY s.split
 
 
 CORPUS_PREP_ORACLE_SQL = _corpus_prep_oracle_sql()
+
+
+# ---- bottom-k deterministic uniform sample --------------------------------
+
+BOTTOMK_K = 25
+
+
+def docs_bottomk_sample(sf_dir: str, k: int = BOTTOMK_K):
+    """Exactly-k uniform sample via the bottom-k sketch: every doc gets
+    the deterministic priority md5(doc_id) and the k smallest
+    priorities win. Unlike the rate-based ``doc_sample`` (whose output
+    SIZE varies with the corpus), bottom-k yields a fixed-size sample
+    that is mergeable across any partitioning — per-block bottom-k
+    then one bounded ≤ k-rows-per-block driver merge, the same shape
+    as every top-k in this repo. The priority column rides along so
+    the oracle's ORDER BY tie-handling is moot (md5 keys are distinct
+    with overwhelming probability; doc_id breaks the ties anyway).
+    """
+    from .stats import _topk_table
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ks = [hashlib.md5(str(d).encode()).hexdigest()
+              for d in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "priority": pa.array(ks, pa.string())})
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("priority", pa.string())])
+    return _topk_table(docs.map_batches(key, batch_format="pyarrow"),
+                       [("priority", "ascending"),
+                        ("doc_id", "ascending")], k, out_schema)
+
+
+BOTTOMK_ORACLE_SQL = f"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {BOTTOMK_K}
+""".strip()

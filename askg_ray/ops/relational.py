@@ -969,3 +969,62 @@ s AS (SELECT user_id,
 SELECT s.user_id, s.day, coalesce(d.n, 0)::BIGINT AS n
 FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) locality index
+
+Z_BITS = 16                    # 16 bits per dimension → 32-bit z-value
+
+
+def events_zorder(sf_dir: str):
+    """Morton / Z-order locality key over (user_id, minute-of-epoch):
+    the two 16-bit coordinates interleave bit-by-bit, so events close
+    in BOTH dimensions land close in z — the layout key that turns a
+    (user, time-range) scan over sorted/row-grouped Parquet into a
+    handful of contiguous reads instead of a full pass. Map-only and
+    exact-integer: numpy shift/mask kernels per batch; the oracle is
+    the same 32-term bit sum generated symbolically, so the two sides
+    cannot drift. Sorting/writing by z is the caller's layout choice —
+    the op emits the key, which is the scale-relevant part.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def zval(t: pa.Table) -> pa.Table:
+        u = (t["user_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64)) & 0xFFFF
+        ts_us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = (ts_us // 60_000_000) & 0xFFFF       # minute-of-epoch mod 2^16
+        z = np.zeros(len(u), np.int64)
+        for i in range(Z_BITS):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((m >> i) & 1) << (2 * i + 1)
+        return pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                         "z": pa.array(z, pa.int64())})
+
+    return ev.map_batches(zval, batch_format="pyarrow")
+
+
+def _zorder_oracle_sql(bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((u >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((m >> {i}) & 1) * {1 << (2 * i + 1)}")
+    expr = "\n       + ".join(terms)
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) & 65535 AS u,
+         (CAST(epoch_us(ts) AS BIGINT) // 60000000) & 65535 AS m
+  FROM events)
+SELECT event_id,
+       CAST({expr} AS BIGINT) AS z
+FROM b
+""".strip()
+
+
+ZORDER_ORACLE_SQL = _zorder_oracle_sql()

@@ -277,3 +277,59 @@ def test_kmeans_empty_cluster_drop_and_grouping(ray_session, tmp_path):
             same = by[i] == by[j]
             assert same == (i % 3 == j % 3)
     assert got["cluster"].nunique() == 3        # duplicates dropped
+
+
+def test_bottomk_merge_equals_global_and_zorder_locality(ray_session,
+                                                         tmp_path):
+    """bottom-k across many blocks == the global k smallest priorities;
+    z-order interleave verified bit-by-bit against a Python reference
+    and for the locality property (same user, adjacent minutes →
+    adjacent z region)."""
+    import datetime as dt
+    import hashlib as hl
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import curation as cu
+    from askg_ray.ops import relational as r
+
+    texts = [f"doc {i}" for i in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": ["en"] * 200, "source": ["t"] * 200,
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    got = cu.docs_bottomk_sample(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(cu.BOTTOMK_ORACLE_SQL).df())
+    exp = sorted(range(200),
+                 key=lambda d: hl.md5(str(d).encode()).hexdigest())[:25]
+    assert sorted(got["doc_id"]) == sorted(exp)
+
+    base = dt.datetime(2024, 7, 1)
+    rows = [{"event_id": i, "ts": base + dt.timedelta(minutes=i % 7),
+             "user_id": i % 5, "event_type": "x", "value": 0.0,
+             "props": ""} for i in range(50)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    gz = r.events_zorder(str(tmp_path)).to_pandas()
+    assert _canon(gz) == _canon(con.sql(r.ZORDER_ORACLE_SQL).df())
+
+    def z_ref(u, m):
+        z = 0
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((m >> i) & 1) << (2 * i + 1)
+        return z
+
+    by = gz.set_index("event_id")["z"]
+    for row in rows[:10]:
+        m = (int(row["ts"].timestamp()) // 60) & 0xFFFF
+        assert by[row["event_id"]] == z_ref(row["user_id"] & 0xFFFF, m)
+    # locality: flipping ONLY the low user bit moves z by exactly 1
+    assert abs(z_ref(4, 100) - z_ref(5, 100)) == 1
