@@ -333,3 +333,87 @@ def test_bottomk_merge_equals_global_and_zorder_locality(ray_session,
         assert by[row["event_id"]] == z_ref(row["user_id"] & 0xFFFF, m)
     # locality: flipping ONLY the low user bit moves z by exactly 1
     assert abs(z_ref(4, 100) - z_ref(5, 100)) == 1
+
+
+def test_randomized_webqual_parity(ray_session, tmp_path):
+    """Seeded adversarial sweep for the round-3 batch: multi-space
+    runs, unicode tokens, '#'/'...' runs, shared 12-token prefixes (so
+    containment actually fires), empty and 1-token docs — every op
+    hash-compared to its oracle on the same corpus."""
+    import numpy as np
+
+    from askg_ray.ops import curation as cu
+    from askg_ray.ops import stats as s
+
+    rng = np.random.RandomState(23)
+    vocab = ["the", "a", "tablé", "join", "row", "x#y", "dots...",
+             "1234", "ab", "zzzzz"]
+    shared = " ".join(vocab[(i * 3) % 10] for i in range(12))
+    texts = []
+    for i in range(80):
+        k = int(rng.randint(0, 25))
+        words = [vocab[rng.randint(10)] for _ in range(k)]
+        sep = "  " if rng.randint(3) == 0 else " "   # double-space runs
+        body = sep.join(words)
+        if rng.randint(4) == 0:                      # plant the prefix
+            body = shared + " " + body
+        texts.append(body)
+    texts += ["", " ", shared]                       # degenerates
+    sf, con = _docs_fixture(tmp_path, texts)
+    for fn, sql in [(wq.gopher_quality, wq.GOPHER_ORACLE_SQL),
+                    (wq.prefix_containment, wq.CONTAINMENT_ORACLE_SQL),
+                    (s.token_cms_topk, s.CMS_ORACLE_SQL),
+                    (cu.docs_bottomk_sample, cu.BOTTOMK_ORACLE_SQL)]:
+        assert _canon(fn(sf).to_pandas()) == _canon(con.sql(sql).df()), \
+            fn.__name__
+    # the planted prefix must have produced at least one containment
+    got = wq.prefix_containment(sf).to_pandas()
+    assert got["contained"].sum() > 0
+
+
+def test_randomized_graph_event_parity(ray_session, tmp_path):
+    """Seeded random bipartite graph (skewed degrees, parallel order
+    lines) for fixed-point PageRank, and collision-heavy events with a
+    valid/garbage props mix for CUBE / props-stats / z-order."""
+    import datetime as dt
+
+    import numpy as np
+
+    from askg_ray.ops import graph as g
+    from askg_ray.ops import relational as r
+    from askg_ray.ops import stats as s
+
+    rng = np.random.RandomState(31)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(40), pa.int64()),
+        "o_custkey": pa.array(rng.zipf(1.7, 40) % 9, pa.int64())})
+    li = pa.table({
+        "l_orderkey": pa.array(rng.randint(0, 40, 120), pa.int64()),
+        "l_suppkey": pa.array(rng.zipf(1.5, 120) % 13, pa.int64())})
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    base = dt.datetime(2024, 2, 1)
+    props_pool = ['{"k": %d}', '{"k":%d}', 'bad %d json', '{"j": %d}']
+    rows = [{
+        "event_id": i,
+        "ts": base + dt.timedelta(days=int(rng.randint(4)),
+                                  minutes=int(rng.randint(90))),
+        "user_id": int(rng.randint(70000)),     # exercises the & 0xFFFF
+        "event_type": ["v", "c", "p"][rng.randint(3)],
+        "value": 1.0,
+        "props": props_pool[rng.randint(4)] % int(rng.randint(1000)),
+    } for i in range(300)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{tmp_path}/{t}.parquet')")
+
+    for fn, sql in [(g.supplier_pagerank_int, g.PAGERANK_INT_ORACLE_SQL),
+                    (r.events_cube, r.CUBE_ORACLE_SQL),
+                    (s.events_props_stats, s.PROPS_ORACLE_SQL),
+                    (r.events_zorder, r.ZORDER_ORACLE_SQL)]:
+        assert _canon(fn(str(tmp_path)).to_pandas()) == \
+            _canon(con.sql(sql).df()), fn.__name__
