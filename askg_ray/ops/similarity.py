@@ -333,8 +333,12 @@ def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    # pin the (pruned) vectors once: every Lloyd iteration re-scans the
+    # input, and re-executing the lazy read would pay the parquet
+    # decode per iteration; materialize reads once and lets the object
+    # store (spilling if needed) serve iterations 2..n
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
     out_schema = pa.schema([("vec_id", pa.int64()),
                             ("cluster", pa.int64())])
 
