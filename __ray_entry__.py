@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": similarity.embedding_kmeans,
         "docs_bottomk_sample": curation.docs_bottomk_sample,
         "events_zorder": relational.events_zorder,
+        "events_moving_avg": windows.events_moving_avg,
         "docs_stratified_sample": stats.docs_stratified_sample,
         "doc_top_terms": text.doc_top_terms,
         "docs_pack_sequences": packing.docs_pack_sequences,
@@ -444,7 +445,8 @@ def oracle_sql() -> dict[str, str]:
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
-        JOURNEY_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL, RANK_FAMILY_ORACLE_SQL,
+        JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL,
+        RANK_FAMILY_ORACLE_SQL,
         SHARE_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -533,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": PROPS_ORACLE_SQL,
         "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,
         "events_zorder": ZORDER_ORACLE_SQL,
+        "events_moving_avg": MAVG_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

@@ -394,3 +394,66 @@ SELECT day, event_type, n,
            AS share_ppm
 FROM c
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# ROWS-frame moving average (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)
+
+MAVG_WINDOW = 3
+
+
+def events_moving_avg(sf_dir: str, window: int = MAVG_WINDOW):
+    """Per-user moving average of ``value`` over the last ``window``
+    ROWS in (ts, event_id) order — the ROWS-frame sibling of the
+    RANGE-frame ``events_sliding_count``. One ``groupby(user)``
+    exchange; inside the group a vectorized cumulative-sum window
+    (cumsum minus its shifted self) yields every frame sum in O(n).
+    Exact integers end to end: values are cents, the output is
+    ``(frame_sum_cents * 100) // frame_len`` — avg in integer
+    hundredths of a cent, so the hash can't drift on float division.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("mavg_c100", pa.int64()), ("frame_len", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)[order]
+        n = len(cents)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        frame_sum = cs[np.arange(n) + 1] - cs[lo]
+        frame_len = np.arange(n) + 1 - lo
+        return pa.table({
+            "user_id": t["user_id"].take(pa.array(order)).cast(pa.int64()),
+            "event_id": pa.array(eid[order], pa.int64()),
+            "mavg_c100": pa.array((frame_sum * 100) // frame_len,
+                                  pa.int64()),
+            "frame_len": pa.array(frame_len, pa.int64())},
+            schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+
+
+MAVG_ORACLE_SQL = f"""
+WITH c AS (SELECT user_id, event_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT user_id, event_id,
+       CAST((CAST(sum(cents) OVER w AS BIGINT) * 100)
+            // (count(*) OVER w) AS BIGINT) AS mavg_c100,
+       CAST(count(*) OVER w AS BIGINT) AS frame_len
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {MAVG_WINDOW - 1} PRECEDING AND CURRENT ROW)
+""".strip()

@@ -417,3 +417,47 @@ def test_randomized_graph_event_parity(ray_session, tmp_path):
                     (r.events_zorder, r.ZORDER_ORACLE_SQL)]:
         assert _canon(fn(str(tmp_path)).to_pandas()) == \
             _canon(con.sql(sql).df()), fn.__name__
+
+
+def test_moving_avg_rows_frame(ray_session, tmp_path):
+    """ROWS-frame semantics vs RANGE: duplicate timestamps must still
+    count as separate rows (event_id tie-break), warm-up frames are
+    short, and the integer c100 floor matches the oracle."""
+    import datetime as dt
+
+    import duckdb
+
+    from askg_ray.ops import windows as w
+
+    base = dt.datetime(2024, 8, 1)
+    rows = [
+        # user 0: 5 events, two sharing a timestamp
+        {"event_id": 0, "ts": base, "user_id": 0, "value": 1.0},
+        {"event_id": 1, "ts": base, "user_id": 0, "value": 2.0},
+        {"event_id": 2, "ts": base + dt.timedelta(minutes=1),
+         "user_id": 0, "value": 4.0},
+        {"event_id": 3, "ts": base + dt.timedelta(minutes=2),
+         "user_id": 0, "value": 8.0},
+        {"event_id": 4, "ts": base + dt.timedelta(minutes=3),
+         "user_id": 0, "value": 0.01},          # fractional cents path
+        # user 1: single event
+        {"event_id": 5, "ts": base, "user_id": 1, "value": 5.0},
+    ]
+    for r_ in rows:
+        r_.update(event_type="x", props="")
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    got = w.events_moving_avg(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(w.MAVG_ORACLE_SQL).df())
+    by = got.set_index("event_id")
+    # warm-up: frames of 1 then 2 rows (the duplicate ts is a SECOND
+    # row — RANGE semantics would merge it)
+    assert (by.loc[0, "frame_len"], by.loc[1, "frame_len"]) == (1, 2)
+    assert by.loc[1, "mavg_c100"] == (100 + 200) * 100 // 2
+    # full 3-row frame over (2,4,8): floor((1400*100)/3)
+    assert by.loc[3, "mavg_c100"] == 1400 * 100 // 3
+    assert by.loc[5, "frame_len"] == 1
