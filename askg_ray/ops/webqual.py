@@ -66,7 +66,10 @@ def _read_docs(sf_dir: str):
 # ---- Gopher-style quality rules -------------------------------------------
 
 def gopher_batch(batch: pa.Table) -> pa.Table:
-    txt = batch["text"].combine_chunks().cast(pa.string())
+    # null text → empty doc (mirrored by coalesce in the oracle);
+    # without the fill a null row would poison the int casts below
+    txt = pc.fill_null(batch["text"].combine_chunks().cast(pa.string()),
+                       "")
     n = len(txt)
     hashes = pc.count_substring(txt, pattern="#").to_numpy(
         zero_copy_only=False).astype(np.int64)
@@ -128,13 +131,14 @@ def _sw_hits_sql() -> str:
 
 
 GOPHER_ORACLE_SQL = f"""
-WITH w AS (
+WITH t0 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+w AS (
   SELECT doc_id,
          list_filter(string_split(text, ' '), x -> x <> '') AS ws,
          length(text) - length(replace(text, '#', '')) AS hashes,
          (length(text) - length(replace(text, '...', ''))) // 3
            AS ellipses
-  FROM documents),
+  FROM t0),
 s AS (
   SELECT doc_id,
          len(ws) AS n_words,

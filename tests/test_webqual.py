@@ -461,3 +461,18 @@ def test_moving_avg_rows_frame(ray_session, tmp_path):
     # full 3-row frame over (2,4,8): floor((1400*100)/3)
     assert by.loc[3, "mavg_c100"] == 1400 * 100 // 3
     assert by.loc[5, "frame_len"] == 1
+
+
+def test_gopher_null_text_row(ray_session, tmp_path):
+    """A NULL text row must behave as an empty doc on both sides."""
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["the a words", None], pa.string()),
+                  "lang": ["en", "en"], "source": ["t", "t"],
+                  "n_chars": pa.array([11, 0], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    got = wq.gopher_quality(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(wq.GOPHER_ORACLE_SQL).df())
+    assert got.set_index("doc_id").loc[1, "n_words"] == 0
