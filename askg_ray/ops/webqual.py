@@ -20,12 +20,12 @@ DuckDB oracle:
                    GRAM-token window is the blocking key: documents
                    explode to md5'd gram rows (the decontaminate
                    shape — grams travel as 16-byte hex, never text),
-                   one groupby co-locates probes with candidate
+                   one keyed exchange co-locates probes with candidate
                    containers, and only the surviving candidate PAIRS
-                   pay the exact padded-substring verification. At
-                   100 TB this is one keyed all-to-all on the gram
-                   hash plus two id-keyed joins for the verify
-                   payloads; no driver-side state at any size.
+                   pay the exact padded-substring verification against
+                   a second exchange's norm-marker rows. At 100 TB
+                   this is two keyed all-to-alls plus one counting
+                   groupby; no driver-side state at any size.
 
 Tokenization contract matches ops/text.py / ops/curation.py: split on
 single spaces, drop empty tokens (``text.split(' ')`` == DuckDB
@@ -174,11 +174,14 @@ def _gram_key(tokens: list[str]) -> str:
 
 
 def containment_gram_rows(batch: pa.Table) -> pa.Table:
-    """(gram_key, doc_id, is_probe) rows: every token-aligned
+    """(gram_key, doc_id, is_probe, probe) rows: every token-aligned
     CONTAIN_GRAM window of every doc (deduped per doc), plus — for docs
     long enough to carry a probe — the probe's leading gram flagged
-    ``is_probe=1``. Grams travel as md5 hex only."""
-    gs, ids, probes = [], [], []
+    ``is_probe=1`` and carrying the probe STRING itself (one short row
+    per doc, so pairs leave the gram exchange with the probe already
+    attached — no separate probe-attach exchange). Non-probe grams
+    travel as md5 hex only; document text never rides a gram row."""
+    gs, ids, probes, pstr = [], [], [], []
     for doc_id, text in zip(batch["doc_id"].to_pylist(),
                             batch["text"].to_pylist()):
         toks = [w for w in (text or "").split(" ") if w]
@@ -190,30 +193,16 @@ def containment_gram_rows(batch: pa.Table) -> pa.Table:
                 gs.append(k)
                 ids.append(doc_id)
                 probes.append(0)
+                pstr.append(None)
         if len(toks) >= PROBE_TOKENS:
             gs.append(_gram_key(toks[:CONTAIN_GRAM]))
             ids.append(doc_id)
             probes.append(1)
+            pstr.append(" ".join(toks[:PROBE_TOKENS]))
     return pa.table({"g": pa.array(gs, pa.string()),
                      "doc_id": pa.array(ids, pa.int64()),
-                     "is_probe": pa.array(probes, pa.int64())})
-
-
-def _candidate_pairs(group: pa.Table) -> pa.Table:
-    """Within one gram bucket: (probe_doc, cand_doc) for every probe ×
-    container row, self-pairs excluded."""
-    ids = group["doc_id"].to_pylist()
-    probe = group["is_probe"].to_pylist()
-    probe_docs = sorted({d for d, p in zip(ids, probe) if p})
-    cand_docs = sorted({d for d, p in zip(ids, probe) if not p})
-    ps, cs = [], []
-    for p in probe_docs:
-        for c in cand_docs:
-            if c != p:
-                ps.append(p)
-                cs.append(c)
-    return pa.table({"probe_doc": pa.array(ps, pa.int64()),
-                     "cand_doc": pa.array(cs, pa.int64())})
+                     "is_probe": pa.array(probes, pa.int64()),
+                     "probe": pa.array(pstr, pa.string())})
 
 
 def _norm_and_probe(batch: pa.Table) -> pa.Table:
@@ -228,19 +217,119 @@ def _norm_and_probe(batch: pa.Table) -> pa.Table:
                      "probe": pa.array(probes, pa.string())})
 
 
-def prefix_containment(sf_dir: str, num_partitions: int | None = None):
+PAIR_SCHEMA = pa.schema([("key2", pa.int64()),      # candidate doc
+                         ("probe_doc", pa.int64()),
+                         ("probe", pa.string())])
+
+HIT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                        ("hit", pa.int64()),
+                        ("probed", pa.int64())])
+
+
+def _pair_kernel(tbl: pa.Table) -> pa.Table:
+    """Vectorized MULTI-group pair expansion: sort by (g, is_probe
+    DESC), find gram-run boundaries with one numpy compare, then touch
+    Python only inside runs that actually start with a probe row (at
+    most one such run per probed doc). The same kernel serves a whole
+    hash bucket (exchange path) or a single group (groupby fallback) —
+    Ray's one-Python-call-per-group ``map_groups`` at 50 grams/doc was
+    the measured hot spot of the first implementation."""
+    if tbl.num_rows == 0:
+        return PAIR_SCHEMA.empty_table()
+    order = pc.sort_indices(tbl, sort_keys=[("g", "ascending"),
+                                            ("is_probe", "descending"),
+                                            ("doc_id", "ascending")])
+    t = tbl.take(order)
+    gs = t["g"].to_numpy(zero_copy_only=False)
+    flag = t["is_probe"].to_numpy(zero_copy_only=False)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+    ends = np.append(starts[1:], len(gs))
+    live = flag[starts] == 1
+    probe_col = None
+    ks, pds, ps = [], [], []
+    for s, e in zip(starts[live], ends[live]):
+        split = s
+        while split < e and flag[split]:
+            split += 1
+        if split == e:                       # probes only, no cands
+            continue
+        if probe_col is None:
+            probe_col = t["probe"].to_pylist()
+        for pi in range(s, split):
+            for ci in range(split, e):
+                if ids[ci] != ids[pi]:
+                    ks.append(int(ids[ci]))
+                    pds.append(int(ids[pi]))
+                    ps.append(probe_col[pi])
+    return pa.table({"key2": pa.array(ks, pa.int64()),
+                     "probe_doc": pa.array(pds, pa.int64()),
+                     "probe": pa.array(ps, pa.string())})
+
+
+def _verify_kernel(tbl: pa.Table) -> pa.Table:
+    """Vectorized MULTI-group verify: key2 = candidate doc, each run
+    holds one marker row carrying the candidate's normalized text
+    (is_norm=1, sorted first) plus the pair rows probing it. Python
+    runs only over pair rows — the rare survivors of gram blocking."""
+    if tbl.num_rows == 0:
+        return HIT_SCHEMA.empty_table()
+    order = pc.sort_indices(tbl, sort_keys=[("key2", "ascending"),
+                                            ("is_norm", "descending")])
+    t = tbl.take(order)
+    keys = t["key2"].to_numpy(zero_copy_only=False)
+    isn = t["is_norm"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.concatenate([[True],
+                                            keys[1:] != keys[:-1]]))
+    ends = np.append(starts[1:], len(keys))
+    busy = (ends - starts) > 1               # runs with actual pairs
+    if not busy.any():
+        return HIT_SCHEMA.empty_table()
+    norms = t["norm"].to_pylist()
+    probes = t["probe"].to_pylist()
+    pd_col = t["probe_doc"].to_pylist()
+    out_d, out_h = [], []
+    for s, e in zip(starts[busy], ends[busy]):
+        padded = " " + (norms[s] if isn[s] else "") + " "
+        for i in range(s + 1 if isn[s] else s, e):
+            p = probes[i]
+            out_d.append(pd_col[i])
+            out_h.append(int(p is not None
+                             and (" " + p + " ") in padded))
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "hit": pa.array(out_h, pa.int64()),
+                     "probed": pa.array([1] * len(out_d), pa.int64())})
+
+
+EXCHANGE_MAX_ROWS = 5_000_000   # direct-task exchange row gate
+
+
+def prefix_containment(sf_dir: str, num_partitions: int | None = None,
+                       exchange_max_rows: int = EXCHANGE_MAX_ROWS):
     """Per document: how many OTHER documents contain its
     PROBE_TOKENS-token prefix as a consecutive token run (and a 0/1
     ``contained`` verdict; docs shorter than the probe report 0 with
     ``probed = 0``). Blocking is exact — a token-aligned occurrence of
     the probe implies the container carries the probe's leading gram —
-    so the gram groupby misses nothing, and every candidate pair is
-    verified with the padded-substring check before it counts.
-    """
+    and every candidate pair pays the padded-substring check before it
+    counts.
+
+    Dataflow: TWO keyed exchanges (gram key → candidate pairs with the
+    probe string already attached; candidate doc → verify against the
+    marker row carrying its normalized text) plus one counting groupby.
+    Under ``exchange_max_rows`` each exchange runs as the direct-task
+    M×R exchange (``stages/exchange.py``) with the vectorized
+    multi-group kernels above; above the gate the same kernels run
+    per-group under ``groupby().map_groups`` — the unconditionally
+    scalable shape (both paths are forced in tests). Dataset joins are
+    deliberately avoided: the pair side is sparse and Ray 2.49's
+    hash-join aggregator cannot finalize a partition that received
+    only empty bundles."""
     import ray.data as rd
     from ray.data.aggregate import Max, Sum
 
     from ..rayutil import parquet_num_rows
+    from ..stages.exchange import exchange_reduce
 
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("n_containers", pa.int64()),
@@ -249,113 +338,47 @@ def prefix_containment(sf_dir: str, num_partitions: int | None = None):
     if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
         return rd.from_arrow(out_schema.empty_table())
 
-    del num_partitions  # exchanges below are groupbys; Ray sizes them
+    del num_partitions               # exchanges size themselves
     docs = _read_docs(sf_dir)
     meta = docs.map_batches(_norm_and_probe,
                             batch_format="pyarrow").materialize()
 
-    pair_schema = pa.schema([("probe_doc", pa.int64()),
-                             ("cand_doc", pa.int64())])
+    def _keyed(ds, key, kernel, schema):
+        n = ds.count()
+        if n <= exchange_max_rows:
+            return exchange_reduce(ds, key, kernel, schema)
 
-    def _norm_pairs(t: pa.Table) -> pa.Table:
-        # an aggregator partition whose groups were ALL empty emits a
-        # schema-less block; pin the pair schema before the next stage
-        if t.num_rows == 0 or "probe_doc" not in t.column_names:
-            return pair_schema.empty_table()
-        return t.select(["probe_doc", "cand_doc"]).cast(pair_schema)
+        def norm(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or schema.names[0] not in t.column_names:
+                return schema.empty_table()
+            return t.select(schema.names).cast(schema)
 
-    pairs = (docs.map_batches(containment_gram_rows,
-                              batch_format="pyarrow")
-             .groupby("g").map_groups(_candidate_pairs,
-                                      batch_format="pyarrow")
-             .map_batches(_norm_pairs, batch_format="pyarrow"))
+        return (ds.groupby(key).map_groups(kernel,
+                                           batch_format="pyarrow")
+                .map_batches(norm, batch_format="pyarrow"))
 
-    # attach the probe string (by probe_doc) and the normalized
-    # container text (by cand_doc). Both attaches are union+groupby
-    # keyed exchanges, NOT Dataset joins: the pair side is sparse
-    # (possibly zero rows per hash partition) and Ray 2.49's hash-join
-    # aggregator cannot finalize a left partition that received only
-    # empty bundles — a groupby tolerates that shape.
-    probe_rows = meta.map_batches(
-        lambda t: pa.table({"key": t["doc_id"],
-                            "cand_doc": pa.nulls(t.num_rows, pa.int64()),
-                            "payload": t["probe"]}),
+    gram_rows = docs.map_batches(containment_gram_rows,
+                                 batch_format="pyarrow").materialize()
+    pairs = _keyed(gram_rows, "g", _pair_kernel, PAIR_SCHEMA)
+
+    norm_rows = meta.map_batches(
+        lambda t: pa.table({
+            "key2": t["doc_id"],
+            "probe_doc": pa.nulls(t.num_rows, pa.int64()),
+            "probe": pa.nulls(t.num_rows, pa.string()),
+            "norm": t["norm"],
+            "is_norm": pa.array([1] * t.num_rows, pa.int64())}),
         batch_format="pyarrow")
     pair_rows = pairs.map_batches(
-        lambda t: pa.table({"key": t["probe_doc"],
-                            "cand_doc": t["cand_doc"],
-                            "payload": pa.nulls(t.num_rows, pa.string())}),
+        lambda t: pa.table({
+            "key2": t["key2"],
+            "probe_doc": t["probe_doc"],
+            "probe": t["probe"],
+            "norm": pa.nulls(t.num_rows, pa.string()),
+            "is_norm": pa.array([0] * t.num_rows, pa.int64())}),
         batch_format="pyarrow")
-
-    def _attach_probe(g: pa.Table) -> pa.Table:
-        cands = g["cand_doc"].to_pylist()
-        pays = g["payload"].to_pylist()
-        keys = g["key"].to_pylist()
-        probe = next((p for c, p in zip(cands, pays) if c is None), None)
-        out_c = [c for c in cands if c is not None]
-        return pa.table({
-            "key2": pa.array(out_c, pa.int64()),
-            "probe_doc": pa.array([keys[0]] * len(out_c), pa.int64()),
-            "probe": pa.array([probe] * len(out_c), pa.string())})
-
-    withprobe_schema = pa.schema([("key2", pa.int64()),
-                                  ("probe_doc", pa.int64()),
-                                  ("probe", pa.string())])
-
-    def _norm_withprobe(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "key2" not in t.column_names:
-            return withprobe_schema.empty_table()
-        return t.select(["key2", "probe_doc", "probe"]).cast(
-            withprobe_schema)
-
-    withprobe = (probe_rows.union(pair_rows).groupby("key")
-                 .map_groups(_attach_probe, batch_format="pyarrow")
-                 .map_batches(_norm_withprobe, batch_format="pyarrow"))
-
-    # second exchange: key = candidate doc; its norm text rides in on
-    # a marker row and every pair in the group verifies against it
-    norm_rows = meta.map_batches(
-        lambda t: pa.table({"key2": t["doc_id"],
-                            "probe_doc": pa.nulls(t.num_rows, pa.int64()),
-                            "probe": pa.nulls(t.num_rows, pa.string()),
-                            "norm": t["norm"]}),
-        batch_format="pyarrow")
-    withprobe2 = withprobe.map_batches(
-        lambda t: pa.table({"key2": t["key2"],
-                            "probe_doc": t["probe_doc"],
-                            "probe": t["probe"],
-                            "norm": pa.nulls(t.num_rows, pa.string())}),
-        batch_format="pyarrow")
-
-    hit_schema = pa.schema([("doc_id", pa.int64()),
-                            ("hit", pa.int64()),
-                            ("probed", pa.int64())])
-
-    def _verify_group(g: pa.Table) -> pa.Table:
-        probes_ = g["probe"].to_pylist()
-        pdocs = g["probe_doc"].to_pylist()
-        norms_ = g["norm"].to_pylist()
-        norm = next((s for s in norms_ if s is not None), "")
-        ids, hits_ = [], []
-        for pd_, p in zip(pdocs, probes_):
-            if pd_ is None:
-                continue
-            ids.append(pd_)
-            hits_.append(int(p is not None
-                             and (" " + p + " ") in (" " + norm + " ")))
-        # a pair only exists for probed docs, so probed rides along as 1
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "hit": pa.array(hits_, pa.int64()),
-                         "probed": pa.array([1] * len(ids), pa.int64())})
-
-    def _norm_hits(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return hit_schema.empty_table()
-        return t.select(["doc_id", "hit", "probed"]).cast(hit_schema)
-
-    hits = (norm_rows.union(withprobe2).groupby("key2")
-            .map_groups(_verify_group, batch_format="pyarrow")
-            .map_batches(_norm_hits, batch_format="pyarrow"))
+    both = norm_rows.union(pair_rows).materialize()
+    hits = _keyed(both, "key2", _verify_kernel, HIT_SCHEMA)
 
     # one zero row per doc carries the probed flag (probe IS NOT NULL),
     # so the groupby below needs no driver-side id set at any scale

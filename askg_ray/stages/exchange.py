@@ -72,6 +72,11 @@ def _split_block(tbl: pa.Table, pre_fn, key: str, nred: int):
     bucket array once and slicing run boundaries is O(bytes)."""
     if pre_fn is not None:
         tbl = pre_fn(tbl)
+    if tbl.num_rows == 0 or key not in tbl.column_names:
+        # Ray's map_batches can emit SCHEMA-LESS empty blocks (an empty
+        # upstream block skips the fn); they carry nothing — hand every
+        # reducer a None, which _reduce_parts already drops
+        return (None,) * nred
     b = _hash_buckets(tbl[key], nred)
     order = np.argsort(b, kind="stable")
     tbl = tbl.take(pa.array(order))

@@ -476,3 +476,17 @@ def test_gopher_null_text_row(ray_session, tmp_path):
     got = wq.gopher_quality(str(tmp_path)).to_pandas()
     assert _canon(got) == _canon(con.sql(wq.GOPHER_ORACLE_SQL).df())
     assert got.set_index("doc_id").loc[1, "n_words"] == 0
+
+
+def test_containment_groupby_fallback_path(ray_session, tmp_path):
+    """Force the above-gate groupby path (exchange_max_rows=0) and
+    check it produces exactly the direct-exchange result."""
+    prefix = "alpha beta gamma delta eps zeta eta theta iota kappa lam mu"
+    texts = [prefix + " tail", "pad pad " + prefix + " x",
+             "unrelated words here only four", prefix + " tail"]
+    sf, con = _docs_fixture(tmp_path, texts)
+    fast = wq.prefix_containment(sf).to_pandas()
+    slow = wq.prefix_containment(sf, exchange_max_rows=0).to_pandas()
+    assert _canon(fast) == _canon(slow)
+    assert _canon(fast) == _canon(con.sql(wq.CONTAINMENT_ORACLE_SQL).df())
+    assert fast.set_index("doc_id").loc[0, "n_containers"] == 2
