@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text.langid,
         "doc_bpe_tokens": text.bpe_token_counts,
         "bpe_merge_vocab": text.bpe_merge_vocab,
+        "docs_encode": text.docs_encode,
         "doc_gopher_quality": webqual.gopher_quality,
         "doc_prefix_containment": webqual.prefix_containment,
         # -- training-data curation (SQL-checked) --------------------------
@@ -441,7 +442,7 @@ def oracle_sql() -> dict[str, str]:
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
         TYPE_MEDIAN_ORACLE_SQL)
     from askg_ray.ops.text import (BPE_MERGE_ORACLE_SQL,
-        BPE_ORACLE_SQL, INVERTED_ORACLE_SQL,
+        BPE_ORACLE_SQL, ENCODE_ORACLE_SQL, INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
@@ -536,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,
         "events_zorder": ZORDER_ORACLE_SQL,
         "events_moving_avg": MAVG_ORACLE_SQL,
+        "docs_encode": ENCODE_ORACLE_SQL,
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,

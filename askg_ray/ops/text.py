@@ -514,3 +514,109 @@ c AS (SELECT pair, count(*) AS n FROM prs GROUP BY pair)
 SELECT pair, CAST(n AS BIGINT) AS n
 FROM c ORDER BY n DESC, pair ASC LIMIT {BPE_MERGE_K}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + token-id encoding (the tokenizer-application pass)
+
+ENCODE_VOCAB_SIZE = 256
+OOV_ID = -1
+
+
+def docs_encode(sf_dir: str, vocab_size: int = ENCODE_VOCAB_SIZE):
+    """Tokenizer application end to end: build the top-``vocab_size``
+    vocabulary by corpus frequency (ties broken by token text — the
+    deterministic rank DuckDB's ``row_number() ORDER BY n DESC, token``
+    reproduces), broadcast the token→id dict once via ``ray.put``, and
+    stream every document through a stateless encode that emits its
+    id sequence (ids joined by ',' — a string column, because a
+    list<int> column renders differently in pandas vs DuckDB and would
+    split the driver's value hash) plus token/OOV counts. The
+    frequency pass is the standard partial-counter groupby; the
+    vocabulary is driver-bounded at ``vocab_size`` rows by the same
+    per-block top-k + bounded merge every top-k in this repo uses.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stats import _topk_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in (text or "").split(" ") if w)
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks = sorted(c)
+        return pa.table({"token": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    freq = (docs.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+    vocab_tbl = _topk_table(
+        freq, [("n", "descending"), ("token", "ascending")], vocab_size,
+        pa.schema([("token", pa.string()), ("n", pa.int64())]))
+    vocab = {r["token"]: i
+             for i, r in enumerate(vocab_tbl.take_all())}
+    vref = ray.put(vocab)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("ids_csv", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("n_oov", pa.int64())])
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        csvs, nt, no = [], [], []
+        for text in t["text"].to_pylist():
+            toks = [w for w in (text or "").split(" ") if w]
+            ids = [v.get(w, OOV_ID) for w in toks]
+            csvs.append(",".join(map(str, ids)))
+            nt.append(len(ids))
+            no.append(sum(1 for i in ids if i == OOV_ID))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "ids_csv": pa.array(csvs, pa.string()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_oov": pa.array(no, pa.int64())},
+                        schema=out_schema)
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
+ENCODE_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) + 1),
+                      i -> {{'pos': i, 'tok': ws[i]}})) AS s
+        FROM d)),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS id
+  FROM freq ORDER BY n DESC, tok LIMIT {ENCODE_VOCAB_SIZE}),
+enc AS (
+  SELECT t.doc_id, t.pos,
+         CAST(coalesce(v.id, {OOV_ID}) AS BIGINT) AS id
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+SELECT d.doc_id,
+       coalesce(e.ids_csv, '') AS ids_csv,
+       CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(e.n_oov, 0) AS BIGINT) AS n_oov
+FROM d LEFT JOIN (
+  SELECT doc_id,
+         string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv,
+         count(*) AS n_tokens,
+         sum(CASE WHEN id = {OOV_ID} THEN 1 ELSE 0 END) AS n_oov
+  FROM enc GROUP BY doc_id) e USING (doc_id)
+""".strip()

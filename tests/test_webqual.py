@@ -490,3 +490,24 @@ def test_containment_groupby_fallback_path(ray_session, tmp_path):
     assert _canon(fast) == _canon(slow)
     assert _canon(fast) == _canon(con.sql(wq.CONTAINMENT_ORACLE_SQL).df())
     assert fast.set_index("doc_id").loc[0, "n_containers"] == 2
+
+
+def test_docs_encode_vocab_rank_and_oov(ray_session, tmp_path):
+    """Vocab rank is (freq DESC, token ASC); everything past the vocab
+    cut encodes as OOV -1; empty docs emit an empty id string."""
+    import duckdb
+
+    from askg_ray.ops import text as tx
+
+    # 'zz' and 'aa' tie on frequency -> 'aa' outranks by token text
+    texts = ["aa zz aa zz rare1", "aa zz", ""]
+    sf, con = _docs_fixture(tmp_path, texts)
+    got = tx.docs_encode(sf, vocab_size=2).to_pandas()
+    # re-render the oracle for the small vocab
+    sql = tx.ENCODE_ORACLE_SQL.replace(
+        f"LIMIT {tx.ENCODE_VOCAB_SIZE}", "LIMIT 2")
+    assert _canon(got) == _canon(con.sql(sql).df())
+    by = got.set_index("doc_id")
+    assert by.loc[0, "ids_csv"] == "0,1,0,1,-1"   # aa=0, zz=1, rare1 OOV
+    assert by.loc[0, "n_oov"] == 1
+    assert by.loc[2, "ids_csv"] == "" and by.loc[2, "n_tokens"] == 0
