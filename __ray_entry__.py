@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_returns": joins.orders_without_returns,
         "customer_order_dist": joins.customer_order_dist,
         "documents_upsert": joins.documents_upsert,
+        "documents_snapshot_diff": joins.documents_snapshot_diff,
         "events_lead_lag": joins.events_lead_lag,
         "events_distinct_users": joins.events_distinct_users,
         "events_sliding_count": relational.events_sliding_count,
@@ -424,7 +425,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
-        RETURN_CUSTOMERS_ORACLE_SQL, UPSERT_ORACLE_SQL,
+        RETURN_CUSTOMERS_ORACLE_SQL, SNAPSHOT_DIFF_ORACLE_SQL,
+        UPSERT_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
@@ -490,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_returns": ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         "customer_order_dist": Q13_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
+        "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,
         "events_sliding_count": SLIDING_ORACLE_SQL,

@@ -639,3 +639,113 @@ w AS (SELECT doc_id, max(version) AS version FROM m GROUP BY doc_id)
 SELECT m.doc_id, CAST(m.version AS BIGINT) AS version, m.fp
 FROM m JOIN w ON m.doc_id = w.doc_id AND m.version = w.version
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (added / removed / changed / same between corpus versions)
+
+DIFF_MUT_MOD = 7       # doc_id % 7 == 0  → text mutated in v2
+DIFF_DROP_MOD = 11     # doc_id % 11 == 0 → dropped from v2
+DIFF_ADD_MOD = 13      # doc_id % 13 == 0 → a NEW v2 doc (+1,000,000 id)
+DIFF_ADD_BASE = 1_000_000
+
+
+def _diff_fp(text: str) -> int:
+    import hashlib
+
+    # 60-bit positive fingerprint — int64-safe, and the oracle rebuilds
+    # it with a hex-cast md5 substring
+    return int(hashlib.md5((text or "").encode()).hexdigest()[:15], 16)
+
+
+def documents_snapshot_diff(sf_dir: str):
+    """Incremental-ingest primitive: diff two corpus snapshots into
+    (doc_id, status ∈ added/removed/changed/same). v2 is DERIVED
+    deterministically from v1 (mutate ``% 7``, drop ``% 11``, add
+    ``% 13`` under shifted ids — the pii_scrub planting pattern, so the
+    op exercises every branch on any corpus and the oracle replays the
+    derivation exactly). The compare is join-free and per-group-Python-
+    free: both sides emit (doc_id, side, fp:int64) rows, ONE groupby
+    aggregates count / min(fp) / max(fp) / max(side), and the status
+    decodes from those four numbers vectorized — rows present once are
+    added/removed by side, rows present twice are same/changed by
+    fp equality. At 100 TB: one keyed exchange of 24-byte rows.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("status", pa.string())])
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        ids_out, side_out, fp_out = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            text = text or ""
+            ids_out.append(doc_id)
+            side_out.append(1)
+            fp_out.append(_diff_fp(text))
+            if doc_id % DIFF_DROP_MOD != 0:          # survives into v2
+                v2_text = (text + " v2" if doc_id % DIFF_MUT_MOD == 0
+                           else text)
+                ids_out.append(doc_id)
+                side_out.append(2)
+                fp_out.append(_diff_fp(v2_text))
+            if doc_id % DIFF_ADD_MOD == 0:           # brand-new v2 doc
+                ids_out.append(DIFF_ADD_BASE + doc_id)
+                side_out.append(2)
+                fp_out.append(_diff_fp(f"new doc {doc_id}"))
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "side": pa.array(side_out, pa.int64()),
+                         "fp": pa.array(fp_out, pa.int64())})
+
+    agg = (docs.map_batches(sides, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Count(alias_name="n"),
+                      Max("side", alias_name="mx_side"),
+                      Min("fp", alias_name="mn_fp"),
+                      Max("fp", alias_name="mx_fp")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        mx_side = t["mx_side"].to_numpy(zero_copy_only=False)
+        same = (t["mn_fp"].to_numpy(zero_copy_only=False)
+                == t["mx_fp"].to_numpy(zero_copy_only=False))
+        status = np.where(
+            n == 2, np.where(same, "same", "changed"),
+            np.where(mx_side == 1, "removed", "added"))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "status": pa.array(status.tolist(), pa.string())},
+                        schema=out_schema)
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+SNAPSHOT_DIFF_ORACLE_SQL = f"""
+WITH v1 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_MUT_MOD} = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM v1 WHERE doc_id % {DIFF_DROP_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_BASE}, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM v1 WHERE doc_id % {DIFF_ADD_MOD} = 0),
+f1 AS (SELECT doc_id,
+              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM v1),
+f2 AS (SELECT doc_id,
+              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM v2)
+SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+       CASE WHEN f1.doc_id IS NULL THEN 'added'
+            WHEN f2.doc_id IS NULL THEN 'removed'
+            WHEN f1.fp = f2.fp THEN 'same'
+            ELSE 'changed' END AS status
+FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
+""".strip()

@@ -511,3 +511,32 @@ def test_docs_encode_vocab_rank_and_oov(ray_session, tmp_path):
     assert by.loc[0, "ids_csv"] == "0,1,0,1,-1"   # aa=0, zz=1, rare1 OOV
     assert by.loc[0, "n_oov"] == 1
     assert by.loc[2, "ids_csv"] == "" and by.loc[2, "n_tokens"] == 0
+
+
+def test_snapshot_diff_statuses(ray_session, tmp_path):
+    """doc_ids chosen to hit every branch, including the %77 overlap
+    (mutate AND drop → drop wins on both sides) and the shifted-id
+    added rows."""
+    import duckdb
+
+    from askg_ray.ops import joins as j
+
+    ids = [1, 7, 11, 13, 77, 91]   # same, changed, removed, add-src,
+                                   # drop-beats-mutate, changed+add-src
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([f"text {i}" for i in ids], pa.string()),
+                  "lang": ["en"] * len(ids), "source": ["t"] * len(ids),
+                  "n_chars": pa.array([6] * len(ids), pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    got = j.documents_snapshot_diff(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(j.SNAPSHOT_DIFF_ORACLE_SQL).df())
+    by = got.set_index("doc_id")["status"]
+    assert by[1] == "same"
+    assert by[7] == "changed"
+    assert by[11] == "removed"
+    assert by[13] == "same" and by[1000013] == "added"
+    assert by[77] == "removed"          # drop beats mutate
+    assert by[91] == "changed" and by[1000091] == "added"
