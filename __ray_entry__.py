@@ -282,6 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": joins.orders_with_returns,
         "orders_without_returns": joins.orders_without_returns,
         "customer_order_dist": joins.customer_order_dist,
+        "promo_revenue_share": joins.promo_revenue_share,
+        "small_qty_revenue": joins.small_qty_revenue,
+        "large_volume_customers": joins.large_volume_customers,
+        "customers_no_urgent_orders": joins.customers_no_urgent_orders,
         "documents_upsert": joins.documents_upsert,
         "documents_snapshot_diff": joins.documents_snapshot_diff,
         "events_lead_lag": joins.events_lead_lag,
@@ -426,7 +430,8 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL, SNAPSHOT_DIFF_ORACLE_SQL,
-        UPSERT_ORACLE_SQL,
+        UPSERT_ORACLE_SQL, PROMO_SHARE_ORACLE_SQL, SMALL_QTY_ORACLE_SQL,
+        LARGE_VOLUME_ORACLE_SQL, NO_URGENT_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
@@ -491,6 +496,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_with_returns": ORDERS_WITH_RETURNS_ORACLE_SQL,
         "orders_without_returns": ORDERS_WITHOUT_RETURNS_ORACLE_SQL,
         "customer_order_dist": Q13_ORACLE_SQL,
+        "promo_revenue_share": PROMO_SHARE_ORACLE_SQL,
+        "small_qty_revenue": SMALL_QTY_ORACLE_SQL,
+        "large_volume_customers": LARGE_VOLUME_ORACLE_SQL,
+        "customers_no_urgent_orders": NO_URGENT_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
         "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,

@@ -749,3 +749,374 @@ SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-flavored join shapes, batch 2: conditional-aggregate ratio over a
+# dim attach (Q14), fact ⋈ its-own-aggregate (Q17), HAVING-groupby feeding
+# a fact join (Q18), scalar-threshold + anti-join (Q22). Each exercises a
+# join/aggregate composition the earlier family does not.
+
+PROMO_YEAR_LO = datetime.datetime(1997, 1, 1)
+PROMO_YEAR_HI = datetime.datetime(1998, 1, 1)
+VOLUME_QTY_U = 150 * 100          # Q18 HAVING sum(l_quantity) > 150
+URGENT = "1-URGENT"
+
+
+def promo_revenue_share(sf_dir: str,
+                        broadcast_threshold: int | None = None):
+    """TPC-H-Q14-flavored promo revenue share: of 1997's shipped
+    revenue, what fraction came from parts of type PROMO.
+
+    Shape: lineitem is pruned and date-filtered BEFORE the part
+    attach (p_type rides the size-gated ``attach_dim`` policy — part
+    scales 200k×SF, so it broadcasts small and shuffles large); each
+    batch then collapses to ONE partial row (promo_u, total_u), the
+    two global sums reduce driver-side, and the share is exact
+    integer micro-units (promo·10⁶ // total) so the single-row hash
+    cannot drift on float division.
+    """
+    import ray.data as rd
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    out_schema = pa.schema([("promo_rev_u", pa.int64()),
+                            ("total_rev_u", pa.int64()),
+                            ("promo_share_micro", pa.int64())])
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "part")) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    lo = pa.scalar(PROMO_YEAR_LO, pa.timestamp("us"))
+    hi = pa.scalar(PROMO_YEAR_HI, pa.timestamp("us"))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"].cast(pa.timestamp("us")), lo),
+            pc.less(t["l_shipdate"].cast(pa.timestamp("us")), hi)))
+                   .select(["l_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    li = attach_dim(li, part, "l_partkey", "p_partkey", ["p_type"],
+                    broadcast_threshold=bt)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"promo_u": pa.array([], pa.int64()),
+                             "total_u": pa.array([], pa.int64())})
+        rev = _rev_cents(t).to_numpy(zero_copy_only=False)
+        promo = pc.equal(t["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "promo_u": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_u": pa.array([int(rev.sum())], pa.int64())})
+
+    sums = li.map_batches(partial, batch_format="pyarrow").sum(
+        ["promo_u", "total_u"])
+    if sums is None:  # the date filter matched nothing
+        return rd.from_arrow(out_schema.empty_table())
+    promo_u, total_u = int(sums["sum(promo_u)"]), int(sums["sum(total_u)"])
+    share = promo_u * 1_000_000 // total_u if total_u else None
+    return rd.from_arrow(pa.table({
+        "promo_rev_u": pa.array([promo_u], pa.int64()),
+        "total_rev_u": pa.array([total_u], pa.int64()),
+        "promo_share_micro": pa.array([share], pa.int64())},
+        schema=out_schema))
+
+
+PROMO_SHARE_ORACLE_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01')
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+           AS promo_rev_u,
+       CAST(sum(rev) AS BIGINT) AS total_rev_u,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+           * 1000000 // sum(rev) AS BIGINT) AS promo_share_micro
+FROM f WHERE EXISTS (SELECT 1 FROM f)
+""".strip()
+
+
+def small_qty_revenue(sf_dir: str, num_partitions: int | None = None):
+    """TPC-H-Q17-flavored: revenue locked in lineitems whose quantity
+    is below 20% of their part's average quantity.
+
+    Shape: the fact joins ITS OWN aggregate — per-partkey
+    (sum_qty_u, n) from one groupby (per-batch partials pre-shrink
+    the exchange ~linecount/partcount-fold), hash-joined back to
+    lineitem on l_partkey. The below-average predicate is exact
+    integer cross-multiplication (5·qty_u·n < sum_qty_u — no float
+    average), and the qualifying rows collapse to one global row
+    (n_small, revenue_cents).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("n_small", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return rd.from_arrow(pa.table(
+            {"n_small": pa.array([0], pa.int64()),
+             "revenue_cents": pa.array([0], pa.int64())},
+            schema=out_schema))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(uniq, pa.int64()),
+            "sq": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+            "nq": pa.array(np.bincount(inv).astype(np.int64))})
+
+    stats = (li.map_batches(qty_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("sq", alias_name="sq"),
+                        Sum("nq", alias_name="nq")))
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet")
+    joined = li.join(stats, join_type="inner", num_partitions=npart,
+                     on=("l_partkey",))
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        sq = t["sq"].to_numpy(zero_copy_only=False)
+        nq = t["nq"].to_numpy(zero_copy_only=False)
+        keep = 5 * qty * nq < sq
+        return pa.table({
+            "n_small": pa.array([int(keep.sum())], pa.int64()),
+            "revenue_cents": pa.array([int(price[keep].sum())],
+                                      pa.int64())})
+
+    sums = joined.map_batches(small_partial, batch_format="pyarrow").sum(
+        ["n_small", "revenue_cents"])
+    return rd.from_arrow(pa.table({
+        "n_small": pa.array([int(sums["sum(n_small)"])], pa.int64()),
+        "revenue_cents": pa.array([int(sums["sum(revenue_cents)"])],
+                                  pa.int64())}, schema=out_schema))
+
+
+SMALL_QTY_ORACLE_SQL = """
+WITH s AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+         count(*) AS nq
+  FROM lineitem GROUP BY l_partkey)
+SELECT count(*) AS n_small,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)
+           AS BIGINT) AS revenue_cents
+FROM lineitem JOIN s USING (l_partkey)
+WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * nq < sq
+""".strip()
+
+
+def large_volume_customers(sf_dir: str, num_partitions: int | None = None,
+                           broadcast_threshold: int | None = None):
+    """TPC-H-Q18-flavored large-volume orders: every order whose total
+    quantity exceeds 150, with its customer.
+
+    Shape: a HAVING-filtered groupby feeds a fact join — per-order
+    quantity sums (per-batch partials first), filtered to the >150
+    tail BEFORE the exchange with orders (the filter drops ~99% of
+    groups, so the join ships only the tail), then c_name attaches
+    through the size-gated dim policy (customer scales 150k×SF).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("o_orderdate", pa.timestamp("us")),
+                            ("totalprice_cents", pa.int64()),
+                            ("sum_qty_u", pa.int64())])
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders", "customer")) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "sum_qty_u": pa.array(
+                np.bincount(inv, weights=qty).astype(np.int64))})
+
+    big = (li.map_batches(qty_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("sum_qty_u", alias_name="sum_qty_u"))
+           .map_batches(
+               lambda t: t.filter(pc.greater(t["sum_qty_u"],
+                                             VOLUME_QTY_U)),
+               batch_format="pyarrow")
+           .materialize())
+    if big.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    npart = _npartitions(num_partitions, f"{sf_dir}/orders.parquet",
+                         f"{sf_dir}/lineitem.parquet")
+    joined = orders.join(big, join_type="inner", num_partitions=npart,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    joined = attach_dim(joined, cust, "o_custkey", "c_custkey",
+                        ["c_name"], broadcast_threshold=bt)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "c_name": t["c_name"],
+            "o_orderdate": t["o_orderdate"].cast(pa.timestamp("us")),
+            "totalprice_cents": pa.array(cents, pa.int64()),
+            "sum_qty_u": t["sum_qty_u"].cast(pa.int64())},
+            schema=out_schema)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+LARGE_VOLUME_ORACLE_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS sum_qty_u
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
+SELECT o_orderkey, o_custkey, c_name, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty_u
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""".strip()
+
+
+def customers_no_urgent_orders(sf_dir: str,
+                               num_partitions: int | None = None):
+    """TPC-H-Q22-flavored sales opportunity: per nation, the count and
+    total balance of customers whose balance is above the positive
+    average yet who have never placed a 1-URGENT order.
+
+    Shape: a global scalar threshold (positive-balance average as
+    exact (sum_cents, n) — the comparison cross-multiplies, no float)
+    plus an ANTI join — distinct urgent-order custkeys collapse in
+    two stages (per-batch local distinct, then a keys-only groupby)
+    and left-outer-join customer; unmatched (null-marker) rows above
+    the threshold aggregate per nation. When the urgent key set is
+    empty the join is skipped entirely — the anti side keeps everyone.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("c_nationkey", pa.int64()),
+                            ("n_cust", pa.int64()),
+                            ("total_bal_cents", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/customer.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    sums = cust.map_batches(bal_partial, batch_format="pyarrow").sum(
+        ["s", "n"])
+    s, n = int(sums["sum(s)"]), int(sums["sum(n)"])
+    if n == 0:  # no positive balances → nobody clears the threshold
+        return rd.from_arrow(out_schema.empty_table())
+
+    def above(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        keep = cents * n > s
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "bal_cents": pa.array(cents[keep], pa.int64())})
+
+    rich = cust.map_batches(above, batch_format="pyarrow")
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], URGENT))
+        return (t.select(["o_custkey"])
+                .group_by(["o_custkey"]).aggregate([]))
+
+    keys = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+            .map_batches(urgent_keys, batch_format="pyarrow")
+            .groupby("o_custkey").aggregate(Count(alias_name="__c"))
+            .materialize())
+    if keys.count() > 0:
+        npart = _npartitions(num_partitions,
+                             f"{sf_dir}/customer.parquet",
+                             f"{sf_dir}/orders.parquet")
+        rich = (rich.join(keys, join_type="left_outer",
+                          num_partitions=npart,
+                          on=("c_custkey",), right_on=("o_custkey",))
+                .map_batches(
+                    lambda t: t.filter(pc.is_null(t["__c"])),
+                    batch_format="pyarrow"))
+    return (rich.map_batches(
+                lambda t: t.select(["c_nationkey", "bal_cents"]),
+                batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Count(alias_name="n_cust"),
+                       Sum("bal_cents", alias_name="total_bal_cents")))
+
+
+NO_URGENT_ORACLE_SQL = """
+WITH avgpos AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS total_bal_cents
+FROM customer, avgpos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""".strip()

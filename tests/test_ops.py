@@ -317,7 +317,7 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
     from askg_ray.ops import joins
 
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "events"]:
+    for t in ["lineitem", "orders", "customer", "events", "part"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * "
                 f"FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -341,6 +341,24 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
         (lambda: joins.events_lead_lag(SF), joins.LEAD_LAG_ORACLE_SQL),
         (lambda: joins.events_distinct_users(SF),
          joins.DISTINCT_USERS_ORACLE_SQL),
+        # batch 2: Q14/Q17/Q18/Q22 shapes, both attach/partition paths
+        (lambda: joins.promo_revenue_share(SF),
+         joins.PROMO_SHARE_ORACLE_SQL),
+        (lambda: joins.promo_revenue_share(SF, broadcast_threshold=0),
+         joins.PROMO_SHARE_ORACLE_SQL),
+        (lambda: joins.small_qty_revenue(SF),
+         joins.SMALL_QTY_ORACLE_SQL),
+        (lambda: joins.small_qty_revenue(SF, num_partitions=2),
+         joins.SMALL_QTY_ORACLE_SQL),
+        (lambda: joins.large_volume_customers(SF),
+         joins.LARGE_VOLUME_ORACLE_SQL),
+        (lambda: joins.large_volume_customers(SF, num_partitions=2,
+                                              broadcast_threshold=0),
+         joins.LARGE_VOLUME_ORACLE_SQL),
+        (lambda: joins.customers_no_urgent_orders(SF),
+         joins.NO_URGENT_ORACLE_SQL),
+        (lambda: joins.customers_no_urgent_orders(SF, num_partitions=2),
+         joins.NO_URGENT_ORACLE_SQL),
     ]
     for fn, sql in cases:
         got = canon(fn().to_pandas())
@@ -665,7 +683,8 @@ def test_degenerate_inputs(ray_session, tmp_path):
 
     empty = tmp_path / "empty"
     empty.mkdir()
-    for t in ["documents", "orders", "lineitem", "customer", "events"]:
+    for t in ["documents", "orders", "lineitem", "customer", "events",
+              "part"]:
         pq.write_table(
             pq.read_table(f"{SF}/{t}.parquet").slice(0, 0),
             str(empty / f"{t}.parquet"))
@@ -674,6 +693,13 @@ def test_degenerate_inputs(ray_session, tmp_path):
     assert joins.orders_with_returns(e).count() == 0
     assert joins.orders_without_returns(e).count() == 0
     assert joins.order_revenue_topk(e).count() == 0
+    assert joins.promo_revenue_share(e).count() == 0
+    assert joins.large_volume_customers(e).count() == 0
+    assert joins.customers_no_urgent_orders(e).count() == 0
+    # Q17 on empty input is the oracle's count-over-empty single row
+    q17 = joins.small_qty_revenue(e).to_pandas()
+    assert q17.to_dict("records") == [
+        {"n_small": 0, "revenue_cents": 0}]
     assert g.supplier_pagerank(e).count() == 0
     # SQL ROLLUP on empty still yields the grand-total row
     rows = [x for b in r.events_rollup(e).iter_batches(
@@ -701,6 +727,27 @@ def test_degenerate_inputs(ray_session, tmp_path):
                      .itertuples(index=False)))
     exp = sorted(map(tuple, con.sql(
         joins.ORDERS_WITHOUT_RETURNS_ORACLE_SQL).fetchall()))
+    assert got and got == exp
+
+    # Q22 with NO urgent orders anywhere: the anti side keeps every
+    # customer (the join is skipped) — still must match the oracle
+    nourgent = tmp_path / "nourgent"
+    nourgent.mkdir()
+    od = pq.read_table(f"{SF}/orders.parquet")
+    pri = pa.array(["3-MEDIUM"] * od.num_rows, pa.string())
+    od = od.set_column(od.column_names.index("o_orderpriority"),
+                       "o_orderpriority", pri)
+    pq.write_table(od, str(nourgent / "orders.parquet"))
+    shutil.copy(f"{SF}/customer.parquet", str(nourgent / "customer.parquet"))
+    nu = str(nourgent)
+    con2 = duckdb.connect()
+    for t in ["orders", "customer"]:
+        con2.sql(f"CREATE VIEW {t} AS SELECT * "
+                 f"FROM read_parquet('{nu}/{t}.parquet')")
+    got = sorted(map(tuple, joins.customers_no_urgent_orders(nu)
+                     .to_pandas().itertuples(index=False)))
+    exp = sorted(map(tuple, con2.sql(
+        joins.NO_URGENT_ORACLE_SQL).fetchall()))
     assert got and got == exp
 
 
