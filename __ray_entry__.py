@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": joins.small_qty_revenue,
         "large_volume_customers": joins.large_volume_customers,
         "customers_no_urgent_orders": joins.customers_no_urgent_orders,
+        "top_supplier_by_revenue": joins.top_supplier_by_revenue,
         "documents_upsert": joins.documents_upsert,
         "documents_snapshot_diff": joins.documents_snapshot_diff,
         "events_lead_lag": joins.events_lead_lag,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         RETURN_CUSTOMERS_ORACLE_SQL, SNAPSHOT_DIFF_ORACLE_SQL,
         UPSERT_ORACLE_SQL, PROMO_SHARE_ORACLE_SQL, SMALL_QTY_ORACLE_SQL,
         LARGE_VOLUME_ORACLE_SQL, NO_URGENT_ORACLE_SQL,
+        TOP_SUPPLIER_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
@@ -500,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "small_qty_revenue": SMALL_QTY_ORACLE_SQL,
         "large_volume_customers": LARGE_VOLUME_ORACLE_SQL,
         "customers_no_urgent_orders": NO_URGENT_ORACLE_SQL,
+        "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
         "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,

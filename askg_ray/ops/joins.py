@@ -1120,3 +1120,108 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
       (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """.strip()
+
+
+# Q15 quarter (pinned; Ray op and oracle must agree).
+TOPSUPP_LO = datetime.datetime(1997, 1, 1)
+TOPSUPP_HI = datetime.datetime(1997, 4, 1)
+
+
+def top_supplier_by_revenue(sf_dir: str,
+                            broadcast_threshold: int | None = None):
+    """TPC-H-Q15-flavored top supplier: the supplier(s) with the
+    maximum lineitem revenue shipped in 1997 Q1 — ALL ties kept, so
+    the result set is deterministic and hash-stable.
+
+    Shape: argmax over an aggregate. Per-suppkey revenue partials
+    collapse inside each batch (np.unique + bincount — the exchange
+    carries supplier-count-bounded rows, never lineitems), one small
+    groupby sums them, and the global max is a distributed ``max()``
+    over that supplier-bounded aggregate (driver holds ONE scalar).
+    The aggregate is materialized once so max + filter don't recompute
+    it — it is supplier-bounded (10k×SF rows), never corpus-bounded.
+    Supplier name/nation attach through the size-gated dim policy.
+
+    Reference parity: the reference's "top popular servers" report
+    (/root/reference/src/analysis.py) is top-k by a count; this is the
+    max-of-aggregate variant of the same report family.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("s_nationkey", pa.int64()),
+                            ("total_rev_u", pa.int64())])
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "supplier")) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    lo = pa.scalar(TOPSUPP_LO, pa.timestamp("us"))
+    hi = pa.scalar(TOPSUPP_HI, pa.timestamp("us"))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.timestamp("us"))
+        t = t.filter(pc.and_(pc.greater_equal(ship, lo),
+                             pc.less(ship, hi)))
+        if t.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "total_rev_u": pa.array([], pa.int64())})
+        rev = _rev_cents(t).to_numpy(zero_copy_only=False)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "s_suppkey": pa.array(uniq, pa.int64()),
+            "total_rev_u": pa.array(
+                np.bincount(inv, weights=rev).astype(np.int64))})
+
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("total_rev_u", alias_name="total_rev_u"))
+           .materialize())
+    if rev.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    top = rev.max("total_rev_u")
+    best = rev.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev_u"], top)),
+        batch_format="pyarrow")
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name", "s_nationkey"])
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    best = attach_dim(
+        best.map_batches(lambda t: t.rename_columns(["k", "total_rev_u"]),
+                         batch_format="pyarrow"),
+        supp, "k", "s_suppkey", ["s_name", "s_nationkey"],
+        broadcast_threshold=bt)
+    return best.map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["k"].cast(pa.int64()),
+            "s_name": t["s_name"],
+            "s_nationkey": t["s_nationkey"].cast(pa.int64()),
+            "total_rev_u": t["total_rev_u"].cast(pa.int64())},
+            schema=out_schema),
+        batch_format="pyarrow")
+
+
+TOP_SUPPLIER_ORACLE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS total_rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, s_nationkey, total_rev_u
+FROM revenue JOIN supplier USING (s_suppkey)
+WHERE total_rev_u = (SELECT max(total_rev_u) FROM revenue)
+""".strip()

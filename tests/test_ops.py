@@ -317,7 +317,8 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
     from askg_ray.ops import joins
 
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "events", "part"]:
+    for t in ["lineitem", "orders", "customer", "events", "part",
+              "supplier"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * "
                 f"FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -359,6 +360,11 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
          joins.NO_URGENT_ORACLE_SQL),
         (lambda: joins.customers_no_urgent_orders(SF, num_partitions=2),
          joins.NO_URGENT_ORACLE_SQL),
+        # Q15 shape: argmax over aggregate, ties kept, both attach paths
+        (lambda: joins.top_supplier_by_revenue(SF),
+         joins.TOP_SUPPLIER_ORACLE_SQL),
+        (lambda: joins.top_supplier_by_revenue(SF, broadcast_threshold=0),
+         joins.TOP_SUPPLIER_ORACLE_SQL),
     ]
     for fn, sql in cases:
         got = canon(fn().to_pandas())
@@ -684,7 +690,7 @@ def test_degenerate_inputs(ray_session, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     for t in ["documents", "orders", "lineitem", "customer", "events",
-              "part"]:
+              "part", "supplier"]:
         pq.write_table(
             pq.read_table(f"{SF}/{t}.parquet").slice(0, 0),
             str(empty / f"{t}.parquet"))
@@ -700,6 +706,7 @@ def test_degenerate_inputs(ray_session, tmp_path):
     q17 = joins.small_qty_revenue(e).to_pandas()
     assert q17.to_dict("records") == [
         {"n_small": 0, "revenue_cents": 0}]
+    assert joins.top_supplier_by_revenue(e).count() == 0
     assert g.supplier_pagerank(e).count() == 0
     # SQL ROLLUP on empty still yields the grand-total row
     rows = [x for b in r.events_rollup(e).iter_batches(
@@ -749,6 +756,40 @@ def test_degenerate_inputs(ray_session, tmp_path):
     exp = sorted(map(tuple, con2.sql(
         joins.NO_URGENT_ORACLE_SQL).fetchall()))
     assert got and got == exp
+
+
+def test_top_supplier_keeps_ties(ray_session, tmp_path):
+    """Q15 argmax keeps EVERY supplier at the max: two suppliers with
+    byte-identical quarter revenue both survive; a third below does
+    not; out-of-quarter rows never count."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import joins
+
+    d = tmp_path / "tie"
+    d.mkdir()
+    q1 = datetime.datetime(1997, 2, 1)
+    out = datetime.datetime(1998, 2, 1)
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.10, 0.10, 0.0, 0.0]),
+        "l_shipdate": pa.array([q1, q1, q1, out],
+                               pa.timestamp("us"))}),
+        str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["a", "b", "c"]),
+        "s_nationkey": pa.array([7, 8, 9], pa.int64())}),
+        str(d / "supplier.parquet"))
+    for bt in (None, 0):
+        got = sorted(map(tuple,
+                         joins.top_supplier_by_revenue(str(d),
+                                                       broadcast_threshold=bt)
+                         .to_pandas().itertuples(index=False)))
+        assert got == [(1, "a", 7, 900000), (2, "b", 8, 900000)]
 
 
 def test_corpus_prep_composite_vs_duckdb(ray_session):
