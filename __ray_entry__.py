@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": joins.large_volume_customers,
         "customers_no_urgent_orders": joins.customers_no_urgent_orders,
         "top_supplier_by_revenue": joins.top_supplier_by_revenue,
+        "sole_failed_suppliers": joins.sole_failed_suppliers,
         "documents_upsert": joins.documents_upsert,
         "documents_snapshot_diff": joins.documents_snapshot_diff,
         "events_lead_lag": joins.events_lead_lag,
@@ -433,7 +434,7 @@ def oracle_sql() -> dict[str, str]:
         RETURN_CUSTOMERS_ORACLE_SQL, SNAPSHOT_DIFF_ORACLE_SQL,
         UPSERT_ORACLE_SQL, PROMO_SHARE_ORACLE_SQL, SMALL_QTY_ORACLE_SQL,
         LARGE_VOLUME_ORACLE_SQL, NO_URGENT_ORACLE_SQL,
-        TOP_SUPPLIER_ORACLE_SQL,
+        TOP_SUPPLIER_ORACLE_SQL, SOLE_FAILED_ORACLE_SQL,
     )
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
@@ -503,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_customers": LARGE_VOLUME_ORACLE_SQL,
         "customers_no_urgent_orders": NO_URGENT_ORACLE_SQL,
         "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
+        "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
         "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,

@@ -1225,3 +1225,151 @@ SELECT s_suppkey, s_name, s_nationkey, total_rev_u
 FROM revenue JOIN supplier USING (s_suppkey)
 WHERE total_rev_u = (SELECT max(total_rev_u) FROM revenue)
 """.strip()
+
+
+def sole_failed_suppliers(sf_dir: str,
+                          broadcast_threshold: int | None = None):
+    """TPC-H-Q21-flavored "waiting suppliers" (adapted to this corpus's
+    columns — no receipt/commit dates, so "late" is a returned line):
+    per supplier, in how many finished ('F') multi-supplier orders was
+    it the ONLY supplier with a returned ('R') line.
+
+    Shape: multi-way EXISTS / NOT-EXISTS over the same fact, decoded
+    JOIN-FREE in two chained groupbys. Lineitem emits per-batch-deduped
+    thin (orderkey, suppkey, failed) rows; 'F' orders ride the same
+    stream as suppkey=-1 marker rows (the status semi-join costs no
+    extra exchange). The per-order groupby then decodes everything with
+    plain aggregates: marker presence = min(suppkey)==-1, supplier
+    count = count−marker, failing count = sum(failed), and — because
+    the qualifying orders have EXACTLY ONE failing supplier — that
+    supplier's identity is just sum(suppkey·failed). A final
+    count-per-supplier groupby and the size-gated name attach finish.
+    Three exchanges total, all carrying order/supplier-bounded thin
+    int64 rows, never lineitems.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("numwait", pa.int64())])
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders", "supplier")) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_returnflag"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        failed = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pairs = np.stack([ok, sk], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq[:, 0], pa.int64()),
+            "l_suppkey": pa.array(uniq[:, 1], pa.int64()),
+            "failed": pa.array(
+                np.bincount(inv, weights=failed).astype(bool)
+                .astype(np.int64))})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    def marker_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        n = t.num_rows
+        return pa.table({
+            "l_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "l_suppkey": pa.array(np.full(n, -1), pa.int64()),
+            "failed": pa.array(np.zeros(n, np.int64))})
+
+    thin = (li.map_batches(li_partial, batch_format="pyarrow")
+            .union(orders.map_batches(marker_rows,
+                                      batch_format="pyarrow")))
+    # per (order, supplier): failed = max over duplicate partial rows
+    per = (thin.groupby(["l_orderkey", "l_suppkey"])
+           .aggregate(Max("failed", alias_name="failed")))
+
+    def decode_partial(t: pa.Table) -> pa.Table:
+        """Per-batch shrink toward the per-order decode: partial
+        (count, min-suppkey, sum-failed, sum-suppkey·failed) rows."""
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        failed = t["failed"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uniq, pa.int64()),
+            "n_rows": pa.array(np.bincount(inv).astype(np.int64)),
+            "min_sk": pa.array(
+                np.full(len(uniq), np.iinfo(np.int64).max)
+                if not len(sk) else np.minimum.reduceat(
+                    sk[np.argsort(inv, kind="stable")],
+                    np.searchsorted(np.sort(inv), np.arange(len(uniq)))),
+                pa.int64()),
+            "n_failed": pa.array(
+                np.bincount(inv, weights=failed).astype(np.int64)),
+            "failed_sk": pa.array(
+                np.bincount(inv, weights=sk * failed).astype(np.int64))})
+
+    ordstat = (per.map_batches(decode_partial, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("n_rows", alias_name="n_rows"),
+                          Min("min_sk", alias_name="min_sk"),
+                          Sum("n_failed", alias_name="n_failed"),
+                          Sum("failed_sk", alias_name="failed_sk")))
+
+    def qualify(t: pa.Table) -> pa.Table:
+        has_marker = pc.equal(t["min_sk"], -1)
+        n_supp = pc.subtract(t["n_rows"],
+                             has_marker.cast(pa.int64()))
+        keep = pc.and_(pc.and_(has_marker,
+                               pc.greater_equal(n_supp, 2)),
+                       pc.equal(t["n_failed"], 1))
+        t = t.filter(keep)
+        return pa.table({"s_suppkey": t["failed_sk"].cast(pa.int64())})
+
+    counts = (ordstat.map_batches(qualify, batch_format="pyarrow")
+              .groupby("s_suppkey")
+              .aggregate(Count(alias_name="numwait")))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    counts = attach_dim(
+        counts.map_batches(lambda t: t.rename_columns(["k", "numwait"]),
+                           batch_format="pyarrow"),
+        supp, "k", "s_suppkey", ["s_name"], broadcast_threshold=bt)
+    return counts.map_batches(
+        lambda t: pa.table({"s_suppkey": t["k"].cast(pa.int64()),
+                            "s_name": t["s_name"],
+                            "numwait": t["numwait"].cast(pa.int64())},
+                           schema=out_schema),
+        batch_format="pyarrow")
+
+
+SOLE_FAILED_ORACLE_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+  FROM lineitem
+  WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  GROUP BY l_orderkey, l_suppkey),
+ord AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(failed) AS n_failed
+  FROM per GROUP BY l_orderkey)
+SELECT l_suppkey AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per
+JOIN ord USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE per.failed = 1 AND ord.n_supp >= 2 AND ord.n_failed = 1
+GROUP BY l_suppkey, s_name
+""".strip()

@@ -365,6 +365,11 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
          joins.TOP_SUPPLIER_ORACLE_SQL),
         (lambda: joins.top_supplier_by_revenue(SF, broadcast_threshold=0),
          joins.TOP_SUPPLIER_ORACLE_SQL),
+        # Q21 shape: multi-way exists/not-exists decoded join-free
+        (lambda: joins.sole_failed_suppliers(SF),
+         joins.SOLE_FAILED_ORACLE_SQL),
+        (lambda: joins.sole_failed_suppliers(SF, broadcast_threshold=0),
+         joins.SOLE_FAILED_ORACLE_SQL),
     ]
     for fn, sql in cases:
         got = canon(fn().to_pandas())
@@ -707,6 +712,7 @@ def test_degenerate_inputs(ray_session, tmp_path):
     assert q17.to_dict("records") == [
         {"n_small": 0, "revenue_cents": 0}]
     assert joins.top_supplier_by_revenue(e).count() == 0
+    assert joins.sole_failed_suppliers(e).count() == 0
     assert g.supplier_pagerank(e).count() == 0
     # SQL ROLLUP on empty still yields the grand-total row
     rows = [x for b in r.events_rollup(e).iter_batches(
@@ -790,6 +796,44 @@ def test_top_supplier_keeps_ties(ray_session, tmp_path):
                                                        broadcast_threshold=bt)
                          .to_pandas().itertuples(index=False)))
         assert got == [(1, "a", 7, 900000), (2, "b", 8, 900000)]
+
+
+def test_sole_failed_decode(ray_session, tmp_path):
+    """Handcrafted Q21 decode: sole-R supplier in a multi-supplier F
+    order qualifies (incl. suppkey 0); two-R orders, single-supplier
+    orders and non-F orders never do; counts accumulate per supplier."""
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops import joins
+
+    d = tmp_path / "q21"
+    d.mkdir()
+    #       ok  sk  flag          → order verdict
+    rows = [(10, 0, "R"), (10, 1, "N"),   # F, sole failer 0 ✓
+            (11, 2, "R"), (11, 3, "R"),   # F, two failers ✗
+            (12, 4, "R"), (12, 5, "N"),   # status O ✗
+            (13, 6, "R"),                 # F, single supplier ✗
+            (14, 0, "R"), (14, 7, "N"),   # F, sole failer 0 again ✓
+            (14, 0, "N")]                 # dup (ok,sk) row folds into ✓
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_returnflag": pa.array([r[2] for r in rows])}),
+        str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "O", "F", "F"])}),
+        str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(list(range(8)), pa.int64()),
+        "s_name": pa.array([f"s{i}" for i in range(8)])}),
+        str(d / "supplier.parquet"))
+    for bt in (None, 0):
+        got = sorted(map(tuple,
+                         joins.sole_failed_suppliers(str(d),
+                                                     broadcast_threshold=bt)
+                         .to_pandas().itertuples(index=False)))
+        assert got == [(0, "s0", 2)]
 
 
 def test_corpus_prep_composite_vs_duckdb(ray_session):
