@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": relational.events_cube,
         "parts_above_brand_avg": relational.parts_above_brand_avg,
         "events_gap_fill": relational.events_gap_fill,
+        "parts_skyline": relational.parts_skyline,
+        "parts_unpivot": relational.parts_unpivot,
         "top_return_customers": joins.top_return_customers,
         "events_funnel": funnel.events_funnel,
         "events_cohort_retention": funnel.events_cohort_retention,
@@ -339,6 +341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": stats.events_type_cooccurrence,
         "events_type_median": stats.events_type_median,
         "events_share_of_day": windows.events_share_of_day,
+        "events_percent_rank": windows.events_percent_rank,
+        "events_mode_type": stats.events_mode_type,
+        "events_markov": stats.events_markov,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -442,10 +447,12 @@ def oracle_sql() -> dict[str, str]:
         ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, GAP_FILL_ORACLE_SQL,
         PIVOT_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
-        ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SLIDING_ORACLE_SQL,
+        ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SKYLINE_ORACLE_SQL,
+        SLIDING_ORACLE_SQL, UNPIVOT_ORACLE_SQL,
         ZORDER_ORACLE_SQL)
     from askg_ray.ops.stats import (CMS_ORACLE_SQL, COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
+        MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
         PROPS_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
@@ -456,7 +463,8 @@ def oracle_sql() -> dict[str, str]:
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
-        JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, RANGE_JOIN_ORACLE_SQL,
+        JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, PERCENT_RANK_ORACLE_SQL,
+        RANGE_JOIN_ORACLE_SQL,
         RANK_FAMILY_ORACLE_SQL,
         SHARE_ORACLE_SQL)
 
@@ -526,6 +534,11 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": COHORT_ORACLE_SQL,
         "events_type_median": TYPE_MEDIAN_ORACLE_SQL,
         "events_share_of_day": SHARE_ORACLE_SQL,
+        "events_percent_rank": PERCENT_RANK_ORACLE_SQL,
+        "events_mode_type": MODE_ORACLE_SQL,
+        "events_markov": MARKOV_ORACLE_SQL,
+        "parts_skyline": SKYLINE_ORACLE_SQL,
+        "parts_unpivot": UNPIVOT_ORACLE_SQL,
         "doc_inverted_index": INVERTED_ORACLE_SQL,
         "events_value_outliers": OUTLIERS_ORACLE_SQL,
         "events_type_cooccurrence": COOCCURRENCE_ORACLE_SQL,

@@ -1028,3 +1028,140 @@ FROM b
 
 
 ZORDER_ORACLE_SQL = _zorder_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (minimize price, maximize size)
+
+
+def _skyline_kernel(t: pa.Table) -> pa.Table:
+    """Rows of ``t`` not dominated by any other row of ``t``.
+    Dominance: b dominates a iff b.price_c <= a.price_c and
+    b.p_size >= a.p_size with at least one strict. Equal (price, size)
+    pairs never dominate each other, so frontier duplicates all
+    survive. One sort by (price asc, size desc): a row is dominated
+    iff a strictly cheaper row has size >= its own (prefix max over
+    earlier price runs) or a same-price row has size strictly greater
+    (the run head, since within a run size is non-increasing).
+    """
+    order = pc.sort_indices(t, sort_keys=[("price_c", "ascending"),
+                                          ("p_size", "descending"),
+                                          ("p_partkey", "ascending")])
+    t = t.take(order)
+    price = t["price_c"].to_numpy(zero_copy_only=False)
+    size = t["p_size"].to_numpy(zero_copy_only=False)
+    n = len(price)
+    if n == 0:
+        return t
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(price[1:], price[:-1], out=new_run[1:])
+    run_id = np.cumsum(new_run) - 1
+    run_head_size = size[new_run][run_id]        # max size in own run
+    # max size over all STRICTLY cheaper rows = running max of previous
+    # run heads (run r sees max over heads 0..r-1)
+    head_max = np.maximum.accumulate(size[new_run])
+    prev_run_max = np.concatenate(
+        [[np.iinfo(np.int64).min], head_max[:-1]])[run_id]
+    dominated = (prev_run_max >= size) | (run_head_size > size)
+    return t.filter(pa.array(~dominated))
+
+
+def parts_skyline(sf_dir: str):
+    """Pareto frontier of parts: cheapest price vs. largest size, all
+    ties kept. Distributed shape: a row dominated inside one block is
+    dominated globally, so each block prunes to its LOCAL skyline
+    first (map-only, no exchange), and only the surviving frontier
+    candidates — a vanishingly small fraction of any real table —
+    meet in one final single-group pass that applies the same kernel.
+    The candidate set, not the table, bounds the reduce: for n rows of
+    random (price, size) the expected local skyline is O(log n) per
+    block, and the final group is the union of those.
+    """
+    import ray.data as rd
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name", "p_size",
+                                    "p_retailprice"])
+
+    schema = pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                        ("price_c", pa.int64()), ("p_size", pa.int64())])
+
+    def local(t: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()),
+            "p_name": t["p_name"],
+            "price_c": pa.array(
+                np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)),
+            "p_size": t["p_size"].cast(pa.int64()),
+        }, schema=schema)
+        out = _skyline_kernel(t)
+        return out.append_column("_k", pa.array(np.zeros(out.num_rows,
+                                                         np.int64)))
+
+    def final(t: pa.Table) -> pa.Table:
+        return _skyline_kernel(t.select(
+            ["p_partkey", "p_name", "price_c", "p_size"]))
+
+    return (part.map_batches(local, batch_format="pyarrow")
+            .groupby("_k").map_groups(final, batch_format="pyarrow"))
+
+
+SKYLINE_ORACLE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, p_name, price_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide numeric attributes -> long (key, attr, val) rows
+
+
+def parts_unpivot(sf_dir: str):
+    """Melt part's numeric attributes (size, retail price in cents)
+    into long (p_partkey, attr, val) rows — the UNPIVOT shape every
+    feature-store export needs. Map-only: each batch emits its own
+    long rows by column concatenation (two takes + a literal attr
+    column), no exchange at all, so it streams at any scale.
+    """
+    import ray.data as rd
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_size", "p_retailprice"])
+
+    out_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("attr", pa.string()), ("val", pa.int64())])
+
+    def melt(t: pa.Table) -> pa.Table:
+        keys = t["p_partkey"].cast(pa.int64())
+        size = t["p_size"].cast(pa.int64())
+        price = pa.array(
+            np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64))
+        n = t.num_rows
+        return pa.table({
+            "p_partkey": pa.concat_arrays(
+                [keys.combine_chunks(), keys.combine_chunks()]),
+            "attr": pa.array(["size"] * n + ["price_c"] * n, pa.string()),
+            "val": pa.concat_arrays([size.combine_chunks(), price]),
+        }, schema=out_schema)
+
+    return part.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_ORACLE_SQL = """
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'price_c' AS attr,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS val FROM part
+""".strip()

@@ -976,3 +976,144 @@ SELECT event_type,
        CAST(coalesce(max(k), -1) AS BIGINT) AS max_k
 FROM x GROUP BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# MODE per group (most frequent event_type per user, deterministic tie)
+
+
+def events_mode_type(sf_dir: str):
+    """Per-user modal event_type with a pinned tie-break (highest
+    count, then lexicographically smallest type). Map-side combiner
+    shape: each batch shrinks to (user, type) -> count partials via one
+    Arrow group_by, so the exchange carries at most |users seen| x
+    |type vocab| rows per batch, never events. The groupby(user)
+    reduce re-sums partials and picks the argmax with one sort.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"user_id": g["user_id"].cast(pa.int64()),
+                         "event_type": g["event_type"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("mode_type", pa.string()),
+                            ("n_mode", pa.int64())])
+
+    def reduce_user(t: pa.Table) -> pa.Table:
+        g = (t.select(["user_id", "event_type", "n"])
+             .group_by(["user_id", "event_type"]).aggregate([("n", "sum")]))
+        top = g.take(pc.sort_indices(
+            g, sort_keys=[("n_sum", "descending"),
+                          ("event_type", "ascending")])[:1])
+        return pa.table({
+            "user_id": top["user_id"].cast(pa.int64()),
+            "mode_type": top["event_type"],
+            "n_mode": top["n_sum"].cast(pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(reduce_user,
+                                           batch_format="pyarrow"))
+
+
+MODE_ORACLE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rn = 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+
+
+def events_markov(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence in (ts, event_id) order, plus the per-prev-type share in
+    exact integer ppm. Two bounded exchanges: groupby(user) orders one
+    user's events and emits (prev, next) -> count partials (at most
+    |vocab|^2 rows per user, vocab is the event-type alphabet), then a
+    groupby(prev_type) owns one row of the transition matrix and
+    computes its shares — the matrix never exceeds |vocab|^2 rows, so
+    both reduces are trivially small at any corpus size.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts", "event_type"])
+
+    mid_schema = pa.schema([("prev_type", pa.string()),
+                            ("next_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)[order]
+        if len(codes) < 2:
+            return mid_schema.empty_table()
+        k = len(enc.dictionary)
+        pair = codes[:-1].astype(np.int64) * k + codes[1:]
+        counts = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(counts)
+        names = enc.dictionary
+        return pa.table({
+            "prev_type": names.take(pa.array(nz // k, pa.int32())),
+            "next_type": names.take(pa.array(nz % k, pa.int32())),
+            "n": pa.array(counts[nz], pa.int64()),
+        }, schema=mid_schema)
+
+    out_schema = pa.schema([("prev_type", pa.string()),
+                            ("next_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("share_ppm", pa.int64())])
+
+    def shares(t: pa.Table) -> pa.Table:
+        g = (t.select(["prev_type", "next_type", "n"])
+             .group_by(["prev_type", "next_type"]).aggregate([("n", "sum")]))
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        total = n.sum()
+        return pa.table({
+            "prev_type": g["prev_type"],
+            "next_type": g["next_type"],
+            "n": pa.array(n, pa.int64()),
+            "share_ppm": pa.array(n * 1_000_000 // total, pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.groupby("user_id").map_groups(per_user,
+                                             batch_format="pyarrow")
+            .groupby("prev_type").map_groups(shares,
+                                             batch_format="pyarrow"))
+
+
+MARKOV_ORACLE_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (
+  SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS share_ppm
+FROM c
+""".strip()

@@ -457,3 +457,72 @@ FROM c
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {MAVG_WINDOW - 1} PRECEDING AND CURRENT ROW)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST in exact integer ppm
+
+
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST per user over ``value`` ascending,
+    in exact integer ppm so the driver hash cannot drift on float
+    division: ``prank_ppm = (rank-1)*1e6 // (n-1)`` (0 when n == 1),
+    ``cdist_ppm = count(value <= v)*1e6 // n``. One groupby(user)
+    exchange; the group kernel is a single sort plus value-run
+    boundary arithmetic (shared ranks come from run starts, the
+    <=-count from run ends) — no per-row Python.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("prank_ppm", pa.int64()), ("cdist_ppm", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[("value", "ascending"),
+                                                 ("event_id", "ascending")]))
+        vals = t["value"].to_numpy(zero_copy_only=False)
+        n = len(vals)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(vals[1:], vals[:-1], out=new_run[1:])
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        # rank of each row = row number at its value-run start
+        rank = np.maximum.accumulate(np.where(new_run, rn, 0))
+        # count(value <= v) = row number at the value-run END: propagate
+        # each run's last rn backwards with a reversed accumulate
+        run_end = np.empty(n, dtype=np.int64)
+        is_end = np.empty(n, dtype=bool)
+        is_end[:-1] = new_run[1:]
+        is_end[-1] = True
+        np.minimum.accumulate(np.where(is_end, rn, np.int64(n))[::-1],
+                              out=run_end[::-1])
+        prank = ((rank - 1) * 1_000_000 // (n - 1) if n > 1
+                 else np.zeros(n, np.int64))
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "prank_ppm": pa.array(prank, pa.int64()),
+            "cdist_ppm": pa.array(run_end * 1_000_000 // n, pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+PERCENT_RANK_ORACLE_SQL = """
+WITH r AS (
+  SELECT user_id, event_id,
+         rank() OVER (PARTITION BY user_id ORDER BY value) AS rk,
+         rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rkd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events)
+SELECT user_id, event_id,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE (rk - 1) * 1000000 // (n - 1) END AS BIGINT)
+           AS prank_ppm,
+       CAST((n - rkd + 1) * 1000000 // n AS BIGINT) AS cdist_ppm
+FROM r
+""".strip()

@@ -8,6 +8,7 @@ import datetime as dt
 
 import duckdb
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -127,3 +128,104 @@ def test_rank_family_tie_semantics(ray_session, adversarial_events):
         assert (g["rnk"] >= g["drnk"]).all()
         assert g["drnk"].max() == g["drnk"].nunique()
         assert g["ntile4"].between(1, 4).all()
+
+
+@pytest.fixture()
+def modal_events(tmp_path):
+    """Events with a single-event user (percent_rank n==1 branch, no
+    markov transitions), a user whose type counts TIE (mode tie-break),
+    an all-tied-values user, and duplicate (user, ts) pairs so the
+    markov order falls back to event_id."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    # user 0: one event only
+    rows.append({"event_id": eid, "ts": base, "user_id": 0,
+                 "event_type": "view", "value": 5.0, "props": ""}); eid += 1
+    # user 1: 2x click, 2x view (tie -> 'click' wins lexicographically),
+    # all values EQUAL, and two events at the SAME timestamp
+    for k, kind in enumerate(["view", "click", "view", "click"]):
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(
+                         minutes=0 if k < 2 else k), "user_id": 1,
+                     "event_type": kind, "value": 7.0, "props": ""}); eid += 1
+    # user 2: a longer mixed sequence with value ties every 3rd event
+    for k in range(12):
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(hours=k),
+                     "user_id": 2,
+                     "event_type": ["click", "view", "purchase"][k % 3],
+                     "value": float(k % 3), "props": ""}); eid += 1
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_percent_rank_mode_markov_adversarial(ray_session, modal_events):
+    from askg_ray.ops import stats as s
+    from askg_ray.ops import windows as w
+
+    sf, con = modal_events
+    for fn, sql in [(w.events_percent_rank, w.PERCENT_RANK_ORACLE_SQL),
+                    (s.events_mode_type, s.MODE_ORACLE_SQL),
+                    (s.events_markov, s.MARKOV_ORACLE_SQL)]:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got and got == exp, fn.__name__
+    # structural: n==1 user gets prank 0 / cdist 1e6; all-tied user
+    # shares prank 0 and cdist 1e6 across every row
+    pr = w.events_percent_rank(sf).to_pandas().set_index("event_id")
+    assert pr.loc[0, "prank_ppm"] == 0 and pr.loc[0, "cdist_ppm"] == 1_000_000
+    u1 = pr[pr["user_id"] == 1]
+    assert (u1["prank_ppm"] == 0).all() and (u1["cdist_ppm"] == 1_000_000).all()
+    # mode tie resolves lexicographically
+    md = s.events_mode_type(sf).to_pandas().set_index("user_id")
+    assert md.loc[1, "mode_type"] == "click" and md.loc[1, "n_mode"] == 2
+    # single-event user contributes no transitions; shares sum to ~1e6
+    mk = s.events_markov(sf).to_pandas()
+    assert mk["n"].sum() == 3 + 11  # user1: 4 events, user2: 12 events
+    for _, g in mk.groupby("prev_type"):
+        assert 1_000_000 - len(g) < g["share_ppm"].sum() <= 1_000_000
+
+
+def test_skyline_merge_property_and_ties(ray_session, tmp_path):
+    """The skyline kernel is mergeable (skyline of local skylines ==
+    global skyline) and keeps equal (price, size) duplicates — the
+    properties the distributed split relies on."""
+    import numpy as np
+
+    from askg_ray.ops.relational import (SKYLINE_ORACLE_SQL, _skyline_kernel,
+                                         parts_skyline)
+
+    rng = np.random.RandomState(7)
+    n = 400
+    price = rng.randint(0, 40, n).astype(np.int64) * 100
+    size = rng.randint(0, 40, n).astype(np.int64)
+    # plant an exact duplicate pair on the frontier
+    best = np.argmin(price * 1000 - size)
+    price = np.r_[price, price[best]]; size = np.r_[size, size[best]]
+    t = pa.table({"p_partkey": pa.array(np.arange(n + 1), pa.int64()),
+                  "p_name": pa.array([f"p{i}" for i in range(n + 1)]),
+                  "price_c": pa.array(price), "p_size": pa.array(size)})
+    whole = _skyline_kernel(t).to_pandas().sort_values("p_partkey")
+    halves = pa.concat_tables([_skyline_kernel(t.slice(0, 150)),
+                               _skyline_kernel(t.slice(150))])
+    merged = _skyline_kernel(halves).to_pandas().sort_values("p_partkey")
+    assert whole.values.tolist() == merged.values.tolist()
+    # the planted duplicate: both copies survive iff one does
+    kept = set(whole["p_partkey"])
+    assert (best in kept) == (n in kept) and best in kept
+    # end-to-end vs oracle on a parquet corpus with the same rows
+    pq.write_table(pa.table({
+        "p_partkey": t["p_partkey"], "p_name": t["p_name"],
+        "p_brand": pa.array(["b"] * (n + 1)),
+        "p_type": pa.array(["t"] * (n + 1)),
+        "p_size": t["p_size"].cast(pa.int32()),
+        "p_retailprice": pc.divide(t["price_c"].cast(pa.float64()), 100.0),
+    }), str(tmp_path / "part.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/part.parquet')")
+    got = _canon(parts_skyline(str(tmp_path)).to_pandas())
+    exp = _canon(con.sql(SKYLINE_ORACLE_SQL).df())
+    assert got and got == exp
