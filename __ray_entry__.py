@@ -289,7 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_by_revenue": joins.top_supplier_by_revenue,
         "sole_failed_suppliers": joins.sole_failed_suppliers,
         "documents_upsert": joins.documents_upsert,
+        "documents_scd2": joins.documents_scd2,
         "documents_snapshot_diff": joins.documents_snapshot_diff,
+        "token_fuzzy_pairs": text.token_fuzzy_pairs,
         "events_lead_lag": joins.events_lead_lag,
         "events_distinct_users": joins.events_distinct_users,
         "events_sliding_count": relational.events_sliding_count,
@@ -436,7 +438,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
-        RETURN_CUSTOMERS_ORACLE_SQL, SNAPSHOT_DIFF_ORACLE_SQL,
+        RETURN_CUSTOMERS_ORACLE_SQL, SCD2_ORACLE_SQL,
+        SNAPSHOT_DIFF_ORACLE_SQL,
         UPSERT_ORACLE_SQL, PROMO_SHARE_ORACLE_SQL, SMALL_QTY_ORACLE_SQL,
         LARGE_VOLUME_ORACLE_SQL, NO_URGENT_ORACLE_SQL,
         TOP_SUPPLIER_ORACLE_SQL, SOLE_FAILED_ORACLE_SQL,
@@ -459,7 +462,8 @@ def oracle_sql() -> dict[str, str]:
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
         TYPE_MEDIAN_ORACLE_SQL)
     from askg_ray.ops.text import (BPE_MERGE_ORACLE_SQL,
-        BPE_ORACLE_SQL, ENCODE_ORACLE_SQL, INVERTED_ORACLE_SQL,
+        BPE_ORACLE_SQL, ENCODE_ORACLE_SQL, FUZZY_PAIRS_ORACLE_SQL,
+        INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
@@ -514,6 +518,8 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
         "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
+        "documents_scd2": SCD2_ORACLE_SQL,
+        "token_fuzzy_pairs": FUZZY_PAIRS_ORACLE_SQL,
         "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,
         "events_distinct_users": DISTINCT_USERS_ORACLE_SQL,

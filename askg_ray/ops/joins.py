@@ -546,6 +546,47 @@ GROUP BY c_count
 # ---------------------------------------------------------------------------
 # Lakehouse merge-into (upsert, latest version wins)
 
+CDC_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                        ("version", pa.int64()),
+                        ("fp", pa.string())])
+
+
+def _cdc_base_rows(t: pa.Table) -> pa.Table:
+    """Version-1 CDC row per document (md5 fingerprint, never text)."""
+    import hashlib
+
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "version": pa.array(np.ones(t.num_rows, np.int64)),
+        "fp": pa.array([hashlib.md5((x or "").encode()).hexdigest()
+                        for x in t["text"].to_pylist()], pa.string()),
+    }, schema=CDC_SCHEMA)
+
+
+def _cdc_delta_rows(t: pa.Table) -> pa.Table:
+    """The deterministic version-2 delta: doc_id % 10 == 3 arrives
+    updated ('UPD ' prefix) and doc_id % 25 == 0 spawns a new row at
+    doc_id + 1,000,000 ('NEW ' prefix)."""
+    import hashlib
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t["text"].to_pylist()
+    out_i, out_f = [], []
+    for d, x in zip(ids, texts):
+        if d % 10 == 3:
+            out_i.append(int(d))
+            out_f.append(hashlib.md5(
+                ("UPD " + (x or "")).encode()).hexdigest())
+        if d % 25 == 0:
+            out_i.append(int(d) + 1_000_000)
+            out_f.append(hashlib.md5(
+                ("NEW " + (x or "")).encode()).hexdigest())
+    return pa.table({
+        "doc_id": pa.array(out_i, pa.int64()),
+        "version": pa.array(np.full(len(out_i), 2, np.int64)),
+        "fp": pa.array(out_f, pa.string()),
+    }, schema=CDC_SCHEMA)
+
 
 def documents_upsert(sf_dir: str, num_partitions: int | None = None):
     """MERGE INTO / upsert: apply a CDC delta to the documents table,
@@ -561,51 +602,20 @@ def documents_upsert(sf_dir: str, num_partitions: int | None = None):
     per-group Python kernel with two vectorized keyed exchanges.
     Output carries md5 fingerprints, not text, so the compare is thin.
     """
-    import hashlib
-
     import ray.data as rd
     from ray.data.aggregate import Max
 
     from ..rayutil import parquet_num_rows
 
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("version", pa.int64()),
-                            ("fp", pa.string())])
+    out_schema = CDC_SCHEMA
     if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
         return rd.from_arrow(out_schema.empty_table())
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
-    def base_rows(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "version": pa.array(np.ones(t.num_rows, np.int64)),
-            "fp": pa.array([hashlib.md5((x or "").encode()).hexdigest()
-                            for x in t["text"].to_pylist()], pa.string()),
-        }, schema=out_schema)
-
-    def delta_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = t["text"].to_pylist()
-        out_i, out_f = [], []
-        for d, x in zip(ids, texts):
-            if d % 10 == 3:
-                out_i.append(int(d))
-                out_f.append(hashlib.md5(
-                    ("UPD " + (x or "")).encode()).hexdigest())
-            if d % 25 == 0:
-                out_i.append(int(d) + 1_000_000)
-                out_f.append(hashlib.md5(
-                    ("NEW " + (x or "")).encode()).hexdigest())
-        return pa.table({
-            "doc_id": pa.array(out_i, pa.int64()),
-            "version": pa.array(np.full(len(out_i), 2, np.int64)),
-            "fp": pa.array(out_f, pa.string()),
-        }, schema=out_schema)
-
-    base = docs.map_batches(base_rows, batch_format="pyarrow")
-    delta = docs.map_batches(delta_rows, batch_format="pyarrow")
+    base = docs.map_batches(_cdc_base_rows, batch_format="pyarrow")
+    delta = docs.map_batches(_cdc_delta_rows, batch_format="pyarrow")
     merged = base.union(delta)
 
     winners = (merged.select_columns(["doc_id", "version"])
@@ -638,6 +648,99 @@ m AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
 w AS (SELECT doc_id, max(version) AS version FROM m GROUP BY doc_id)
 SELECT m.doc_id, CAST(m.version AS BIGINT) AS version, m.fp
 FROM m JOIN w ON m.doc_id = w.doc_id AND m.version = w.version
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (validity intervals from CDC versions)
+
+SCD2_SCHEMA = pa.schema([("doc_id", pa.int64()), ("version", pa.int64()),
+                         ("fp", pa.string()), ("valid_to", pa.int64()),
+                         ("is_current", pa.int64())])
+
+SCD2_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
+
+
+def _scd2_kernel(t: pa.Table) -> pa.Table:
+    """Vectorized multi-group SCD2 kernel: works on any table where
+    complete doc_id groups are present (one reduce slice of the direct
+    exchange, or a single group under the groupby fallback). One
+    lexsort by (doc_id, version); each row's valid_to is the NEXT
+    version inside its doc run (-1 on the run's last = current row)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    ver = t["version"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ver, ids))
+    ids_s, ver_s = ids[order], ver[order]
+    n = len(ids_s)
+    same_next = np.empty(n, dtype=bool)
+    if n:
+        same_next[:-1] = ids_s[1:] == ids_s[:-1]
+        same_next[-1] = False
+    valid_to = np.where(same_next, np.r_[ver_s[1:], np.int64(-1)],
+                        np.int64(-1))
+    return pa.table({
+        "doc_id": pa.array(ids_s, pa.int64()),
+        "version": pa.array(ver_s, pa.int64()),
+        "fp": t["fp"].take(pa.array(order)).combine_chunks(),
+        "valid_to": pa.array(valid_to, pa.int64()),
+        "is_current": pa.array((valid_to == -1).astype(np.int64)),
+    }, schema=SCD2_SCHEMA)
+
+
+def documents_scd2(sf_dir: str,
+                   exchange_max_rows: int = SCD2_EXCHANGE_MAX):
+    """SCD Type-2 dimension build: the same deterministic CDC stream as
+    ``documents_upsert`` (base v1 ∪ delta v2), but instead of keeping
+    only the latest version, EVERY version becomes a row with its
+    validity interval — ``valid_to`` = the superseding version (-1 if
+    still current) and an ``is_current`` flag. The warehouse
+    slowly-changing-dimension shape.
+
+    Dataflow: one keyed exchange on doc_id. Below the row gate it is
+    the direct-task M×R exchange with the vectorized multi-group
+    kernel (one lexsort per reduce slice, run-boundary lead); above
+    the gate the identical kernel runs per group under
+    ``groupby().map_groups`` — the unconditionally scalable shape.
+    Both paths are forced in tests. Fingerprints, never text, cross
+    the exchange.
+    """
+    import ray.data as rd
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.exchange import exchange_reduce
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(SCD2_SCHEMA.empty_table())
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    merged = (docs.map_batches(_cdc_base_rows, batch_format="pyarrow")
+              .union(docs.map_batches(_cdc_delta_rows,
+                                      batch_format="pyarrow"))
+              .materialize())
+    if merged.count() <= exchange_max_rows:
+        return exchange_reduce(merged, "doc_id", _scd2_kernel, SCD2_SCHEMA)
+    return (merged.groupby("doc_id")
+            .map_groups(_scd2_kernel, batch_format="pyarrow"))
+
+
+SCD2_ORACLE_SQL = """
+WITH base AS (
+  SELECT doc_id, 1 AS version, md5(coalesce(text, '')) AS fp
+  FROM documents),
+delta AS (
+  SELECT doc_id, 2 AS version, md5('UPD ' || coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 2, md5('NEW ' || coalesce(text, ''))
+  FROM documents WHERE doc_id % 25 = 0),
+m AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+SELECT doc_id, CAST(version AS BIGINT) AS version, fp,
+       CAST(coalesce(lead(version) OVER w, -1) AS BIGINT) AS valid_to,
+       CAST(CASE WHEN lead(version) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM m
+WINDOW w AS (PARTITION BY doc_id ORDER BY version)
 """.strip()
 
 

@@ -14,7 +14,9 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # 20-word stoplist in the spirit of the reference's query-side stoplist
 # (/root/reference/src/text2cypher.py:214-220); frozen for oracle parity.
@@ -619,4 +621,160 @@ FROM d LEFT JOIN (
          count(*) AS n_tokens,
          sum(CASE WHEN id = {OOV_ID} THEN 1 ELSE 0 END) AS n_oov
   FROM enc GROUP BY doc_id) e USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string similarity join over the token vocabulary (FastSS)
+
+FUZZY_MAX_DIST = 2     # Levenshtein threshold
+FUZZY_MIN_LEN = 4      # vocab filter: token length
+FUZZY_MIN_FREQ = 2     # vocab filter: corpus frequency
+
+
+def _lev_leq(a: str, b: str, k: int) -> int:
+    """Exact Levenshtein distance if <= k, else k + 1 (banded DP —
+    O(len * k) per candidate pair, only ever run on blocked survivors)."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j] + [0] * len(a)
+        lo = max(1, j - k)
+        hi = min(len(a), j + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for i in range(lo, hi + 1):
+            cur[i] = min(prev[i] + 1, cur[i - 1] + 1,
+                         prev[i - 1] + (a[i - 1] != b[j - 1]))
+        if hi < len(a):
+            cur[hi + 1:] = [k + 1] * (len(a) - hi)
+        if min(cur[max(0, lo - 1):hi + 1]) > k:
+            return k + 1
+        prev = cur
+    return min(prev[-1], k + 1)
+
+
+def _deletion_keys(tok: str, k: int) -> set:
+    """FastSS deletion neighborhood: ``tok`` with up to ``k``
+    characters removed. lev(u, v) <= k implies the neighborhoods of u
+    and v intersect (Bocek et al. 2007), so grouping by these keys is a
+    COMPLETE blocking for the exact verify that follows."""
+    out, frontier = {tok}, {tok}
+    for _ in range(k):
+        frontier = {s[:i] + s[i + 1:] for s in frontier
+                    for i in range(len(s))}
+        out |= frontier
+    return out
+
+
+def token_fuzzy_pairs(sf_dir: str, max_dist: int = FUZZY_MAX_DIST):
+    """Typo-candidate mining / fuzzy similarity self-join: all pairs of
+    vocabulary tokens (length >= FUZZY_MIN_LEN, corpus frequency >=
+    FUZZY_MIN_FREQ) within Levenshtein distance ``max_dist``, with both
+    frequencies attached. The corpus-scale work is the distributed
+    frequency count (per-batch Counter partials, one token groupby);
+    the pair search then runs over the vocabulary — still expressed as
+    a keyed shuffle so a million-token web vocabulary never meets a
+    V^2 loop: FastSS deletion-neighborhood keys block candidates
+    (complete for Levenshtein <= k), one groupby(key) emits in-block
+    pairs, a (tok_a, tok_b) groupby dedups pairs that share several
+    keys, and only then does the banded-DP exact verify run — once per
+    distinct candidate pair.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in (text or "").split(" ")
+                     if len(w) >= FUZZY_MIN_LEN)
+        ks = sorted(c)
+        return pa.table({"token": pa.array(ks, pa.string()),
+                         "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    vocab = (docs.map_batches(partial_counts, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .filter(expr=f"n >= {FUZZY_MIN_FREQ}"))
+
+    key_schema = pa.schema([("key", pa.string()), ("token", pa.string()),
+                            ("n", pa.int64())])
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_pylist()
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        out_k, out_t, out_n = [], [], []
+        for tok, n in zip(toks, ns):
+            for key in _deletion_keys(tok, max_dist):
+                out_k.append(key)
+                out_t.append(tok)
+                out_n.append(int(n))
+        return pa.table({"key": pa.array(out_k, pa.string()),
+                         "token": pa.array(out_t, pa.string()),
+                         "n": pa.array(out_n, pa.int64())},
+                        schema=key_schema)
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                             ("n_a", pa.int64()), ("n_b", pa.int64())])
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        # tokens sharing one deletion key: emit each unordered pair once
+        g = (g.select(["token", "n"]).group_by("token")
+             .aggregate([("n", "max")]))
+        g = g.take(pc.sort_indices(g, sort_keys=[("token", "ascending")]))
+        toks = g["token"].to_pylist()
+        ns = g["n_max"].to_numpy(zero_copy_only=False)
+        m = len(toks)
+        if m < 2:
+            return pair_schema.empty_table()
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({
+            "tok_a": pa.array([toks[i] for i in ia], pa.string()),
+            "tok_b": pa.array([toks[j] for j in ib], pa.string()),
+            "n_a": pa.array(ns[ia], pa.int64()),
+            "n_b": pa.array(ns[ib], pa.int64()),
+        }, schema=pair_schema)
+
+    out_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                            ("dist", pa.int64()),
+                            ("n_a", pa.int64()), ("n_b", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t["tok_a"].to_pylist()
+        tb = t["tok_b"].to_pylist()
+        dist = np.array([_lev_leq(a, b, max_dist) for a, b in zip(ta, tb)],
+                        np.int64)
+        keep = dist <= max_dist
+        return pa.table({
+            "tok_a": pa.array([x for x, k in zip(ta, keep) if k]),
+            "tok_b": pa.array([x for x, k in zip(tb, keep) if k]),
+            "dist": pa.array(dist[keep], pa.int64()),
+            "n_a": t["n_a"].filter(pa.array(keep)).combine_chunks(),
+            "n_b": t["n_b"].filter(pa.array(keep)).combine_chunks(),
+        }, schema=out_schema)
+
+    candidates = (vocab.map_batches(emit_keys, batch_format="pyarrow")
+                  .groupby("key").map_groups(block_pairs,
+                                             batch_format="pyarrow")
+                  .groupby(["tok_a", "tok_b"])
+                  .aggregate(Max("n_a", alias_name="n_a"),
+                             Max("n_b", alias_name="n_b")))
+    return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+FUZZY_PAIRS_ORACLE_SQL = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (SELECT tok, count(*) AS n FROM w WHERE len(tok) >= {FUZZY_MIN_LEN}
+      GROUP BY tok HAVING count(*) >= {FUZZY_MIN_FREQ})
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) <= {FUZZY_MAX_DIST}
 """.strip()

@@ -471,3 +471,79 @@ def test_q13_zero_bucket(ray_session, tiny_tpch):
     got = j.customer_order_dist(sf).to_pandas()
     assert _canon(got) == _canon(con.sql(j.Q13_ORACLE_SQL).df())
     assert got.set_index("c_count").loc[0, "custdist"] == 1
+
+
+def test_scd2_semantics_both_paths(ray_session):
+    """SCD Type-2: updated keys carry BOTH versions — v1 closed
+    (valid_to=2, is_current=0) and v2 open (-1, 1); untouched and
+    spawned keys carry exactly one open row. The direct-exchange path
+    and the groupby fallback (exchange_max_rows=0) emit identical
+    rows."""
+    from askg_ray.ops.joins import documents_scd2
+
+    sf = "/root/testdata/sf0.001"
+    ex = documents_scd2(sf).to_pandas()
+    gb = documents_scd2(sf, exchange_max_rows=0).to_pandas()
+    key = ["doc_id", "version"]
+    assert (ex.sort_values(key).reset_index(drop=True).equals(
+            gb.sort_values(key).reset_index(drop=True)))
+
+    upd = ex[(ex["doc_id"] < 1_000_000) & (ex["doc_id"] % 10 == 3)]
+    assert set(upd["version"]) == {1, 2}
+    v1 = upd[upd["version"] == 1]
+    assert (v1["valid_to"] == 2).all() and (v1["is_current"] == 0).all()
+    v2 = upd[upd["version"] == 2]
+    assert (v2["valid_to"] == -1).all() and (v2["is_current"] == 1).all()
+    rest = ex[~ex["doc_id"].isin(upd["doc_id"])]
+    assert (rest["is_current"] == 1).all() and (rest["valid_to"] == -1).all()
+    # exactly one current row per key
+    cur = ex[ex["is_current"] == 1]
+    assert cur["doc_id"].is_unique and set(cur["doc_id"]) == set(ex["doc_id"])
+
+
+@pytest.fixture()
+def typo_corpus(tmp_path):
+    """Tokens planted at every edit class: substitution ('merge' vs
+    'marge', dist 1), deletion ('stream' vs 'steam', dist 1), double
+    edit ('batch' vs 'match' + trailing swap 'botch', dist 1/2), a
+    dist-3 pair that must NOT pair ('filter' vs 'fiddle'), a
+    frequency-1 token ('rarely') and a short token ('abc') that the
+    vocab filters drop."""
+    texts = [
+        "merge stream batch filter merge stream",
+        "marge steam match fiddle marge steam",
+        "botch batch match filter abc abc",
+        "rarely merge marge batch botch match",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["synthetic"] * len(texts)),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    return str(tmp_path), con
+
+
+def test_token_fuzzy_pairs_adversarial(ray_session, typo_corpus):
+    from askg_ray.ops.text import FUZZY_PAIRS_ORACLE_SQL, token_fuzzy_pairs
+
+    sf, con = typo_corpus
+    got_df = token_fuzzy_pairs(sf).to_pandas()
+    got = _canon(got_df)
+    exp = _canon(con.sql(FUZZY_PAIRS_ORACLE_SQL).df())
+    assert got and got == exp
+    pairs = {(a, b): d for a, b, d in
+             zip(got_df["tok_a"], got_df["tok_b"], got_df["dist"])}
+    assert pairs[("marge", "merge")] == 1        # substitution
+    assert pairs[("steam", "stream")] == 1       # deletion
+    assert pairs[("batch", "match")] == 1
+    assert pairs[("batch", "botch")] == 1
+    assert ("fiddle", "filter") not in pairs     # dist 3 excluded
+    assert not any("rarely" in p or "abc" in p for p in pairs)  # filtered
+    # each unordered pair appears exactly once despite multi-key blocking
+    assert got_df.groupby(["tok_a", "tok_b"]).size().max() == 1
