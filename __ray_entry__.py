@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_novelty": stats.doc_bigram_novelty,
         "doc_lm_score": stats.doc_lm_score,
         "events_user_hll": stats.events_user_hll,
+        "events_type_hll": stats.events_type_hll,
+        "documents_checksum": stats.documents_checksum,
+        "events_session_table": windows.events_session_table,
         "token_cms_topk": stats.token_cms_topk,
         "events_props_stats": stats.events_props_stats,
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -453,10 +456,11 @@ def oracle_sql() -> dict[str, str]:
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SKYLINE_ORACLE_SQL,
         SLIDING_ORACLE_SQL, UNPIVOT_ORACLE_SQL,
         ZORDER_ORACLE_SQL)
-    from askg_ray.ops.stats import (CMS_ORACLE_SQL, COOCCURRENCE_ORACLE_SQL,
+    from askg_ray.ops.stats import (CHECKSUM_ORACLE_SQL, CMS_ORACLE_SQL,
+        COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
-        PROPS_ORACLE_SQL,
+        PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
@@ -470,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, PERCENT_RANK_ORACLE_SQL,
         RANGE_JOIN_ORACLE_SQL,
         RANK_FAMILY_ORACLE_SQL,
+        SESSION_TABLE_ORACLE_SQL,
         SHARE_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -568,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_novelty": NOVELTY_ORACLE_SQL,
         "doc_lm_score": LM_SCORE_ORACLE_SQL,
         "events_user_hll": HLL_ORACLE_SQL,
+        "events_type_hll": TYPE_HLL_ORACLE_SQL,
+        "documents_checksum": CHECKSUM_ORACLE_SQL,
+        "events_session_table": SESSION_TABLE_ORACLE_SQL,
         "token_cms_topk": CMS_ORACLE_SQL,
         "events_props_stats": PROPS_ORACLE_SQL,
         "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,

@@ -1117,3 +1117,146 @@ SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
            AS share_ppm
 FROM c
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-group HyperLogLog (distinct users per event_type)
+
+
+def events_type_hll(sf_dir: str):
+    """One HyperLogLog register table PER event_type — grouped
+    COUNT(DISTINCT) as a mergeable sketch. Same hash contract as
+    ``events_user_hll`` (64-bit little-endian first-8-md5-bytes ==
+    DuckDB ``md5_number_upper``; register = low HLL_P bits, rho =
+    leading-zero count + 1), but partials and the final max-combine
+    are keyed by (event_type, register), so the exchange carries at
+    most |vocab| x 256 rows per batch however many events stream
+    through — the grouped-sketch shape that replaces a
+    groupby-count-distinct shuffle of raw (type, user) pairs.
+    """
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    mask = (1 << HLL_P) - 1
+    width = 64 - HLL_P
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        # distinct (type, user) within the batch before hashing
+        tu = np.unique(np.stack([codes, uids], axis=1), axis=0)
+        regs = np.empty(len(tu), np.int64)
+        rhos = np.empty(len(tu), np.int64)
+        for i, u in enumerate(tu[:, 1]):
+            h = int.from_bytes(
+                hashlib.md5(str(int(u)).encode()).digest()[:8], "little")
+            regs[i] = h & mask
+            rest = h >> HLL_P
+            rhos[i] = width + 1 - rest.bit_length()
+        # batch-local (type, register) max-combine
+        key = tu[:, 0] * (mask + 1) + regs
+        out_k = np.unique(key)
+        out_m = np.zeros(len(out_k), np.int64)
+        np.maximum.at(out_m, np.searchsorted(out_k, key), rhos)
+        return pa.table({
+            "event_type": enc.dictionary.take(
+                pa.array(out_k // (mask + 1), pa.int32())),
+            "register": pa.array(out_k % (mask + 1), pa.int64()),
+            "rho": pa.array(out_m, pa.int64())})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "register"])
+            .aggregate(Max("rho", alias_name="max_rho")))
+
+
+TYPE_HLL_ORACLE_SQL = f"""
+WITH h AS (SELECT DISTINCT event_type,
+                  md5_number_upper(CAST(user_id AS VARCHAR)) AS x
+           FROM events),
+r AS (SELECT event_type,
+             CAST(x % {1 << HLL_P} AS BIGINT) AS register,
+             CAST(CASE WHEN (x >> {HLL_P}) = 0 THEN {64 - HLL_P + 1}
+                  ELSE {64 - HLL_P + 1} - length(bin(x >> {HLL_P}))
+                  END AS BIGINT) AS rho
+      FROM h)
+SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY event_type, register
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (cross-snapshot validation primitive)
+
+CHECKSUM_MOD = 1 << 36   # partial sums of <2^36 values stay exact in
+                         # int64 for up to 2^27 batches
+
+
+def documents_checksum(sf_dir: str):
+    """One-row table fingerprint for cross-cluster / cross-snapshot
+    validation: row count, id range, and an order-independent content
+    checksum — the sum (mod 2^36) of a 64-bit md5 of each row's
+    canonical serialization (``doc_id|md5(text)``). Commutative
+    arithmetic means ANY partitioning, block order, or re-aggregation
+    tree yields the identical value, so two clusters can compare
+    tables by exchanging one row. Map-side partials (one row per
+    batch) feed a constant-key reduce; the mod keeps every partial
+    below 2^36 so int64 sums stay exact to 2^27 batches.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    mid = pa.schema([("k", pa.int64()), ("n_rows", pa.int64()),
+                     ("checksum", pa.int64()),
+                     ("min_id", pa.int64()), ("max_id", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        total = 0
+        for d, x in zip(ids, t["text"].to_pylist()):
+            row = f"{int(d)}|{hashlib.md5((x or '').encode()).hexdigest()}"
+            total += int.from_bytes(
+                hashlib.md5(row.encode()).digest()[:8], "little")
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_rows": pa.array([len(ids)], pa.int64()),
+            "checksum": pa.array([total % CHECKSUM_MOD], pa.int64()),
+            "min_id": pa.array([int(ids.min()) if len(ids) else 2**62],
+                               pa.int64()),
+            "max_id": pa.array([int(ids.max()) if len(ids) else -2**62],
+                               pa.int64()),
+        }, schema=mid)
+
+    out_schema = pa.schema([("n_rows", pa.int64()), ("checksum", pa.int64()),
+                            ("min_id", pa.int64()), ("max_id", pa.int64())])
+
+    def reduce_all(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([pc.sum(t["n_rows"]).as_py()], pa.int64()),
+            "checksum": pa.array(
+                [pc.sum(t["checksum"]).as_py() % CHECKSUM_MOD], pa.int64()),
+            "min_id": pa.array([pc.min(t["min_id"]).as_py()], pa.int64()),
+            "max_id": pa.array([pc.max(t["max_id"]).as_py()], pa.int64()),
+        }, schema=out_schema)
+
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("k").map_groups(reduce_all, batch_format="pyarrow"))
+
+
+CHECKSUM_ORACLE_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(md5_number_upper(CAST(doc_id AS VARCHAR) || '|'
+                                 || md5(coalesce(text, '')))
+                % {CHECKSUM_MOD}) % {CHECKSUM_MOD} AS BIGINT) AS checksum,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+""".strip()

@@ -526,3 +526,75 @@ SELECT user_id, event_id,
        CAST((n - rkd + 1) * 1000000 // n AS BIGINT) AS cdist_ppm
 FROM r
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Session-grain table (gaps-and-islands with full session rows)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_session_table(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Sessionization at SESSION grain: one row per (user, session)
+    with the 1-based session index, start/end timestamps (µs), event
+    count and duration — the gaps-and-islands shape (sessions split at
+    > 30 min silence; `events_sessions` only reports per-user counts).
+    One groupby(user) exchange; the group kernel is a sort, a gap
+    compare, a cumsum for the session ids, and run-boundary reduceat
+    sums — no per-row Python.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("session_idx", pa.int64()),
+        ("start_us", pa.int64()), ("end_us", pa.int64()),
+        ("n_events", pa.int64()), ("duration_us", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        n = len(ts)
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        np.greater(ts[1:] - ts[:-1], gap_us, out=new_s[1:])
+        starts = np.flatnonzero(new_s)
+        ends = np.r_[starts[1:], n] - 1
+        return pa.table({
+            "user_id": pa.array(
+                np.full(len(starts), t["user_id"][0].as_py(), np.int64)),
+            "session_idx": pa.array(np.arange(1, len(starts) + 1,
+                                              dtype=np.int64)),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends], pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "duration_us": pa.array(ts[ends] - ts[starts], pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+SESSION_TABLE_ORACLE_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY user_id, sid
+""".strip()

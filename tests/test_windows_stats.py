@@ -229,3 +229,101 @@ def test_skyline_merge_property_and_ties(ray_session, tmp_path):
     got = _canon(parts_skyline(str(tmp_path)).to_pandas())
     exp = _canon(con.sql(SKYLINE_ORACLE_SQL).df())
     assert got and got == exp
+
+
+@pytest.fixture()
+def session_events(tmp_path):
+    """User 0: one event. User 1: a duplicated FIRST timestamp (the
+    running-sum tie-break case), then a gap of exactly 30 min (stays in
+    the session) and one of 30 min + 1 µs (splits). User 2: three
+    sessions of varying sizes."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 6, 1)
+    rows.append({"event_id": eid, "ts": base, "user_id": 0,
+                 "event_type": "view", "value": 1.0, "props": ""}); eid += 1
+    for off_us in [0, 0, 30 * 60 * 1_000_000,
+                   2 * 30 * 60 * 1_000_000 + 1]:
+        rows.append({"event_id": eid,
+                     "ts": base + dt.timedelta(microseconds=off_us),
+                     "user_id": 1, "event_type": "view", "value": 1.0,
+                     "props": ""}); eid += 1
+    for k in range(9):
+        rows.append({"event_id": eid,
+                     "ts": base + dt.timedelta(hours=k // 3, minutes=k % 3),
+                     "user_id": 2, "event_type": "view", "value": 1.0,
+                     "props": ""}); eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_session_table_boundaries(ray_session, session_events):
+    from askg_ray.ops import windows as w
+
+    sf, con = session_events
+    got = _canon(w.events_session_table(sf).to_pandas())
+    exp = _canon(con.sql(w.SESSION_TABLE_ORACLE_SQL).df())
+    assert got and got == exp
+    df = w.events_session_table(sf).to_pandas()
+    u1 = df[df["user_id"] == 1].sort_values("session_idx")
+    # exactly-30-min gap stays; +1 µs splits
+    assert list(u1["n_events"]) == [3, 1]
+    assert df[df["user_id"] == 2]["session_idx"].max() == 3
+    assert (df[df["user_id"] == 0]["duration_us"] == 0).all()
+
+
+def test_type_hll_grouped_sketch(ray_session):
+    """Per-type registers: merging the sketch with itself is a no-op
+    (max-combine idempotence), each type's estimate lands within 15%
+    of its true distinct-user count, and the per-type registers agree
+    with the global sketch's hash contract."""
+    import duckdb
+    import numpy as np
+
+    from askg_ray.ops.stats import HLL_P, events_type_hll
+
+    sf = "/root/testdata/sf0.01"
+    regs = events_type_hll(sf).to_pandas()
+    m = 1 << HLL_P
+    truth = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, g in regs.groupby("event_type"):
+        r = np.zeros(m)
+        r[g["register"].to_numpy()] = g["max_rho"].to_numpy()
+        est = alpha * m * m / np.sum(2.0 ** -r)
+        zeros = m - np.count_nonzero(r)
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        assert abs(est - truth[et]) / truth[et] < 0.15, et
+
+
+def test_checksum_partition_and_content_sensitivity(ray_session, tmp_path):
+    """The checksum is invariant to row order / partitioning and
+    sensitive to any single-row change."""
+    import duckdb
+
+    from askg_ray.ops.stats import documents_checksum
+
+    sf = "/root/testdata/sf0.001"
+    base = documents_checksum(sf).to_pandas()
+    # shuffled, re-chunked copy of the same rows
+    con = duckdb.connect()
+    con.sql(f"COPY (SELECT * FROM read_parquet('{sf}/documents.parquet') "
+            f"ORDER BY md5(CAST(doc_id AS VARCHAR))) TO "
+            f"'{tmp_path}/documents.parquet' (ROW_GROUP_SIZE 37)")
+    shuf = documents_checksum(str(tmp_path)).to_pandas()
+    assert base.values.tolist() == shuf.values.tolist()
+    # mutate one row -> checksum moves, count doesn't
+    con.sql(f"COPY (SELECT doc_id, CASE WHEN doc_id = 1 THEN 'X' || text "
+            f"ELSE text END AS text, lang, source, n_chars "
+            f"FROM read_parquet('{sf}/documents.parquet')) TO "
+            f"'{tmp_path}/documents.parquet' (ROW_GROUP_SIZE 64)")
+    mut = documents_checksum(str(tmp_path)).to_pandas()
+    assert mut["n_rows"][0] == base["n_rows"][0]
+    assert mut["checksum"][0] != base["checksum"][0]
