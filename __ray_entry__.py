@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_return_customers": joins.top_return_customers,
         "events_funnel": funnel.events_funnel,
         "events_cohort_retention": funnel.events_cohort_retention,
+        "events_rfm": funnel.events_rfm,
+        "events_first_per_window": relational.events_first_per_window,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
         "customer_supplier_degree": graph.customer_supplier_degree,
@@ -426,7 +428,8 @@ def oracle_sql() -> dict[str, str]:
         SPLIT_ORACLE_SQL,
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
-    from askg_ray.ops.funnel import COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL
+    from askg_ray.ops.funnel import (COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL,
+                                     RFM_ORACLE_SQL)
     from askg_ray.ops.graph import (COMPONENTS_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL)
@@ -452,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
         ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, GAP_FILL_ORACLE_SQL,
         PIVOT_ORACLE_SQL,
+        FIRST_PER_WINDOW_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SKYLINE_ORACLE_SQL,
         SLIDING_ORACLE_SQL, UNPIVOT_ORACLE_SQL,
@@ -543,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
         "top_return_customers": RETURN_CUSTOMERS_ORACLE_SQL,
         "events_funnel": FUNNEL_ORACLE_SQL,
         "events_cohort_retention": COHORT_ORACLE_SQL,
+        "events_rfm": RFM_ORACLE_SQL,
+        "events_first_per_window": FIRST_PER_WINDOW_ORACLE_SQL,
         "events_type_median": TYPE_MEDIAN_ORACLE_SQL,
         "events_share_of_day": SHARE_ORACLE_SQL,
         "events_percent_rank": PERCENT_RANK_ORACLE_SQL,

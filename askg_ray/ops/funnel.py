@@ -174,3 +174,123 @@ SELECT f.cohort AS cohort_day,
 FROM d JOIN f USING (user_id)
 GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# RFM quartile segmentation
+
+DAY_US = 86_400_000_000
+RFM_NQ = 4
+
+
+def events_rfm(sf_dir: str, nq: int = RFM_NQ):
+    """RFM segmentation: every user's recency (last-active day),
+    frequency (event count) and monetary (cents sum) land in exact
+    corpus-wide quartiles (1..nq), plus the concatenated segment code
+    ('444' = best). ntile semantics exactly — quartile = 1 + rank·nq //
+    n_users with rank over (metric, user_id) — but WITHOUT a global
+    sort: recency is quantized to days so each metric is
+    low-cardinality, and each quartile pass is the value-keyed prefix
+    scan (per-value groupby counts → driver prefix offsets over the
+    distinct-value histogram → per-value groups rank locally by
+    user_id). Three chained passes over the one-row-per-user metric
+    table; driver state = three distinct-value histograms, bounded by
+    the value domains (days, max events/user, cents range), never by
+    user count.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // DAY_US
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        g = (pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                       "r_day": pa.array(day), "cents": pa.array(cents)})
+             .group_by("user_id")
+             .aggregate([("r_day", "max"), ("cents", "sum"),
+                         ([], "count_all")]))
+        return pa.table({"user_id": g["user_id"],
+                         "r_day": g["r_day_max"],
+                         "f_n": g["count_all"].cast(pa.int64()),
+                         "m_cents": g["cents_sum"]})
+
+    metrics = (ev.map_batches(partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Max("r_day", alias_name="r_day"),
+                          Sum("f_n", alias_name="f_n"),
+                          Sum("m_cents", alias_name="m_cents"))
+               .materialize())
+    total = metrics.count()
+    if total == 0:
+        return rd.from_arrow(pa.schema(
+            [("user_id", pa.int64()), ("r_day", pa.int64()),
+             ("f_n", pa.int64()), ("m_cents", pa.int64()),
+             ("r_q", pa.int64()), ("f_q", pa.int64()),
+             ("m_q", pa.int64()), ("segment", pa.string())]).empty_table())
+
+    def quartile_pass(ds, col: str, qcol: str):
+        """One value-keyed prefix scan: adds ``qcol`` (1..nq) ranked by
+        (col, user_id), carrying every existing column through."""
+        from ray.data.aggregate import Count as _Count
+
+        hist = (ds.select_columns([col]).groupby(col)
+                .aggregate(_Count(alias_name="c")).to_pandas()
+                .sort_values(col))
+        offs = np.concatenate([[0], np.cumsum(hist["c"].to_numpy())[:-1]])
+        offsets_ref = ray.put(dict(zip(hist[col].astype(int), offs)))
+
+        def rank_group(g: pa.Table) -> pa.Table:
+            offsets = ray.get(offsets_ref)
+            g = g.take(pc.sort_indices(
+                g, sort_keys=[("user_id", "ascending")]))
+            base = int(offsets[int(g[col][0].as_py())])
+            rk = base + np.arange(g.num_rows)
+            return g.append_column(
+                qcol, pa.array(1 + (rk * nq) // total, pa.int64()))
+
+        return (ds.groupby(col).map_groups(rank_group,
+                                           batch_format="pyarrow")
+                .materialize())
+
+    out = quartile_pass(metrics, "r_day", "r_q")
+    out = quartile_pass(out, "f_n", "f_q")
+    out = quartile_pass(out, "m_cents", "m_q")
+
+    def seg(t: pa.Table) -> pa.Table:
+        code = pc.binary_join_element_wise(
+            pc.cast(t["r_q"], pa.string()), pc.cast(t["f_q"], pa.string()),
+            pc.cast(t["m_q"], pa.string()), "")
+        return t.append_column("segment", code)
+
+    return out.map_batches(seg, batch_format="pyarrow")
+
+
+RFM_ORACLE_SQL = f"""
+WITH m AS (
+  SELECT user_id,
+         CAST(epoch_us(max(ts)) // {DAY_US} AS BIGINT) AS r_day,
+         count(*) AS f_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT user_id, r_day, f_n, m_cents,
+         row_number() OVER (ORDER BY r_day, user_id) - 1 AS rr,
+         row_number() OVER (ORDER BY f_n, user_id) - 1 AS fr,
+         row_number() OVER (ORDER BY m_cents, user_id) - 1 AS mr,
+         count(*) OVER () AS n
+  FROM m)
+SELECT user_id, r_day, CAST(f_n AS BIGINT) AS f_n, m_cents,
+       CAST(1 + rr * {RFM_NQ} // n AS BIGINT) AS r_q,
+       CAST(1 + fr * {RFM_NQ} // n AS BIGINT) AS f_q,
+       CAST(1 + mr * {RFM_NQ} // n AS BIGINT) AS m_q,
+       CAST(1 + rr * {RFM_NQ} // n AS VARCHAR)
+         || CAST(1 + fr * {RFM_NQ} // n AS VARCHAR)
+         || CAST(1 + mr * {RFM_NQ} // n AS VARCHAR) AS segment
+FROM r
+""".strip()

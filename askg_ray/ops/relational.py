@@ -1165,3 +1165,60 @@ UNION ALL
 SELECT p_partkey, 'price_c' AS attr,
        CAST(round(p_retailprice * 100) AS BIGINT) AS val FROM part
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON / first-occurrence-per-window dedup
+
+
+def events_first_per_window(sf_dir: str):
+    """Event-log dedup at (user, day, type) grain: keep the first
+    arrival (min event_id) per window and report how many duplicates
+    it absorbed — the DISTINCT ON shape that turns an at-least-once
+    event stream into an exactly-once one. Per-batch Arrow group_by
+    shrinks to (window → min, count) partials before the single keyed
+    groupby, so the exchange carries windows, never events.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"].cast(pa.timestamp("us")),
+                                unit="day").cast(pa.int64())
+        g = (pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                       "day_us": day,
+                       "event_type": t["event_type"],
+                       "event_id": t["event_id"].cast(pa.int64())})
+             .group_by(["user_id", "day_us", "event_type"])
+             .aggregate([("event_id", "min"), ([], "count_all")]))
+        return pa.table({"user_id": g["user_id"], "day_us": g["day_us"],
+                         "event_type": g["event_type"],
+                         "first_eid": g["event_id_min"],
+                         "n_dups": g["count_all"].cast(pa.int64())})
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "day_us", "event_type"])
+           .aggregate(Min("first_eid", alias_name="first_event_id"),
+                      Sum("n_dups", alias_name="n_in_window")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "day": t["day_us"].cast(pa.timestamp("us")),
+            "event_type": t["event_type"],
+            "first_event_id": t["first_event_id"].cast(pa.int64()),
+            "n_in_window": t["n_in_window"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+FIRST_PER_WINDOW_ORACLE_SQL = """
+SELECT user_id, date_trunc('day', ts) AS day, event_type,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       count(*) AS n_in_window
+FROM events GROUP BY 1, 2, 3
+""".strip()

@@ -547,3 +547,57 @@ def test_token_fuzzy_pairs_adversarial(ray_session, typo_corpus):
     assert not any("rarely" in p or "abc" in p for p in pairs)  # filtered
     # each unordered pair appears exactly once despite multi-key blocking
     assert got_df.groupby(["tok_a", "tok_b"]).size().max() == 1
+
+
+@pytest.fixture()
+def rfm_events(tmp_path):
+    """All users share ONE frequency (f quartiles split purely by the
+    user_id tie-break), monetary values collide in pairs, and user 9's
+    duplicate same-day events exercise the first-per-window dedup."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 5, 1)
+    for u in range(10):
+        for k in range(3):                      # same f_n = 3 for all
+            rows.append({"event_id": eid,
+                         "ts": base + dt.timedelta(days=u, hours=k),
+                         "user_id": u, "event_type": "view",
+                         "value": float((u // 2) * 10),   # paired ties
+                         "props": ""}); eid += 1
+    for k in range(4):                          # dup (user, day, type)
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(minutes=k),
+                     "user_id": 9, "event_type": "click", "value": 1.0,
+                     "props": ""}); eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_rfm_and_first_per_window(ray_session, rfm_events):
+    from askg_ray.ops.funnel import RFM_ORACLE_SQL, events_rfm
+    from askg_ray.ops.relational import (FIRST_PER_WINDOW_ORACLE_SQL,
+                                         events_first_per_window)
+
+    sf, con = rfm_events
+    for fn, sql in [(events_rfm, RFM_ORACLE_SQL),
+                    (events_first_per_window, FIRST_PER_WINDOW_ORACLE_SQL)]:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got and got == exp, fn.__name__
+    rfm = events_rfm(sf).to_pandas().sort_values("user_id")
+    # 10 users, all-tied frequency: ntile semantics put users 0-2 in f_q
+    # 1 ... 8-9 in f_q 4, split ONLY by user_id
+    u9 = rfm[rfm["user_id"] == 9].iloc[0]
+    assert list(rfm["f_q"])[:3] == [1, 1, 1] and u9["f_q"] == 4
+    assert u9["f_n"] == 7                        # the 4 dup clicks count
+    assert (rfm["segment"] ==
+            rfm["r_q"].astype(str) + rfm["f_q"].astype(str)
+            + rfm["m_q"].astype(str)).all()
+    # recency strictly increases with user_id here -> r_q non-decreasing
+    assert rfm["r_q"].is_monotonic_increasing
+    fw = events_first_per_window(sf).to_pandas()
+    dup = fw[(fw["user_id"] == 9) & (fw["event_type"] == "click")]
+    assert len(dup) == 1 and dup.iloc[0]["n_in_window"] == 4
+    assert dup.iloc[0]["first_event_id"] == 30
