@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangle_count": graph.parts_triangle_count,
         "parts_components": graph.parts_components,
         "parts_kcore": graph.parts_kcore,
+        "parts_bfs_hops": graph.parts_bfs_hops,
+        "events_types_csv": stats.events_types_csv,
+        "events_key_skew": stats.events_key_skew,
         # -- window-function family (SQL-checked) --------------------------
         "events_rank_family": windows.events_rank_family,
         "events_first_last": windows.events_first_last,
@@ -430,7 +433,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.funnel import (COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL,
                                      RFM_ORACLE_SQL)
-    from askg_ray.ops.graph import (COMPONENTS_ORACLE_SQL,
+    from askg_ray.ops.graph import (BFS_ORACLE_SQL, COMPONENTS_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL)
     from askg_ray.ops.webqual import (CONTAINMENT_ORACLE_SQL,
@@ -464,7 +467,8 @@ def oracle_sql() -> dict[str, str]:
         COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
-        PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL,
+        KEY_SKEW_ORACLE_SQL,
+        PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL, TYPES_CSV_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
         REGRESSION_ORACLE_SQL, STRATIFIED_ORACLE_SQL,
@@ -566,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_gopher_quality": GOPHER_ORACLE_SQL,
         "doc_prefix_containment": CONTAINMENT_ORACLE_SQL,
         "parts_kcore": KCORE_ORACLE_SQL,
+        "parts_bfs_hops": BFS_ORACLE_SQL,
+        "events_types_csv": TYPES_CSV_ORACLE_SQL,
+        "events_key_skew": KEY_SKEW_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "embedding_kmeans": KMEANS_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,

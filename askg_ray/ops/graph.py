@@ -19,6 +19,7 @@ can compare successive rank tables with one extra join).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -574,3 +575,135 @@ SELECT -1, -1 FROM conv WHERE bad > 0"""
 
 
 KCORE_ORACLE_SQL = _kcore_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from a canonical source (frontier-iterative)
+
+BFS_MAX_ROUNDS = 40
+
+
+def parts_bfs_hops(sf_dir: str, max_rounds: int = BFS_MAX_ROUNDS,
+                   num_partitions: int | None = None):
+    """Unweighted shortest-path hop counts over the co-order graph from
+    a canonical source (the minimum partkey that appears in any edge) —
+    the frontier-expansion iterative shape (SSSP/BFS) the degree/
+    components/k-core family doesn't cover: per round ONE frontier ⋈
+    edges join discovers neighbor candidates, one distinct pass and one
+    left-outer anti-join against the settled set keep only unseen
+    nodes, and the driver holds a single scalar (the round's new-node
+    count — the termination test). Rounds are bounded by the graph's
+    diameter, and the frontier join's cost by the frontier's own edge
+    cut, so the loop does strictly less work as the wave passes.
+    Unreached nodes (other components) carry no row, matching the
+    closure oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("hop", pa.int64())])
+    edges = co_order_edges(sf_dir, num_partitions)
+    e_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        # normalize: upstream groupby can emit zero-column empty blocks,
+        # which a downstream Arrow hash join rejects
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return e_schema.empty_table()
+        return pa.table({
+            "node": pa.concat_arrays([t["u"].combine_chunks(),
+                                      t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()])},
+            schema=e_schema)
+
+    e = edges.map_batches(both_dir, batch_format="pyarrow").materialize()
+    if e.count() == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    src = e.aggregate(Min("node", alias_name="m"))["m"]
+
+    dist = rd.from_arrow(pa.table({
+        "l_partkey": pa.array([src], pa.int64()),
+        "hop": pa.array([0], pa.int64())}, schema=out_schema)).materialize()
+    frontier = dist
+
+    # Both the frontier⋈edges expansion and the unseen anti-join run as
+    # MARKER-UNION groupbys (the stages/labeljoin padded-union shape),
+    # not Dataset joins — a sparse frontier hands Ray 2.49's hash-join
+    # aggregator partitions with only empty bundles, which it cannot
+    # finalize (same caveat as ops/webqual.prefix_containment).
+    def fr_mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["l_partkey"].cast(pa.int64()),
+            "nbr": pa.array(np.full(t.num_rows, -1, np.int64))},
+            schema=e_schema)
+
+    def expand(g: pa.Table) -> pa.Table:
+        nbr = g["nbr"].to_numpy(zero_copy_only=False)
+        if not (nbr == -1).any():          # node not on the frontier
+            return pa.schema([("key", pa.int64())]).empty_table()
+        return pa.table({"key": pa.array(np.unique(nbr[nbr != -1]))})
+
+    def pick_new(g: pa.Table, hop: int) -> pa.Table:
+        if pc.max(g["seen"]).as_py() == 1:  # already settled
+            return out_schema.empty_table()
+        return pa.table({
+            "l_partkey": pa.array([g["key"][0].as_py()], pa.int64()),
+            "hop": pa.array([hop], pa.int64())}, schema=out_schema)
+
+    for r in range(1, max_rounds + 1):
+        cand = (e.union(frontier.map_batches(fr_mark,
+                                             batch_format="pyarrow"))
+                .groupby("node").map_groups(expand,
+                                            batch_format="pyarrow"))
+        cand = cand.map_batches(
+            lambda t: pa.table({
+                "key": t["key"].cast(pa.int64()),
+                "seen": pa.array(np.zeros(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        settled = dist.map_batches(
+            lambda t: pa.table({
+                "key": t["l_partkey"].cast(pa.int64()),
+                "seen": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+        new = (cand.union(settled).groupby("key")
+               .map_groups(lambda g, _h=r: pick_new(g, _h),
+                           batch_format="pyarrow")
+               .materialize())
+        if new.count() == 0:
+            return dist
+        dist = dist.union(new).materialize()
+        frontier = new
+    raise RuntimeError(f"BFS did not converge in {max_rounds} rounds")
+
+
+def _bfs_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled frontier expansion with the same poison-row convergence
+    guard as the k-core oracle: if round ``rounds``+1 would still
+    discover a node, a (-1, -1) row fails the driver compare loudly."""
+    parts = ["""WITH
+li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+                   UNION ALL SELECT v AS node, u AS nbr FROM e0),
+f0 AS (SELECT min(node) AS node FROM e),
+a0 AS (SELECT node, 0 AS hop FROM f0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""f{r} AS (SELECT DISTINCT e.nbr AS node
+  FROM e JOIN f{r - 1} f ON f.node = e.node
+  WHERE e.nbr NOT IN (SELECT node FROM a{r - 1})),
+a{r} AS MATERIALIZED (SELECT * FROM a{r - 1}
+        UNION ALL SELECT node, {r} AS hop FROM f{r})""")
+    return ",\n".join(parts) + f""",
+probe AS (SELECT DISTINCT e.nbr AS node
+  FROM e JOIN f{rounds} f ON f.node = e.node
+  WHERE e.nbr NOT IN (SELECT node FROM a{rounds}))
+SELECT node AS l_partkey, CAST(hop AS BIGINT) AS hop FROM a{rounds}
+UNION ALL
+SELECT -1, -1 FROM probe"""
+
+
+BFS_ORACLE_SQL = _bfs_oracle_sql()

@@ -1260,3 +1260,94 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(max(doc_id) AS BIGINT) AS max_id
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# collect_set: distinct event types per user as a sorted CSV
+
+
+def events_types_csv(sf_dir: str):
+    """Per-user DISTINCT event-type set rendered as a sorted
+    comma-joined string plus its cardinality — the collect_set /
+    array_agg(DISTINCT) shape, hash-stable because the join order is
+    pinned. Per-batch distinct (user, type) partials bound the
+    exchange at |users seen| x |vocab| rows per batch; the
+    groupby(user) kernel re-distincts and joins <= vocab short
+    strings."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"user_id": g["user_id"].cast(pa.int64()),
+                         "event_type": g["event_type"]})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("types_csv", pa.string()),
+                            ("n_types", pa.int64())])
+
+    def reduce_user(t: pa.Table) -> pa.Table:
+        types = sorted(set(t["event_type"].to_pylist()))
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "types_csv": pa.array([",".join(types)], pa.string()),
+            "n_types": pa.array([len(types)], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(reduce_user,
+                                           batch_format="pyarrow"))
+
+
+TYPES_CSV_ORACLE_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+           AS types_csv,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (group-size histogram)
+
+
+def events_key_skew(sf_dir: str):
+    """Skew diagnostic for a prospective join/groupby key: the
+    distribution of group sizes for user_id — (group_size, n_keys)
+    rows, the report that tells you whether a key needs salting BEFORE
+    you shuffle on it. Two shrinking exchanges: per-batch (user, n)
+    partials -> groupby(user) sum -> per-batch size-histogram partials
+    -> groupby(size) sum. The final key space is the distinct group
+    sizes, never users or events."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"].cast(pa.int64()),
+                         "n": g["count_all"].cast(pa.int64())})
+
+    per_user = (ev.map_batches(partial, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["n"]).group_by("n")
+             .aggregate([([], "count_all")]))
+        return pa.table({"group_size": g["n"].cast(pa.int64()),
+                         "n_keys": g["count_all"].cast(pa.int64())})
+
+    return (per_user.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("group_size")
+            .aggregate(Sum("n_keys", alias_name="n_keys")))
+
+
+KEY_SKEW_ORACLE_SQL = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT n AS group_size, count(*) AS n_keys FROM c GROUP BY n
+""".strip()

@@ -601,3 +601,45 @@ def test_rfm_and_first_per_window(ray_session, rfm_events):
     dup = fw[(fw["user_id"] == 9) & (fw["event_type"] == "click")]
     assert len(dup) == 1 and dup.iloc[0]["n_in_window"] == 4
     assert dup.iloc[0]["first_event_id"] == 30
+
+
+def test_bfs_hops_path_graph(ray_session, tmp_path):
+    """Handcrafted path graph 1-2-3-4-5 (one co-order pair per order)
+    plus an isolated part 99: hops are exact, the isolated part is
+    unreached, and the oracle agrees including its convergence probe."""
+    import duckdb
+
+    from askg_ray.ops.graph import BFS_ORACLE_SQL, parts_bfs_hops
+
+    li = [{"l_orderkey": 100 + i, "l_partkey": p}
+          for i, pair in enumerate([(1, 2), (2, 3), (3, 4), (4, 5)])
+          for p in pair]
+    li.append({"l_orderkey": 900, "l_partkey": 99})  # isolated
+    pq.write_table(pa.Table.from_pylist(li),
+                   str(tmp_path / "lineitem.parquet"))
+    got = parts_bfs_hops(str(tmp_path)).to_pandas()
+    assert dict(zip(got["l_partkey"], got["hop"])) == {
+        1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+    exp = con.sql(BFS_ORACLE_SQL).df()
+    assert _canon(got) == _canon(exp)
+
+
+def test_types_csv_and_key_skew(ray_session, rfm_events):
+    from askg_ray.ops.stats import (KEY_SKEW_ORACLE_SQL,
+                                    TYPES_CSV_ORACLE_SQL, events_key_skew,
+                                    events_types_csv)
+
+    sf, con = rfm_events
+    for fn, sql in [(events_types_csv, TYPES_CSV_ORACLE_SQL),
+                    (events_key_skew, KEY_SKEW_ORACLE_SQL)]:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got and got == exp, fn.__name__
+    csv = events_types_csv(sf).to_pandas().set_index("user_id")
+    assert csv.loc[9, "types_csv"] == "click,view"    # sorted distinct
+    assert csv.loc[0, "n_types"] == 1
+    sk = events_key_skew(sf).to_pandas().set_index("group_size")
+    assert sk.loc[3, "n_keys"] == 9 and sk.loc[7, "n_keys"] == 1
