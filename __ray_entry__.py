@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": windows.events_percent_rank,
         "events_mode_type": stats.events_mode_type,
         "events_markov": stats.events_markov,
+        "events_window_distinct": windows.events_window_distinct,
+        "events_type_runs": windows.events_type_runs,
+        "events_props_flatten": stats.events_props_flatten,
+        "docs_bottomk_per_lang": curation.docs_bottomk_per_lang,
         # -- dedup family --------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_dedup,
@@ -421,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.curation import (
         BOTTOMK_ORACLE_SQL,
+        BOTTOMK_PER_LANG_ORACLE_SQL,
         CHUNK_ORACLE_SQL,
         CORPUS_PREP_ORACLE_SQL,
         DECON_ORACLE_SQL,
@@ -468,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
         KEY_SKEW_ORACLE_SQL,
+        PROPS_FLATTEN_ORACLE_SQL,
         PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL, TYPES_CSV_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
         NOVELTY_ORACLE_SQL, OUTLIERS_ORACLE_SQL,
@@ -483,7 +489,8 @@ def oracle_sql() -> dict[str, str]:
         RANGE_JOIN_ORACLE_SQL,
         RANK_FAMILY_ORACLE_SQL,
         SESSION_TABLE_ORACLE_SQL,
-        SHARE_ORACLE_SQL)
+        SHARE_ORACLE_SQL, TYPE_RUNS_ORACLE_SQL,
+        WINDOW_DISTINCT_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -558,6 +565,10 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": PERCENT_RANK_ORACLE_SQL,
         "events_mode_type": MODE_ORACLE_SQL,
         "events_markov": MARKOV_ORACLE_SQL,
+        "events_window_distinct": WINDOW_DISTINCT_ORACLE_SQL,
+        "events_type_runs": TYPE_RUNS_ORACLE_SQL,
+        "events_props_flatten": PROPS_FLATTEN_ORACLE_SQL,
+        "docs_bottomk_per_lang": BOTTOMK_PER_LANG_ORACLE_SQL,
         "parts_skyline": SKYLINE_ORACLE_SQL,
         "parts_unpivot": UNPIVOT_ORACLE_SQL,
         "doc_inverted_index": INVERTED_ORACLE_SQL,

@@ -34,6 +34,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -595,4 +596,59 @@ SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority
 FROM documents
 ORDER BY priority, doc_id
 LIMIT {BOTTOMK_K}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-group bottom-k sample (stratified fixed-size, mergeable)
+
+BOTTOMK_GROUP_K = 5
+
+
+def docs_bottomk_per_lang(sf_dir: str, k: int = BOTTOMK_GROUP_K):
+    """Exactly-k-PER-LANGUAGE deterministic sample — the per-stratum
+    bottom-k sketch (``docs_stratified_sample`` keeps a rate, so its
+    stratum sizes drift with the corpus; this pins them). Per-batch
+    kernel: one lexsort, keep each language's k smallest md5
+    priorities — so the groupby(lang) exchange carries at most
+    k × |langs seen| rows per batch, and the per-lang reduce merges
+    bounded partials with the same rule. Mergeable under any
+    partitioning, like every bottom-k/top-k in this repo.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    out_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                            ("priority", pa.string())])
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        ks = pa.array([hashlib.md5(str(d).encode()).hexdigest()
+                       for d in t["doc_id"].to_pylist()], pa.string())
+        t = pa.table({"lang": t["lang"], "doc_id": t["doc_id"].cast(
+            pa.int64()), "priority": ks}, schema=out_schema)
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("lang", "ascending"), ("priority", "ascending"),
+            ("doc_id", "ascending")]))
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        # positions within each lang run; keep rank < k
+        pos = np.arange(len(langs)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(langs)]))
+        return t.filter(pa.array(pos < k))
+
+    return (docs.map_batches(local_bottomk, batch_format="pyarrow")
+            .groupby("lang").map_groups(local_bottomk,
+                                        batch_format="pyarrow"))
+
+
+BOTTOMK_PER_LANG_ORACLE_SQL = f"""
+WITH p AS (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents)
+SELECT lang, doc_id, priority FROM p WHERE rn <= {BOTTOMK_GROUP_K}
 """.strip()

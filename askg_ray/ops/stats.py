@@ -1351,3 +1351,49 @@ KEY_SKEW_ORACLE_SQL = """
 WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
 SELECT n AS group_size, count(*) AS n_keys FROM c GROUP BY n
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# JSON flatten (semi-structured props -> typed columns, per row)
+
+
+def events_props_flatten(sf_dir: str):
+    """Row-level JSON flatten of ``props`` into typed columns — the
+    ETL sibling of the ``events_props_stats`` AGGREGATE: every event
+    keeps its extracted integer field (-1 when absent/malformed, same
+    sentinel convention) plus a 0/1 validity flag. Map-only — one
+    vectorized ``extract_regex`` per batch, no exchange, streams at
+    any scale.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("k", pa.int64()), ("has_k", pa.int64())])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ex = pc.struct_field(pc.extract_regex(
+            pc.fill_null(t["props"], ""),
+            pattern=r'"' + PROPS_FIELD + r'":\s*(?P<v>\d+)'), "v")
+        k = pc.fill_null(pc.cast(ex, pa.int64()), -1)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "k": k,
+            "has_k": pc.cast(pc.greater_equal(k, 0), pa.int64()),
+        }, schema=out_schema)
+
+    return ev.map_batches(flatten, batch_format="pyarrow")
+
+
+PROPS_FLATTEN_ORACLE_SQL = f"""
+WITH x AS (
+  SELECT event_id,
+         TRY_CAST(regexp_extract(props, '"{PROPS_FIELD}":\\s*(\\d+)', 1)
+                  AS BIGINT) AS kk
+  FROM events)
+SELECT event_id, CAST(coalesce(kk, -1) AS BIGINT) AS k,
+       CAST(CASE WHEN kk IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_k
+FROM x
+""".strip()

@@ -598,3 +598,150 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM s GROUP BY user_id, sid
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Windowed DISTINCT count (distinct event types in a trailing 24 h window)
+
+
+def events_window_distinct(sf_dir: str):
+    """Per event: how many DISTINCT event types the user produced in
+    the trailing 24 h RANGE window (inclusive of now) — the windowed
+    COUNT(DISTINCT) the sliding count can't answer. One groupby(user);
+    the group kernel never materializes per-window sets: an event
+    contributes +1 exactly when its PREVIOUS same-type occurrence
+    falls outside the window, so two searchsorted passes (window
+    starts; per-type previous index via one stable argsort) plus a
+    cumulative sum of +1/-1 deltas give every window's distinct count
+    in O(n log n) per group.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("n_distinct", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)[order]
+        n = len(ts)
+        # prev[i] = row index of the previous same-type event (-1 first)
+        prev = np.full(n, -1, np.int64)
+        o = np.argsort(codes, kind="stable")   # groups same-type runs
+        sc = codes[o]
+        same = np.flatnonzero(sc[1:] == sc[:-1]) + 1
+        prev[o[same]] = o[same - 1]
+        # window(i') covers row indices [lo[i'], hi[i']] — a RANGE frame
+        # is value-defined, so it includes equal-ts peers AFTER i' too
+        lo = np.searchsorted(ts, ts - DAY_US, side="left")
+        hi = np.searchsorted(ts, ts, side="right") - 1
+        # distinct(i') = #{i : lo' <= i <= hi', prev[i] < lo'} — each
+        # type counted once, at its first in-window occurrence. Row i
+        # satisfies that for a CONTIGUOUS run of windows (lo, hi are
+        # nondecreasing): from max(first i' with hi' >= i, first i'
+        # with lo' > prev[i]) until lo' passes i itself (where the
+        # type's next occurrence, if in window, takes over seamlessly:
+        # its prev == i < lo'). One +1/-1 delta per row, one cumsum.
+        idx = np.arange(n)
+        a = np.searchsorted(hi, idx, side="left")
+        b = np.searchsorted(lo, prev, side="right")
+        c = np.searchsorted(lo, idx, side="right")
+        delta = np.zeros(n + 1, np.int64)
+        np.add.at(delta, np.maximum(a, b), 1)
+        np.subtract.at(delta, c, 1)
+        return pa.table({
+            "user_id": t["user_id"].take(pa.array(order)).cast(pa.int64()),
+            "event_id": pa.array(eid, pa.int64()),
+            "n_distinct": pa.array(np.cumsum(delta[:-1]), pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+WINDOW_DISTINCT_ORACLE_SQL = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_distinct
+FROM events
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Run-length encoding of per-user activity (value-change islands)
+
+
+def events_type_runs(sf_dir: str):
+    """Consecutive same-type runs per user in (ts, event_id) order —
+    the value-change gaps-and-islands variant (sessions split on time
+    silence; runs split on the VALUE changing): one row per run with
+    its 1-based index, type, length and start timestamp. One
+    groupby(user); the kernel is a sort, one change-compare, and
+    run-boundary arithmetic.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("run_idx", pa.int64()),
+        ("event_type", pa.string()), ("run_len", pa.int64()),
+        ("start_us", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts = ts[order]
+        types = t["event_type"].take(pa.array(order)).combine_chunks()
+        enc = pc.dictionary_encode(types)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=brk[1:])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, n])
+        return pa.table({
+            "user_id": pa.array(
+                np.full(len(starts), t["user_id"][0].as_py(), np.int64)),
+            "run_idx": pa.array(np.arange(1, len(starts) + 1,
+                                          dtype=np.int64)),
+            "event_type": types.take(pa.array(starts)),
+            "run_len": pa.array(lens, pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+        }, schema=out_schema)
+
+    return ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+TYPE_RUNS_ORACLE_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rid
+  FROM d)
+SELECT user_id, CAST(rid AS BIGINT) AS run_idx,
+       min(event_type) AS event_type, count(*) AS run_len,
+       epoch_us(min(ts)) AS start_us
+FROM s GROUP BY user_id, rid
+""".strip()

@@ -327,3 +327,70 @@ def test_checksum_partition_and_content_sensitivity(ray_session, tmp_path):
     mut = documents_checksum(str(tmp_path)).to_pandas()
     assert mut["n_rows"][0] == base["n_rows"][0]
     assert mut["checksum"][0] != base["checksum"][0]
+
+
+def test_window_distinct_and_type_runs(ray_session, modal_events):
+    """Windowed COUNT(DISTINCT) and RLE runs vs their oracles on the
+    duplicate-ts corpus; RANGE-frame peer semantics asserted
+    structurally (equal-ts rows share one distinct count)."""
+    from askg_ray.ops import windows as w
+
+    sf, con = modal_events
+    for fn, sql in [(w.events_window_distinct, w.WINDOW_DISTINCT_ORACLE_SQL),
+                    (w.events_type_runs, w.TYPE_RUNS_ORACLE_SQL)]:
+        got = _canon(fn(sf).to_pandas())
+        exp = _canon(con.sql(sql).df())
+        assert got and got == exp, fn.__name__
+    wd = w.events_window_distinct(sf).to_pandas().set_index("event_id")
+    # user 1's two equal-ts events (eids 1, 2) are RANGE peers: both
+    # windows contain both rows -> both count 2 distinct types
+    assert wd.loc[1, "n_distinct"] == 2 and wd.loc[2, "n_distinct"] == 2
+    runs = w.events_type_runs(sf).to_pandas()
+    u2 = runs[runs["user_id"] == 2]
+    assert (u2["run_len"] == 1).all() and len(u2) == 12  # alternating
+
+
+@pytest.fixture()
+def flatten_events(tmp_path):
+    texts = ['{"k": 7}', "", None, '{"j": 9}', '{"k": notanum}',
+             '{"k": 123456}']
+    rows = [{"event_id": i, "ts": dt.datetime(2024, 1, 1), "user_id": 0,
+             "event_type": "view", "value": 1.0, "props": p}
+            for i, p in enumerate(texts)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+    return str(tmp_path), con
+
+
+def test_props_flatten_malformed(ray_session, flatten_events):
+    from askg_ray.ops.stats import (PROPS_FLATTEN_ORACLE_SQL,
+                                    events_props_flatten)
+
+    sf, con = flatten_events
+    got_df = events_props_flatten(sf).to_pandas()
+    assert _canon(got_df) == _canon(con.sql(PROPS_FLATTEN_ORACLE_SQL).df())
+    by = got_df.set_index("event_id")
+    assert by.loc[0, "k"] == 7 and by.loc[0, "has_k"] == 1
+    assert (by.loc[[1, 2, 3, 4], "k"] == -1).all()
+    assert by.loc[5, "k"] == 123456 and by["has_k"].sum() == 2
+
+
+def test_bottomk_per_lang(ray_session, tiny_corpus):
+    from askg_ray.ops.curation import (BOTTOMK_PER_LANG_ORACLE_SQL,
+                                       docs_bottomk_per_lang)
+
+    sf, con = tiny_corpus
+    got = _canon(docs_bottomk_per_lang(sf).to_pandas())
+    exp = _canon(con.sql(BOTTOMK_PER_LANG_ORACLE_SQL).df())
+    assert got and got == exp
+    # k=1: exactly one doc per language, the md5-minimal one
+    one = docs_bottomk_per_lang(sf, k=1).to_pandas()
+    assert len(one) == 3 and one["lang"].is_unique
+    exp1 = con.sql(
+        "SELECT lang, min(md5(CAST(doc_id AS VARCHAR))) AS priority "
+        "FROM documents GROUP BY lang").df()
+    assert (one.sort_values("lang")["priority"].tolist()
+            == exp1.sort_values("lang")["priority"].tolist())
