@@ -233,7 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, funnel, graph, joins, packing,
                               relational, similarity, stats, text, webqual,
                               windows)
-    from askg_ray.ops.multimodal import media_features, media_frames, media_resize
+    from askg_ray.ops.multimodal import (media_dedup, media_features,
+                                         media_frames, media_resize)
 
     def fingerprints_sql_cols(sf_dir):
         return text.fingerprints(sf_dir).select_columns(["doc_id", "fp"])
@@ -373,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frames": media_frames,
+        "media_dedup": media_dedup,
+        "doc_word_bigrams": text.doc_word_bigrams,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -443,7 +446,9 @@ def oracle_sql() -> dict[str, str]:
         TRIANGLE_ORACLE_SQL)
     from askg_ray.ops.webqual import (CONTAINMENT_ORACLE_SQL,
                                       GOPHER_ORACLE_SQL)
-    from askg_ray.ops.multimodal import FRAMES_ORACLE_SQL, RESIZE_ORACLE_SQL
+    from askg_ray.ops.multimodal import (FRAMES_ORACLE_SQL,
+                                         MEDIA_DEDUP_ORACLE_SQL,
+                                         RESIZE_ORACLE_SQL)
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
                                          KMEANS_ORACLE_SQL)
     from askg_ray.ops.joins import (
@@ -483,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         BPE_ORACLE_SQL, ENCODE_ORACLE_SQL, FUZZY_PAIRS_ORACLE_SQL,
         INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
+                                   WORD_BIGRAM_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
         JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, PERCENT_RANK_ORACLE_SQL,
@@ -609,6 +615,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": STRATIFIED_ORACLE_SQL,
         "media_resize": RESIZE_ORACLE_SQL,
         "media_frames": FRAMES_ORACLE_SQL,
+        "media_dedup": MEDIA_DEDUP_ORACLE_SQL,
+        "doc_word_bigrams": WORD_BIGRAM_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

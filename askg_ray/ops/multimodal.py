@@ -238,3 +238,61 @@ f AS (SELECT media_id, unnest([{{'frame_idx': i,
       FROM m)
 SELECT media_id, frame_idx, frame_fp16 FROM f
 """.strip()
+
+
+# ---- exact payload dedup over the media pipeline ----------------------------
+
+
+def media_dedup(sf_dir: str):
+    """Exact duplicate groups over OPAQUE media payloads: the binary
+    blobs stream through the same actor-pool featurizer (fingerprints
+    computed once per payload, small batches — the multimodal batch
+    discipline), then one groupby over the 64-bit fingerprint yields
+    (fp16, n_copies, canonical_id = min media_id, n_bytes) for every
+    group with more than one copy — content-addressed dedup for an
+    image/audio lake, where payload bytes never cross the exchange
+    (only 16-hex-char fingerprints and int64s do)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    media = media_from_documents(sf_dir)
+    # deterministic re-upload stream (the at-least-once ingest every
+    # media lake sees): every media_id % 10 == 7 arrives again under a
+    # new id with byte-identical payload — mirrored in the oracle
+    def replicas(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array((ids % 10) == 7))
+        return t.set_column(
+            t.schema.get_field_index("media_id"), "media_id",
+            pa.array(t["media_id"].to_numpy(zero_copy_only=False)
+                     + 500_000, pa.int64()))
+
+    both = media.union(media.map_batches(replicas,
+                                         batch_format="pyarrow"))
+    feats = featurize_media(both)
+    thin = feats.map_batches(
+        lambda t: t.select(["media_id", "fp16", "n_bytes"]),
+        batch_format="pyarrow")
+    g = (thin.groupby("fp16")
+         .aggregate(Count(alias_name="n_copies"),
+                    Min("media_id", alias_name="canonical_id"),
+                    Max("n_bytes", alias_name="n_bytes")))
+    return g.filter(expr="n_copies > 1")
+
+
+MEDIA_DEDUP_ORACLE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substr(sha256(coalesce(text, '')), 1, 16) AS fp16,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 500000,
+         substr(sha256(coalesce(text, '')), 1, 16),
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 7)
+SELECT fp16, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(media_id) AS BIGINT) AS canonical_id,
+       CAST(max(n_bytes) AS BIGINT) AS n_bytes
+FROM m GROUP BY fp16 HAVING count(*) > 1
+""".strip()

@@ -778,3 +778,54 @@ SELECT a.tok AS tok_a, b.tok AS tok_b,
 FROM v a JOIN v b ON a.tok < b.tok
 WHERE levenshtein(a.tok, b.tok) <= {FUZZY_MAX_DIST}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram counts (n-gram LM counts at word granularity)
+
+WORD_BIGRAM_K = 30
+
+
+def doc_word_bigrams(sf_dir: str, k: int = WORD_BIGRAM_K):
+    """Top-``k`` corpus word bigrams by count ((count DESC, bigram ASC)
+    tie-break) — the word-granularity n-gram count pass every LM data
+    pipeline runs (``bpe_merge_vocab`` is the CHARACTER-pair sibling).
+    Per-batch Counter partials collapse in-batch repeats, the groupby
+    carries one row per distinct bigram per batch, and the top-k is
+    the usual per-block + bounded-merge sketch."""
+    import collections
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stats import _topk_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            ws = [w for w in (text or "").split(" ") if w]
+            c.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        ks = sorted(c)
+        return pa.table({"bigram": pa.array(ks, pa.string()),
+                         "n": pa.array([c[x] for x in ks], pa.int64())})
+
+    counts = (docs.map_batches(partial, batch_format="pyarrow")
+              .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    return _topk_table(counts, [("n", "descending"),
+                                ("bigram", "ascending")], k,
+                       pa.schema([("bigram", pa.string()),
+                                  ("n", pa.int64())]))
+
+
+WORD_BIGRAM_ORACLE_SQL = f"""
+WITH d AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                              w -> w <> '') AS ws FROM documents),
+b AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                     FOR i IN range(1, len(ws))]) AS bigram
+      FROM d WHERE len(ws) >= 2),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+SELECT bigram, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, bigram ASC LIMIT {WORD_BIGRAM_K}
+""".strip()

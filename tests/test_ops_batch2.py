@@ -643,3 +643,41 @@ def test_types_csv_and_key_skew(ray_session, rfm_events):
     assert csv.loc[0, "n_types"] == 1
     sk = events_key_skew(sf).to_pandas().set_index("group_size")
     assert sk.loc[3, "n_keys"] == 9 and sk.loc[7, "n_keys"] == 1
+
+
+@pytest.fixture()
+def dup_docs(tmp_path):
+    """Documents with exact duplicate payload bytes (docs 0/2/5 share
+    one text, 1/4 another, 3 unique, 6 empty + 7 empty — empties dup
+    too) and repeated word bigrams across docs."""
+    texts = ["spark join spark join", "fast scan", "spark join spark join",
+             "solo words here", "fast scan", "spark join spark join",
+             "", ""]
+    rows = [{"doc_id": i, "text": t, "lang": "en", "source": "s",
+             "n_chars": len(t)} for i, t in enumerate(texts)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+    return str(tmp_path), con
+
+
+def test_media_dedup_and_word_bigrams(ray_session, dup_docs):
+    from askg_ray.ops.multimodal import MEDIA_DEDUP_ORACLE_SQL, media_dedup
+    from askg_ray.ops.text import WORD_BIGRAM_ORACLE_SQL, doc_word_bigrams
+
+    sf, con = dup_docs
+    md = media_dedup(sf).to_pandas()
+    assert _canon(md) == _canon(con.sql(MEDIA_DEDUP_ORACLE_SQL).df())
+    by = md.set_index("canonical_id")
+    assert by.loc[0, "n_copies"] == 3      # docs 0/2/5
+    assert by.loc[1, "n_copies"] == 2      # docs 1/4
+    # the two empties + doc 7's re-upload replica (id 500007)
+    assert by.loc[6, "n_copies"] == 3
+    assert 3 not in set(md["canonical_id"])  # unique doc absent
+
+    wb = doc_word_bigrams(sf).to_pandas()
+    assert _canon(wb) == _canon(con.sql(WORD_BIGRAM_ORACLE_SQL).df())
+    top = wb.set_index("bigram")["n"]
+    assert top["spark join"] == 6 and top["join spark"] == 3
