@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_components": graph.parts_components,
         "parts_kcore": graph.parts_kcore,
         "parts_bfs_hops": graph.parts_bfs_hops,
+        "parts_coorder_topk": graph.parts_coorder_topk,
+        "events_value_gini": stats.events_value_gini,
         "events_types_csv": stats.events_types_csv,
         "events_key_skew": stats.events_key_skew,
         # -- window-function family (SQL-checked) --------------------------
@@ -442,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.funnel import (COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL,
                                      RFM_ORACLE_SQL)
     from askg_ray.ops.graph import (BFS_ORACLE_SQL, COMPONENTS_ORACLE_SQL,
+        COORDER_TOPK_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL)
     from askg_ray.ops.webqual import (CONTAINMENT_ORACLE_SQL,
@@ -477,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         COOCCURRENCE_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
+        GINI_ORACLE_SQL,
         KEY_SKEW_ORACLE_SQL,
         PROPS_FLATTEN_ORACLE_SQL,
         PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL, TYPES_CSV_ORACLE_SQL,
@@ -588,6 +592,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_prefix_containment": CONTAINMENT_ORACLE_SQL,
         "parts_kcore": KCORE_ORACLE_SQL,
         "parts_bfs_hops": BFS_ORACLE_SQL,
+        "parts_coorder_topk": COORDER_TOPK_ORACLE_SQL,
+        "events_value_gini": GINI_ORACLE_SQL,
         "events_types_csv": TYPES_CSV_ORACLE_SQL,
         "events_key_skew": KEY_SKEW_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,

@@ -707,3 +707,61 @@ SELECT -1, -1 FROM probe"""
 
 
 BFS_ORACLE_SQL = _bfs_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted bipartite projection, top-k (frequent-pair support counting)
+
+COORDER_TOPK = 20
+
+
+def parts_coorder_topk(sf_dir: str, k: int = COORDER_TOPK):
+    """Top-``k`` part pairs by CO-ORDER SUPPORT (how many orders
+    contain both) — the weighted bipartite-projection / frequent-
+    itemset-pair shape (`co_order_edges` keeps only the distinct edge
+    set; this keeps the weights). Same bounded pair kernel (orders
+    hold ≤7 lineitems, so each order group emits ≤21 pair rows), one
+    (u, v) groupby to sum support, then the per-block top-k + bounded
+    merge every top-k in this repo uses. Tie-break (n DESC, u, v)
+    pinned on both sides.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..rayutil import parquet_num_rows
+    from .stats import _topk_table
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("n", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ks = np.unique(g["l_partkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        if len(ks) < 2:
+            return pair_schema.empty_table()
+        iu, iv = np.triu_indices(len(ks), k=1)
+        return pa.table({"u": pa.array(ks[iu]), "v": pa.array(ks[iv])},
+                        schema=pair_schema)
+
+    support = (li.groupby("l_orderkey")
+               .map_groups(pairs, batch_format="pyarrow")
+               .groupby(["u", "v"]).aggregate(Count(alias_name="n")))
+    return _topk_table(support, [("n", "descending"), ("u", "ascending"),
+                                 ("v", "ascending")], k, out_schema)
+
+
+COORDER_TOPK_ORACLE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT u, v, CAST(n AS BIGINT) AS n
+FROM p ORDER BY n DESC, u, v LIMIT {COORDER_TOPK}
+""".strip()

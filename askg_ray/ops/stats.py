@@ -1397,3 +1397,77 @@ SELECT event_id, CAST(coalesce(kk, -1) AS BIGINT) AS k,
        CAST(CASE WHEN kk IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_k
 FROM x
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient per group (histogram-based, no global sort)
+
+
+def events_value_gini(sf_dir: str):
+    """Per-type Gini inequality index over ``value``, as EXACT integer
+    sufficient statistics: ``gini_num = Σ_i (2·rank_i − n − 1)·cents_i``
+    (= Σ_{i,j} |c_i − c_j|, tie-order invariant) and the denominator
+    parts (n, Σcents) — the consumer divides; no float ever forms, so
+    the hash can't drift. Scale shape: cents are bounded-cardinality,
+    so each batch shrinks to (type, cents) → count partials and the
+    groupby(type) kernel computes the rank sum FROM THE HISTOGRAM —
+    sorted distinct values with prefix sums of counts, never the event
+    rows. A type with a billion events costs the kernel only its
+    distinct-cents histogram.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        g = (pa.table({"event_type": t["event_type"],
+                       "cents": pa.array(cents)})
+             .group_by(["event_type", "cents"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"event_type": g["event_type"],
+                         "cents": g["cents"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()), ("sum_cents", pa.int64()),
+                            ("gini_num", pa.int64())])
+
+    def gini(g: pa.Table) -> pa.Table:
+        h = (g.select(["event_type", "cents", "c"])
+             .group_by(["event_type", "cents"]).aggregate([("c", "sum")]))
+        h = h.take(pc.sort_indices(h, sort_keys=[("cents", "ascending")]))
+        v = h["cents"].to_numpy(zero_copy_only=False)
+        c = h["c_sum"].to_numpy(zero_copy_only=False)
+        n = int(c.sum())
+        # ranks of a value run occupy [start+1, start+c]; their rank sum
+        # is c*start + c*(c+1)/2, so Σ(2·rank−n−1)·v telescopes to a
+        # prefix-sum expression over the histogram
+        start = np.concatenate([[0], np.cumsum(c)[:-1]])
+        rank_sum = c * start + c * (c + 1) // 2
+        gini_num = int(np.sum((2 * rank_sum - (n + 1) * c) * v))
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+            "sum_cents": pa.array([int(np.sum(c * v))], pa.int64()),
+            "gini_num": pa.array([gini_num], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(gini,
+                                              batch_format="pyarrow"))
+
+
+GINI_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS gini_num
+FROM c GROUP BY event_type
+""".strip()

@@ -681,3 +681,46 @@ def test_media_dedup_and_word_bigrams(ray_session, dup_docs):
     assert _canon(wb) == _canon(con.sql(WORD_BIGRAM_ORACLE_SQL).df())
     top = wb.set_index("bigram")["n"]
     assert top["spark join"] == 6 and top["join spark"] == 3
+
+
+
+def test_gini_exact_properties(ray_session, rfm_events):
+    """Histogram-based Gini equals the rank-formula oracle (tie order
+    can't matter), zero for a constant group, and equals the brute
+    pairwise |xi-xj| sum on the same rows."""
+    import itertools
+
+    from askg_ray.ops.stats import GINI_ORACLE_SQL, events_value_gini
+
+    sf, con = rfm_events
+    got_df = events_value_gini(sf).to_pandas()
+    assert _canon(got_df) == _canon(con.sql(GINI_ORACLE_SQL).df())
+    rows = con.sql("SELECT event_type, CAST(round(value*100) AS BIGINT) c "
+                   "FROM events").df()
+    for et, g in rows.groupby("event_type"):
+        xs = g["c"].tolist()
+        brute = sum(abs(a - b) for a, b in itertools.combinations(xs, 2))
+        mine = got_df.set_index("event_type").loc[et, "gini_num"]
+        assert mine == brute, et
+    click = got_df.set_index("event_type").loc["click"]
+    assert click["gini_num"] == 0          # all click values equal (1.0)
+
+
+def test_coorder_topk_support_counts(ray_session, tmp_path):
+    """Pair (1,2) co-orders twice, (2,3) once; supports and the
+    (n DESC, u, v) tie-break order are exact."""
+    import duckdb
+
+    from askg_ray.ops.graph import COORDER_TOPK_ORACLE_SQL, parts_coorder_topk
+
+    li = [{"l_orderkey": o, "l_partkey": p}
+          for o, ps in [(1, (1, 2)), (2, (1, 2, 2)), (3, (2, 3))]
+          for p in ps]
+    pq.write_table(pa.Table.from_pylist(li),
+                   str(tmp_path / "lineitem.parquet"))
+    got = parts_coorder_topk(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [[1, 2, 2], [2, 3, 1]]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+    assert _canon(got) == _canon(con.sql(COORDER_TOPK_ORACLE_SQL).df())
