@@ -229,6 +229,27 @@ def _repo_links(sf_dir):
             .map_batches(extract_repo_links_batch, batch_format="pyarrow"))
 
 
+def _sorted_export_stats(sf_dir: str):
+    """Run the resumable range-partitioned sorted Parquet sink to a
+    scratch dir and surface its per-bucket plan (deterministic given
+    the corpus — the prefix-scan bucket rule is mirrored in SQL)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from askg_ray.pipelines.export import export_sorted_parquet
+
+    out = tempfile.mkdtemp(prefix="askg_sorted_")
+    m = export_sorted_parquet(sf_dir, out)
+    rows = m["buckets"]
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+        "min_chars": pa.array([r["min_chars"] for r in rows], pa.int64()),
+        "max_chars": pa.array([r["max_chars"] for r in rows], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, funnel, graph, joins, packing,
                               relational, similarity, stats, text, webqual,
@@ -378,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "media_dedup": media_dedup,
         "doc_word_bigrams": text.doc_word_bigrams,
+        "export_sorted_stats": _sorted_export_stats,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -452,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.multimodal import (FRAMES_ORACLE_SQL,
                                          MEDIA_DEDUP_ORACLE_SQL,
                                          RESIZE_ORACLE_SQL)
+    from askg_ray.pipelines.export import SORTED_EXPORT_ORACLE_SQL
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
                                          KMEANS_ORACLE_SQL)
     from askg_ray.ops.joins import (
@@ -623,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": FRAMES_ORACLE_SQL,
         "media_dedup": MEDIA_DEDUP_ORACLE_SQL,
         "doc_word_bigrams": WORD_BIGRAM_ORACLE_SQL,
+        "export_sorted_stats": SORTED_EXPORT_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

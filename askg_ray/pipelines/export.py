@@ -161,3 +161,119 @@ def export_corpus_jsonl(sf_dir: str, out_dir: str,
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, f"{out_dir}/manifest.json")
     return manifest
+
+
+SORTED_EXPORT_BUCKETS = 16
+
+
+def export_sorted_parquet(sf_dir: str, out_dir: str,
+                          nbuckets: int = SORTED_EXPORT_BUCKETS) -> dict:
+    """Range-partitioned, globally sorted, RESUMABLE Parquet sink:
+    documents land in ``nbuckets`` shards keyed by (n_chars, doc_id)
+    such that shard i's keys all precede shard i+1's — reading shards
+    in order yields a fully sorted corpus WITHOUT any global sort
+    operator. Bucket boundaries come from the distinct-value histogram
+    (one tiny groupby; driver holds distinct n_chars values, bounded
+    by the length domain): value v's bucket is
+    ``cum_count_before(v) * nbuckets // total`` — the value-keyed
+    prefix-scan rule, so the assignment is deterministic and
+    SQL-checkable.
+
+    RESUME: each bucket writes atomically (tmp + rename) and records
+    its expected row count; a rerun probes the existing shard's
+    Parquet footer and SKIPS buckets whose count already matches —
+    the per-partition skip a 100 TB job needs to survive preemption.
+    """
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cols = ["doc_id", "n_chars", "lang", "source"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    os.makedirs(out_dir, exist_ok=True)
+
+    hist = (docs.select_columns(["n_chars"]).groupby("n_chars")
+            .aggregate(Count(alias_name="c")).to_pandas()
+            .sort_values("n_chars"))
+    total = int(hist["c"].sum())
+    if total == 0:
+        manifest = {"format": "parquet-sorted", "n_rows": 0, "buckets": []}
+        with open(f"{out_dir}/manifest.json", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        return manifest
+    cum_before = np.concatenate([[0],
+                                 np.cumsum(hist["c"].to_numpy())[:-1]])
+    vals = hist["n_chars"].to_numpy().astype(np.int64)
+    buckets = cum_before * nbuckets // total
+    expected = {int(b): int(hist["c"].to_numpy()[buckets == b].sum())
+                for b in np.unique(buckets)}
+    plan_ref = ray.put((vals, buckets.astype(np.int64), expected))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v, b, _ = ray.get(plan_ref)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(b[np.searchsorted(v, nc)], pa.int64()))
+
+    stats_schema = pa.schema([
+        ("bucket", pa.int64()), ("n_rows", pa.int64()),
+        ("min_chars", pa.int64()), ("max_chars", pa.int64()),
+        ("skipped", pa.int64())])
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        _, _, exp = ray.get(plan_ref)
+        b = int(g["bucket"][0].as_py())
+        path = f"{out_dir}/part-{b:05d}.parquet"
+        nc = g["n_chars"].to_numpy(zero_copy_only=False)
+        row = {"bucket": [b], "n_rows": [g.num_rows],
+               "min_chars": [int(nc.min())], "max_chars": [int(nc.max())]}
+        if os.path.exists(path):
+            try:
+                if pq.read_metadata(path).num_rows == exp[b]:
+                    return pa.table({**row, "skipped": [1]},
+                                    schema=stats_schema)
+            except Exception:
+                pass                       # corrupt shard: rewrite
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("n_chars", "ascending"),
+                          ("doc_id", "ascending")])).drop_columns("bucket")
+        tmp = path + ".tmp"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
+        return pa.table({**row, "skipped": [0]}, schema=stats_schema)
+
+    stats = (docs.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket").map_groups(write_bucket,
+                                           batch_format="pyarrow")
+             .to_pandas().sort_values("bucket"))
+    manifest = {
+        "format": "parquet-sorted",
+        "sort_key": ["n_chars", "doc_id"],
+        "n_rows": int(stats["n_rows"].sum()),
+        "n_buckets": len(stats),
+        "buckets": stats.to_dict("records"),
+    }
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, f"{out_dir}/manifest.json")
+    return manifest
+
+
+SORTED_EXPORT_ORACLE_SQL = f"""
+WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+t AS (SELECT sum(c) AS total FROM h),
+b AS (SELECT n_chars, c,
+             (sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - c)
+               * {SORTED_EXPORT_BUCKETS} // total AS bucket
+      FROM h, t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM b GROUP BY bucket
+""".strip()

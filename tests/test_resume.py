@@ -136,3 +136,42 @@ def test_corpus_jsonl_export_roundtrip(ray_session, tmp_path):
 
     m2 = export_corpus_jsonl("/root/testdata/sf0.001", out)
     assert m2["n_rows"] == 500  # rerun replaced, not appended
+
+
+def test_sorted_export_sortedness_and_resume(ray_session, tmp_path):
+    """Reading the range-partitioned shards in bucket order yields a
+    fully (n_chars, doc_id)-sorted corpus; a rerun skips every bucket
+    (footer row counts match); a corrupted shard is rewritten."""
+    import pyarrow.parquet as pq2
+
+    from askg_ray.pipelines.export import export_sorted_parquet
+
+    sf, out = "/root/testdata/sf0.001", str(tmp_path / "sorted")
+    m1 = export_sorted_parquet(sf, out)
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(shards) == m1["n_buckets"]
+    keys, total = [], 0
+    for s in shards:
+        t = pq2.read_table(f"{out}/{s}")
+        total += t.num_rows
+        keys.extend(zip(t["n_chars"].to_pylist(), t["doc_id"].to_pylist()))
+    assert total == m1["n_rows"] and keys == sorted(keys)
+    # bucket ranges are disjoint and ordered
+    bs = m1["buckets"]
+    assert all(a["max_chars"] <= b["min_chars"]
+               for a, b in zip(bs, bs[1:]))
+    assert all(r["skipped"] == 0 for r in bs)
+    # rerun: every bucket skipped, manifest identical modulo skip flags
+    m2 = export_sorted_parquet(sf, out)
+    assert all(r["skipped"] == 1 for r in m2["buckets"])
+    assert [r["n_rows"] for r in m2["buckets"]] == \
+           [r["n_rows"] for r in m1["buckets"]]
+    # corrupt one shard -> only it is rewritten
+    victim = f"{out}/{shards[3]}"
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    m3 = export_sorted_parquet(sf, out)
+    flags = {r["bucket"]: r["skipped"] for r in m3["buckets"]}
+    assert flags[m1["buckets"][3]["bucket"]] == 0
+    assert sum(v == 0 for v in flags.values()) == 1
+    assert pq2.read_table(victim).num_rows == m1["buckets"][3]["n_rows"]
