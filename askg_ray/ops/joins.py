@@ -1476,3 +1476,70 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE per.failed = 1 AND ord.n_supp >= 2 AND ord.n_failed = 1
 GROUP BY l_suppkey, s_name
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Broadcast interval-lookup join (banding against a tiny range dimension)
+
+PRICE_BANDS = [          # (lower bound cents, name); upper = next bound
+    (0, "budget"), (5_000_00, "mid"), (15_000_00, "premium"),
+    (30_000_00, "luxury")]
+
+
+def orders_price_bands(sf_dir: str):
+    """Each order labeled with its price BAND from a small range
+    dimension — the broadcast interval-lookup join (the side every
+    shuffle join should become when one input is tiny): band bounds
+    ride into every task once via closure capture, the per-batch
+    kernel is a single ``np.searchsorted`` against the bound array,
+    and no exchange happens at all. The aggregate output (band,
+    n_orders, sum cents) is one count-combiner groupby over the band
+    vocabulary.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+    bounds = np.array([b for b, _ in PRICE_BANDS], np.int64)
+    names = [n for _, n in PRICE_BANDS]
+
+    def band(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        idx = np.searchsorted(bounds, cents, side="right") - 1
+        idx = np.maximum(idx, 0)          # below the first bound: band 0
+        g = (pa.table({"band": pa.array([names[i] for i in idx],
+                                        pa.string()),
+                       "cents": pa.array(cents)})
+             .group_by("band")
+             .aggregate([([], "count_all"), ("cents", "sum")]))
+        return pa.table({"band": g["band"],
+                         "n_orders": g["count_all"].cast(pa.int64()),
+                         "sum_cents": g["cents_sum"].cast(pa.int64())})
+
+    return (orders.map_batches(band, batch_format="pyarrow")
+            .groupby("band")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
+def _price_bands_oracle_sql() -> str:
+    cases = []
+    bounds = [b for b, _ in PRICE_BANDS] + [None]
+    for (lo, name), hi in zip(PRICE_BANDS, bounds[1:]):
+        cond = (f"cents >= {lo}" if hi is None
+                else f"cents >= {lo} AND cents < {hi}")
+        cases.append(f"WHEN {cond} THEN '{name}'")
+    # below the first bound clamps into the first band, as in the kernel
+    return f"""
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+b AS (SELECT cents, CASE {' '.join(cases)} ELSE '{PRICE_BANDS[0][1]}' END
+             AS band FROM c)
+SELECT band, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY band
+""".strip()
+
+
+PRICE_BANDS_ORACLE_SQL = _price_bands_oracle_sql()

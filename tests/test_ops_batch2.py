@@ -724,3 +724,31 @@ def test_coorder_topk_support_counts(ray_session, tmp_path):
     con.sql(f"CREATE VIEW lineitem AS SELECT * "
             f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
     assert _canon(got) == _canon(con.sql(COORDER_TOPK_ORACLE_SQL).df())
+
+
+def test_price_bands_boundaries(ray_session, tmp_path):
+    """Exact band-boundary prices land in the upper band (lower bound
+    inclusive); a price below the first bound clamps into band 0."""
+    import duckdb
+
+    from askg_ray.ops.joins import (PRICE_BANDS, PRICE_BANDS_ORACLE_SQL,
+                                    orders_price_bands)
+
+    prices = [b / 100 for b, _ in PRICE_BANDS]          # exact bounds
+    prices += [0.01, 4999.99, 5000.01, 99999.0]
+    rows = [{"o_orderkey": i, "o_custkey": 0, "o_orderstatus": "O",
+             "o_totalprice": p, "o_orderdate": dt.date(2024, 1, 1),
+             "o_orderpriority": "1-URGENT"}
+            for i, p in enumerate(prices)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "orders.parquet"))
+    got = orders_price_bands(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/orders.parquet')")
+    assert _canon(got) == _canon(con.sql(PRICE_BANDS_ORACLE_SQL).df())
+    n = got.set_index("band")["n_orders"]
+    # bounds at 0/5000/15000/30000 plus 0.01 & 4999.99 -> budget 3,
+    # 5000.01 -> mid 2, 99999 -> luxury 2
+    assert n["budget"] == 3 and n["mid"] == 2
+    assert n["premium"] == 1 and n["luxury"] == 2
