@@ -1543,3 +1543,138 @@ FROM b GROUP BY band
 
 
 PRICE_BANDS_ORACLE_SQL = _price_bands_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: two fact attaches meeting on a local-supplier predicate
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO_US = 820_454_400_000_000      # 1996-01-01 epoch µs
+Q5_DATE_HI_US = 852_076_800_000_000      # 1997-01-01 epoch µs
+
+
+def local_supplier_revenue(sf_dir: str, num_partitions: int | None = None,
+                           broadcast_threshold: int | None = None):
+    """Full TPC-H-Q5: revenue per nation for orders of one region's
+    customers in one year, COUNTING ONLY LOCAL SUPPLIERS
+    (c_nationkey = s_nationkey) — the multi-join where two
+    independently-prepared fact sides (lineitem⋈supplier and
+    orders⋈customer) meet on an orderkey join and a cross-side
+    equality predicate. Scale plan (classic Q5 pushdown): the
+    fixed-size nation/region dims fold to a driver map of the target
+    region's nation keys; BOTH growing dims (supplier 10k×SF,
+    customer 150k×SF) attach through the size-gated
+    broadcast-vs-partitioned policy; the region and date filters run
+    BEFORE the one fact-fact hash join, so it carries only the
+    region's suppliers' lineitems against the year's regional orders.
+    Revenue in exact integer units (cents × (100 − discount-pct)).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {k: n for k, n in zip(reg["r_regionkey"].to_pylist(),
+                               reg["r_name"].to_pylist())}
+    nation_name = {k: n for k, n, g in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+        nat["n_regionkey"].to_pylist()) if rk[g] == Q5_REGION}
+    region_keys = np.array(sorted(nation_name), np.int64)
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
+                         f"{sf_dir}/orders.parquet")
+
+    # fact side 1: lineitem with its supplier's nation, region-pruned
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    li = attach_dim(li, sup, "l_suppkey", "s_suppkey", ["s_nationkey"],
+                    broadcast_threshold=bt)
+
+    def li_prune(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(sn, region_keys)
+        t = t.filter(pa.array(keep))
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "s_nat": t["s_nationkey"].cast(pa.int64()),
+            "rev": pa.array(price_c * (100 - disc), pa.int64())})
+
+    li = li.map_batches(li_prune, batch_format="pyarrow")
+
+    # fact side 2: the year's orders with their customer's nation,
+    # region-pruned
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def date_filter(t: pa.Table) -> pa.Table:
+        us = (t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = (us >= Q5_DATE_LO_US) & (us < Q5_DATE_HI_US)
+        t = t.filter(pa.array(keep))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_filter, batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = attach_dim(orders, cust, "o_custkey", "c_custkey",
+                        ["c_nationkey"], broadcast_threshold=bt)
+
+    def ord_prune(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(cn, region_keys)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "c_nat": t["c_nationkey"].cast(pa.int64())})
+
+    orders = orders.map_batches(ord_prune, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sn == cn))
+        g = (pa.table({"s_nat": t["s_nat"], "rev": t["rev"]})
+             .group_by("s_nat").aggregate([("rev", "sum")]))
+        return pa.table({
+            "n_name": pa.array([nation_name[k]
+                                for k in g["s_nat"].to_pylist()],
+                               pa.string()),
+            "revenue_u": g["rev_sum"].cast(pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("revenue_u",
+                                             alias_name="revenue_u")))
+
+
+Q5_ORACLE_SQL = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""".strip()

@@ -752,3 +752,30 @@ def test_price_bands_boundaries(ray_session, tmp_path):
     # 5000.01 -> mid 2, 99999 -> luxury 2
     assert n["budget"] == 3 and n["mid"] == 2
     assert n["premium"] == 1 and n["luxury"] == 2
+
+
+def test_q5_local_supplier_both_paths(ray_session):
+    """Full Q5 on sf0.001 through BOTH dim-attach paths (broadcast and
+    forced partitioned join): identical rows, and every reported
+    nation is in the target region."""
+    import duckdb
+
+    from askg_ray.ops.joins import (Q5_ORACLE_SQL, Q5_REGION,
+                                    local_supplier_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf}/{t}.parquet')")
+    exp = _canon(con.sql(Q5_ORACLE_SQL).df())
+    for bt in (None, 0):
+        got_df = local_supplier_revenue(sf, broadcast_threshold=bt
+                                        ).to_pandas()
+        assert _canon(got_df) == exp, f"broadcast_threshold={bt}"
+    asia = set(con.sql(
+        f"SELECT n_name FROM nation n JOIN region r "
+        f"ON n.n_regionkey = r.r_regionkey WHERE r_name = '{Q5_REGION}'"
+    ).df()["n_name"])
+    assert set(got_df["n_name"]) <= asia and len(got_df) >= 1
