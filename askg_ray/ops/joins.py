@@ -1678,3 +1678,123 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: cross-nation volume shipping by year
+
+Q7_NATION_A = 3
+Q7_NATION_B = 8
+
+
+def nation_pair_volume(sf_dir: str, num_partitions: int | None = None,
+                       broadcast_threshold: int | None = None):
+    """Q7: shipping volume BETWEEN two nations by ship year — the
+    disjunctive cross-side predicate ((s=A ∧ c=B) ∨ (s=B ∧ c=A)) that
+    no single equi-join key expresses, plus date-part grouping. Plan:
+    both fact sides pre-filter to the two nations through the
+    size-gated dim attach (the pair predicate's UNION of keys prunes
+    BEFORE the join, the disjunction itself resolves per batch after),
+    one orderkey hash join, and a (supp, cust, year) groupby over
+    per-batch partials. Ship year extracted vectorized from the
+    timestamp (datetime64[Y] arithmetic, no per-row Python).
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    name = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    pair = np.array([Q7_NATION_A, Q7_NATION_B], np.int64)
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
+                         f"{sf_dir}/orders.parquet")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    li = attach_dim(li, sup, "l_suppkey", "s_suppkey", ["s_nationkey"],
+                    broadcast_threshold=bt)
+
+    def li_prune(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(sn, pair)))
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        ship = (t["l_shipdate"].cast(pa.timestamp("us"))
+                .to_numpy(zero_copy_only=False))
+        year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "s_nat": t["s_nationkey"].cast(pa.int64()),
+            "l_year": pa.array(year, pa.int64()),
+            "rev": pa.array(price_c * (100 - disc), pa.int64())})
+
+    li = li.map_batches(li_prune, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = attach_dim(orders, cust, "o_custkey", "c_custkey",
+                        ["c_nationkey"], broadcast_threshold=bt)
+
+    def ord_prune(t: pa.Table) -> pa.Table:
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(cn, pair)))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "c_nat": t["c_nationkey"].cast(pa.int64())})
+
+    orders = orders.map_batches(ord_prune, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sn != cn))   # within the pair: the disjunction
+        g = (t.select(["s_nat", "c_nat", "l_year", "rev"])
+             .group_by(["s_nat", "c_nat", "l_year"])
+             .aggregate([("rev", "sum")]))
+        return pa.table({
+            "supp_nation": pa.array([name[k]
+                                     for k in g["s_nat"].to_pylist()],
+                                    pa.string()),
+            "cust_nation": pa.array([name[k]
+                                     for k in g["c_nat"].to_pylist()],
+                                    pa.string()),
+            "l_year": g["l_year"].cast(pa.int64()),
+            "revenue_u": g["rev_sum"].cast(pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_u", alias_name="revenue_u")))
+
+
+Q7_ORACLE_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+WHERE (s.s_nationkey = {Q7_NATION_A} AND c.c_nationkey = {Q7_NATION_B})
+   OR (s.s_nationkey = {Q7_NATION_B} AND c.c_nationkey = {Q7_NATION_A})
+GROUP BY 1, 2, 3
+""".strip()

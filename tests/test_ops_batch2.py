@@ -779,3 +779,22 @@ def test_q5_local_supplier_both_paths(ray_session):
         f"ON n.n_regionkey = r.r_regionkey WHERE r_name = '{Q5_REGION}'"
     ).df()["n_name"])
     assert set(got_df["n_name"]) <= asia and len(got_df) >= 1
+
+
+def test_q7_pair_direction_and_both_paths(ray_session):
+    """Q7's disjunction: both (A→B) and (B→A) directions appear,
+    never (A→A)/(B→B); both dim-attach paths agree with the oracle."""
+    import duckdb
+
+    from askg_ray.ops.joins import (Q7_ORACLE_SQL, nation_pair_volume)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf}/{t}.parquet')")
+    exp = _canon(con.sql(Q7_ORACLE_SQL).df())
+    for bt in (None, 0):
+        got = nation_pair_volume(sf, broadcast_threshold=bt).to_pandas()
+        assert _canon(got) == exp, f"broadcast_threshold={bt}"
+    assert (got["supp_nation"] != got["cust_nation"]).all()
