@@ -1798,3 +1798,126 @@ WHERE (s.s_nationkey = {Q7_NATION_A} AND c.c_nationkey = {Q7_NATION_B})
    OR (s.s_nationkey = {Q7_NATION_B} AND c.c_nationkey = {Q7_NATION_A})
 GROUP BY 1, 2, 3
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share as an exact-ppm conditional aggregate
+
+Q8_SUPP_NATION = 5          # the nation whose market share we measure
+Q8_PART_TYPE = "ECONOMY"    # part-type slice of the market
+
+
+def nation_market_share(sf_dir: str, num_partitions: int | None = None,
+                        broadcast_threshold: int | None = None):
+    """Q8: one nation's share of a part-type market by order year, in
+    exact integer ppm — the conditional-aggregate-ratio shape
+    (sum(CASE WHEN supplier is ours THEN rev END) / sum(rev)) with
+    THREE SF-growing dimensions in one query: part (type filter, the
+    market slice), supplier (whose nation drives the CASE), customer
+    (not needed — the market is defined by the part type, so this Q8
+    adaptation keeps orders only for the year). All dims attach
+    through the size-gated broadcast-vs-partitioned policy; the part
+    filter prunes the fact BEFORE the orderkey join; per-batch
+    partials carry (year, rev, rev_ours) so the final exchange is a
+    handful of year rows and the ppm division happens exactly once
+    per year.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
+                         f"{sf_dir}/orders.parquet")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    li = attach_dim(li, part, "l_partkey", "p_partkey", ["p_type"],
+                    broadcast_threshold=bt)
+
+    def type_prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.fill_null(t["p_type"], ""),
+                                 Q8_PART_TYPE))
+
+    li = (li.map_batches(type_prune, batch_format="pyarrow"))
+    li = attach_dim(li, sup, "l_suppkey", "s_suppkey", ["s_nationkey"],
+                    broadcast_threshold=bt)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        rev = price_c * (100 - disc)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+            "rev_ours": pa.array(
+                np.where(sn == Q8_SUPP_NATION, rev, 0), pa.int64())})
+
+    li = li.map_batches(li_rows, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        od = (t["o_orderdate"].cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "o_year": pa.array(
+                od.astype("datetime64[Y]").astype(np.int64) + 1970,
+                pa.int64())})
+
+    orders = orders.map_batches(ord_year, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.select(["o_year", "rev", "rev_ours"])
+                .group_by("o_year")
+                .aggregate([("rev", "sum"), ("rev_ours", "sum")])
+                .rename_columns(["o_year", "rev", "rev_ours"]))
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("rev_ours", alias_name="rev_ours")))
+
+    def share(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False)
+        ours = t["rev_ours"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": t["o_year"].cast(pa.int64()),
+            "market_u": pa.array(rev, pa.int64()),
+            "share_ppm": pa.array(ours * 1_000_000 // rev, pa.int64())})
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+Q8_ORACLE_SQL = f"""
+WITH m AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+         CASE WHEN s.s_nationkey = {Q8_SUPP_NATION} THEN 1 ELSE 0 END
+             AS ours
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_type = '{Q8_PART_TYPE}')
+SELECT o_year, CAST(sum(rev) AS BIGINT) AS market_u,
+       CAST(sum(rev * ours) * 1000000 // sum(rev) AS BIGINT) AS share_ppm
+FROM m GROUP BY o_year
+""".strip()

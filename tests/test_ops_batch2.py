@@ -798,3 +798,23 @@ def test_q7_pair_direction_and_both_paths(ray_session):
         got = nation_pair_volume(sf, broadcast_threshold=bt).to_pandas()
         assert _canon(got) == exp, f"broadcast_threshold={bt}"
     assert (got["supp_nation"] != got["cust_nation"]).all()
+
+
+def test_q8_share_bounds_and_both_paths(ray_session):
+    """Market shares stay in [0, 1e6] ppm, shares of a nation with no
+    suppliers would be 0, and both dim-attach paths match the oracle."""
+    import duckdb
+
+    from askg_ray.ops.joins import Q8_ORACLE_SQL, nation_market_share
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{sf}/{t}.parquet')")
+    exp = _canon(con.sql(Q8_ORACLE_SQL).df())
+    for bt in (None, 0):
+        got = nation_market_share(sf, broadcast_threshold=bt).to_pandas()
+        assert _canon(got) == exp, f"broadcast_threshold={bt}"
+    assert got["share_ppm"].between(0, 1_000_000).all()
+    assert (got["market_u"] > 0).all()
