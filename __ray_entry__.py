@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": joins.local_supplier_revenue,
         "nation_pair_volume": joins.nation_pair_volume,
         "nation_market_share": joins.nation_market_share,
+        "banded_part_revenue": joins.banded_part_revenue,
         "top_supplier_by_revenue": joins.top_supplier_by_revenue,
         "sole_failed_suppliers": joins.sole_failed_suppliers,
         "documents_upsert": joins.documents_upsert,
@@ -488,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
         PRICE_BANDS_ORACLE_SQL, Q5_ORACLE_SQL, Q7_ORACLE_SQL,
-        Q8_ORACLE_SQL,
+        Q8_ORACLE_SQL, Q19_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL, SCD2_ORACLE_SQL,
         SNAPSHOT_DIFF_ORACLE_SQL,
         UPSERT_ORACLE_SQL, PROMO_SHARE_ORACLE_SQL, SMALL_QTY_ORACLE_SQL,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": Q5_ORACLE_SQL,
         "nation_pair_volume": Q7_ORACLE_SQL,
         "nation_market_share": Q8_ORACLE_SQL,
+        "banded_part_revenue": Q19_ORACLE_SQL,
         "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
         "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,

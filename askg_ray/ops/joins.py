@@ -1921,3 +1921,115 @@ SELECT o_year, CAST(sum(rev) AS BIGINT) AS market_u,
        CAST(sum(rev * ours) * 1000000 // sum(rev) AS BIGINT) AS share_ppm
 FROM m GROUP BY o_year
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctive bands across two tables
+
+Q19_BANDS = [   # (brand, max size, qty lo, qty hi) — OR of AND-groups
+    ("Brand#11", 15, 1, 11),
+    ("Brand#22", 25, 10, 20),
+    ("Brand#33", 40, 20, 30)]
+
+
+def banded_part_revenue(sf_dir: str, num_partitions: int | None = None,
+                        broadcast_threshold: int | None = None):
+    """Q19: revenue from lineitems matching ANY of three conjunctive
+    (brand, size, quantity) bands — the OR-of-ANDs predicate that
+    spans two tables (part attributes AND the lineitem measure), so no
+    single side can evaluate it alone. Plan: the part side prunes to
+    the UNION of banded brands (with each part's band index attached)
+    through the size-gated attach; the per-batch kernel then evaluates
+    only its own band's quantity range via array indexing — the
+    disjunction costs one gather, not three passes. Output: per band
+    matching band the row count and exact integer revenue.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    brands = {b: i for i, (b, _, _, _) in enumerate(Q19_BANDS)}
+    max_size = np.array([s for _, s, _, _ in Q19_BANDS], np.int64)
+    qlo = np.array([q for _, _, q, _ in Q19_BANDS], np.int64)
+    qhi = np.array([q for _, _, _, q in Q19_BANDS], np.int64)
+
+    def band_parts(t: pa.Table) -> pa.Table:
+        bid = np.array([brands.get(b, -1)
+                        for b in t["p_brand"].to_pylist()], np.int64)
+        size = t["p_size"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (bid >= 0) & (size >= 1) & (size <= max_size[
+            np.maximum(bid, 0)])
+        t = t.filter(pa.array(keep))
+        return pa.table({"p_partkey": t["p_partkey"].cast(pa.int64()),
+                         "band": pa.array(bid[keep], pa.int64())})
+
+    dim = part.map_batches(band_parts, batch_format="pyarrow")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    li = attach_dim(li, dim, "l_partkey", "p_partkey", ["band"],
+                    broadcast_threshold=bt)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # unmatched fact keys carry a null band from the attach
+        band = pc.fill_null(t["band"], -1).to_numpy(zero_copy_only=False
+                                                    ).astype(np.int64)
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+        ok = band >= 0
+        b = np.maximum(band, 0)
+        ok &= (qty >= qlo[b]) & (qty <= qhi[b])
+        t = t.filter(pa.array(ok))
+        band = band[ok]
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        g = (pa.table({"band": pa.array(band),
+                       "rev": pa.array(price_c * (100 - disc), pa.int64())})
+             .group_by("band")
+             .aggregate([([], "count_all"), ("rev", "sum")]))
+        return pa.table({"band": g["band"],
+                         "n_items": g["count_all"].cast(pa.int64()),
+                         "revenue_u": g["rev_sum"].cast(pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue_u", alias_name="revenue_u")))
+
+    def name_bands(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": pa.array(
+                [Q19_BANDS[int(b)][0] for b in t["band"].to_pylist()],
+                pa.string()),
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue_u": t["revenue_u"].cast(pa.int64())})
+
+    return agg.map_batches(name_bands, batch_format="pyarrow")
+
+
+def _q19_oracle_sql() -> str:
+    conds = []
+    for b, s, lo, hi in Q19_BANDS:
+        conds.append(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {s} "
+            f"AND l.l_quantity BETWEEN {lo} AND {hi})")
+    return f"""
+SELECT p.p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_u
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {' OR '.join(conds)}
+GROUP BY p.p_brand
+""".strip()
+
+
+Q19_ORACLE_SQL = _q19_oracle_sql()

@@ -818,3 +818,52 @@ def test_q8_share_bounds_and_both_paths(ray_session):
         assert _canon(got) == exp, f"broadcast_threshold={bt}"
     assert got["share_ppm"].between(0, 1_000_000).all()
     assert (got["market_u"] > 0).all()
+
+
+def test_q19_band_boundaries(ray_session, tmp_path):
+    """Each conjunctive band matches only its own (brand, size, qty)
+    box: boundary quantities are inclusive, an in-brand part with an
+    out-of-range size contributes nothing, and both attach paths agree
+    with the oracle."""
+    import duckdb
+
+    from askg_ray.ops.joins import (Q19_BANDS, Q19_ORACLE_SQL,
+                                    banded_part_revenue)
+
+    parts, lis = [], []
+    for i, (brand, smax, qlo, qhi) in enumerate(Q19_BANDS):
+        parts.append({"p_partkey": i, "p_name": "x", "p_brand": brand,
+                      "p_type": "t", "p_size": smax,      # boundary size
+                      "p_retailprice": 1.0})
+        # boundary quantities (in) and one just outside (out)
+        for q, okflag in [(qlo, 1), (qhi, 1), (qhi + 1, 0)]:
+            lis.append({"l_orderkey": len(lis), "l_partkey": i,
+                        "l_suppkey": 0, "l_linenumber": 1,
+                        "l_quantity": float(q), "l_extendedprice": 100.0,
+                        "l_discount": 0.0, "l_tax": 0.0,
+                        "l_returnflag": "N", "l_linestatus": "O",
+                        "l_shipdate": dt.datetime(2024, 1, 1)})
+    # in-brand part with size beyond the band's cap: never matches
+    parts.append({"p_partkey": 99, "p_name": "x",
+                  "p_brand": Q19_BANDS[0][0], "p_type": "t",
+                  "p_size": Q19_BANDS[0][1] + 1, "p_retailprice": 1.0})
+    lis.append({"l_orderkey": len(lis), "l_partkey": 99, "l_suppkey": 0,
+                "l_linenumber": 1, "l_quantity": float(Q19_BANDS[0][2]),
+                "l_extendedprice": 100.0, "l_discount": 0.0, "l_tax": 0.0,
+                "l_returnflag": "N", "l_linestatus": "O",
+                "l_shipdate": dt.datetime(2024, 1, 1)})
+    pq.write_table(pa.Table.from_pylist(parts),
+                   str(tmp_path / "part.parquet"))
+    pq.write_table(pa.Table.from_pylist(lis),
+                   str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    for t in ("part", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{tmp_path}/{t}.parquet')")
+    exp = _canon(con.sql(Q19_ORACLE_SQL).df())
+    for bt in (None, 0):
+        got = banded_part_revenue(str(tmp_path),
+                                  broadcast_threshold=bt).to_pandas()
+        assert _canon(got) == exp, f"broadcast_threshold={bt}"
+    n = got.set_index("p_brand")["n_items"]
+    assert len(got) == 3 and (n == 2).all()   # 2 boundary hits per band
