@@ -313,7 +313,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_pair_volume": joins.nation_pair_volume,
         "nation_market_share": joins.nation_market_share,
         "banded_part_revenue": joins.banded_part_revenue,
-        "shipping_priority_topk": joins.shipping_priority_topk,
         "forecast_revenue_delta": joins.forecast_revenue_delta,
         "top_supplier_by_revenue": joins.top_supplier_by_revenue,
         "sole_failed_suppliers": joins.sole_failed_suppliers,
@@ -491,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
         PRICE_BANDS_ORACLE_SQL, Q5_ORACLE_SQL, Q7_ORACLE_SQL,
-        Q3_ORACLE_SQL, Q6_ORACLE_SQL,
+        Q6_ORACLE_SQL,
         Q8_ORACLE_SQL, Q19_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL, SCD2_ORACLE_SQL,
         SNAPSHOT_DIFF_ORACLE_SQL,
@@ -583,7 +582,6 @@ def oracle_sql() -> dict[str, str]:
         "nation_pair_volume": Q7_ORACLE_SQL,
         "nation_market_share": Q8_ORACLE_SQL,
         "banded_part_revenue": Q19_ORACLE_SQL,
-        "shipping_priority_topk": Q3_ORACLE_SQL,
         "forecast_revenue_delta": Q6_ORACLE_SQL,
         "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
         "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,

@@ -2036,117 +2036,6 @@ Q19_ORACLE_SQL = _q19_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q3 shape: segment-filtered 3-way join, top-10 unshipped orders
-
-Q3_SEGMENT = "BUILDING"
-Q3_CUT_US = 841_795_200_000_000     # 1996-09-04 epoch µs
-
-
-def shipping_priority_topk(sf_dir: str, k: int = 10,
-                           num_partitions: int | None = None,
-                           broadcast_threshold: int | None = None):
-    """Q3: the top-``k`` highest-revenue orders of one customer segment
-    with order date before / ship date after the cut — the canonical
-    filter-join-aggregate-topk. Plan: customer prunes to the segment
-    and attaches through the size-gated policy onto date-filtered
-    orders (both filters below the join); lineitem prunes to
-    late-shipping rows in the read map; ONE orderkey hash join; then
-    per-order revenue partials and the per-block top-k + bounded
-    merge. Tie-break (revenue DESC, o_orderdate ASC, l_orderkey ASC)
-    pinned on both sides.
-    """
-    import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    from .stats import _topk_table
-    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
-
-    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
-          else broadcast_threshold)
-    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
-                         f"{sf_dir}/orders.parquet")
-
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_orderdate"])
-
-    def ord_filter(t: pa.Table) -> pa.Table:
-        us = (t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
-        t = t.filter(pa.array(us < Q3_CUT_US))
-        return pa.table({
-            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
-            "o_custkey": t["o_custkey"].cast(pa.int64()),
-            "o_date_us": t["o_orderdate"].cast(pa.timestamp("us"))
-                          .cast(pa.int64())})
-
-    orders = orders.map_batches(ord_filter, batch_format="pyarrow")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"])
-    orders = attach_dim(orders, cust, "o_custkey", "c_custkey",
-                        ["c_mktsegment"], broadcast_threshold=bt)
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.equal(pc.fill_null(t["c_mktsegment"], ""),
-                                    Q3_SEGMENT))
-                   .select(["o_orderkey", "o_date_us"]),
-        batch_format="pyarrow")
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_shipdate",
-                                  "l_extendedprice", "l_discount"])
-
-    def li_filter(t: pa.Table) -> pa.Table:
-        us = (t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
-              .to_numpy(zero_copy_only=False))
-        t = t.filter(pa.array(us > Q3_CUT_US))
-        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
-                          * 100).astype(np.int64)
-        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
-                       * 100).astype(np.int64)
-        return pa.table({
-            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
-            "rev": pa.array(price_c * (100 - disc), pa.int64())})
-
-    li = li.map_batches(li_filter, batch_format="pyarrow")
-
-    j = li.join(orders, join_type="inner", num_partitions=npart,
-                on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def partial(t: pa.Table) -> pa.Table:
-        return (t.select(["l_orderkey", "o_date_us", "rev"])
-                .group_by(["l_orderkey", "o_date_us"])
-                .aggregate([("rev", "sum")])
-                .rename_columns(["l_orderkey", "o_date_us", "revenue_u"]))
-
-    per_order = (j.map_batches(partial, batch_format="pyarrow")
-                 .groupby(["l_orderkey", "o_date_us"])
-                 .aggregate(Sum("revenue_u", alias_name="revenue_u")))
-    return _topk_table(per_order,
-                       [("revenue_u", "descending"),
-                        ("o_date_us", "ascending"),
-                        ("l_orderkey", "ascending")], k,
-                       pa.schema([("l_orderkey", pa.int64()),
-                                  ("o_date_us", pa.int64()),
-                                  ("revenue_u", pa.int64())]))
-
-
-Q3_ORACLE_SQL = f"""
-SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS o_date_us,
-       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
-           AS revenue_u
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-WHERE c.c_mktsegment = '{Q3_SEGMENT}'
-  AND epoch_us(o.o_orderdate) < {Q3_CUT_US}
-  AND epoch_us(l.l_shipdate) > {Q3_CUT_US}
-GROUP BY 1, 2
-ORDER BY revenue_u DESC, o_date_us, l_orderkey LIMIT 10
-""".strip()
-
-
-# ---------------------------------------------------------------------------
 # TPC-H Q6 shape: single-table predicate-band aggregate
 
 Q6_DISC_LO, Q6_DISC_HI = 5, 7        # discount pct band, inclusive

@@ -869,29 +869,17 @@ def test_q19_band_boundaries(ray_session, tmp_path):
     assert len(got) == 3 and (n == 2).all()   # 2 boundary hits per band
 
 
-def test_q3_q6_shapes(ray_session):
-    """Q3's top-10 respects the (revenue DESC, date ASC, orderkey ASC)
-    tie-break through both attach paths; Q6 returns exactly one row
-    with non-negative exact-integer fields."""
+def test_q6_band_aggregate(ray_session):
+    """Q6 returns exactly one row of non-negative exact-integer fields
+    and hash-matches its oracle."""
     import duckdb
 
-    from askg_ray.ops.joins import (Q3_ORACLE_SQL, Q6_ORACLE_SQL,
-                                    forecast_revenue_delta,
-                                    shipping_priority_topk)
+    from askg_ray.ops.joins import Q6_ORACLE_SQL, forecast_revenue_delta
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM read_parquet('{sf}/{t}.parquet')")
-    exp = _canon(con.sql(Q3_ORACLE_SQL).df())
-    for bt in (None, 0):
-        got = shipping_priority_topk(sf, broadcast_threshold=bt).to_pandas()
-        assert _canon(got) == exp, f"broadcast_threshold={bt}"
-    assert len(got) == 10
-    assert (got["revenue_u"].is_monotonic_decreasing
-            or got["revenue_u"].nunique() < 10)
-
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{sf}/lineitem.parquet')")
     q6 = forecast_revenue_delta(sf).to_pandas()
     assert _canon(q6) == _canon(con.sql(Q6_ORACLE_SQL).df())
     assert len(q6) == 1 and q6["revenue_u"][0] >= 0
