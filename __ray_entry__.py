@@ -250,6 +250,11 @@ def _sorted_export_stats(sf_dir: str):
     })
 
 
+def _audit_constraints(sf_dir: str):
+    from askg_ray.ops.analyze import audit_constraints
+    return audit_constraints(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from askg_ray.ops import (curation, dedup, funnel, graph, joins, packing,
                               relational, similarity, stats, text, webqual,
@@ -314,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": joins.nation_market_share,
         "banded_part_revenue": joins.banded_part_revenue,
         "forecast_revenue_delta": joins.forecast_revenue_delta,
+        "audit_constraints": _audit_constraints,
         "top_supplier_by_revenue": joins.top_supplier_by_revenue,
         "sole_failed_suppliers": joins.sole_failed_suppliers,
         "documents_upsert": joins.documents_upsert,
@@ -480,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.multimodal import (FRAMES_ORACLE_SQL,
                                          MEDIA_DEDUP_ORACLE_SQL,
                                          RESIZE_ORACLE_SQL)
+    from askg_ray.ops.analyze import AUDIT_ORACLE_SQL
     from askg_ray.pipelines.export import SORTED_EXPORT_ORACLE_SQL
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
                                          KMEANS_ORACLE_SQL)
@@ -583,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_market_share": Q8_ORACLE_SQL,
         "banded_part_revenue": Q19_ORACLE_SQL,
         "forecast_revenue_delta": Q6_ORACLE_SQL,
+        "audit_constraints": AUDIT_ORACLE_SQL,
         "top_supplier_by_revenue": TOP_SUPPLIER_ORACLE_SQL,
         "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,

@@ -883,3 +883,72 @@ def test_q6_band_aggregate(ray_session):
     q6 = forecast_revenue_delta(sf).to_pandas()
     assert _canon(q6) == _canon(con.sql(Q6_ORACLE_SQL).df())
     assert len(q6) == 1 and q6["revenue_u"][0] >= 0
+
+
+def test_audit_constraints_planted_violations(ray_session, tmp_path):
+    """Every constraint class trips on a planted violation: an orphan
+    order, an orphan lineitem (with TWO lineitems so the count is
+    row-grain, not key-grain), a negative price, an empty and a NULL
+    text, and an unknown event type."""
+    import duckdb
+
+    from askg_ray.ops.analyze import AUDIT_ORACLE_SQL, audit_constraints
+
+    pq.write_table(pa.Table.from_pylist(
+        [{"p_partkey": 0, "p_name": "x", "p_brand": "b", "p_type": "t",
+          "p_size": 1, "p_retailprice": -5.0},
+         {"p_partkey": 1, "p_name": "y", "p_brand": "b", "p_type": "t",
+          "p_size": 1, "p_retailprice": 5.0}]),
+        str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["ok", "", None], pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([2, 0, 0], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"event_id": 0, "ts": dt.datetime(2024, 1, 1), "user_id": 0,
+          "event_type": "view", "value": 1.0, "props": ""},
+         {"event_id": 1, "ts": dt.datetime(2024, 1, 1), "user_id": 0,
+          "event_type": "teleport", "value": 1.0, "props": ""}]),
+        str(tmp_path / "events.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"o_orderkey": 10, "o_custkey": 1, "o_orderstatus": "O",
+          "o_totalprice": 1.0, "o_orderdate": dt.datetime(2024, 1, 1),
+          "o_orderpriority": "1"},
+         {"o_orderkey": 11, "o_custkey": 999, "o_orderstatus": "O",
+          "o_totalprice": 1.0, "o_orderdate": dt.datetime(2024, 1, 1),
+          "o_orderpriority": "1"}]),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"c_custkey": 1, "c_name": "c", "c_nationkey": 0,
+          "c_acctbal": 0.0, "c_mktsegment": "BUILDING"}]),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pylist(
+        [{"l_orderkey": 10, "l_partkey": 0, "l_suppkey": 0,
+          "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
+          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+          "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 2)},
+         {"l_orderkey": 777, "l_partkey": 0, "l_suppkey": 0,
+          "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
+          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+          "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 2)},
+         {"l_orderkey": 777, "l_partkey": 1, "l_suppkey": 0,
+          "l_linenumber": 2, "l_quantity": 1.0, "l_extendedprice": 1.0,
+          "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+          "l_linestatus": "O", "l_shipdate": dt.datetime(2024, 1, 2)}]),
+        str(tmp_path / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for t in ("part", "documents", "events", "orders", "customer",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{tmp_path}/{t}.parquet')")
+    got = audit_constraints(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(AUDIT_ORACLE_SQL).df())
+    n = got.set_index("constraint")["n_violations"]
+    assert n["part_negative_price"] == 1
+    assert n["documents_empty_text"] == 2
+    assert n["events_unknown_type"] == 1
+    assert n["orders_orphan_custkey"] == 1
+    assert n["lineitem_orphan_orderkey"] == 2   # row grain
