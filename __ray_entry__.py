@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_failed_suppliers": joins.sole_failed_suppliers,
         "documents_upsert": joins.documents_upsert,
         "documents_scd2": joins.documents_scd2,
+        "documents_compact": joins.documents_compact,
         "documents_snapshot_diff": joins.documents_snapshot_diff,
         "token_fuzzy_pairs": text.token_fuzzy_pairs,
         "events_lead_lag": joins.events_lead_lag,
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER_REVENUE_ORACLE_SQL,
         ORDERS_WITH_RETURNS_ORACLE_SQL,
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
+        COMPACT_ORACLE_SQL,
         PRICE_BANDS_ORACLE_SQL, Q5_ORACLE_SQL, Q7_ORACLE_SQL,
         Q6_ORACLE_SQL,
         Q8_ORACLE_SQL, Q19_ORACLE_SQL,
@@ -595,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "sole_failed_suppliers": SOLE_FAILED_ORACLE_SQL,
         "documents_upsert": UPSERT_ORACLE_SQL,
         "documents_scd2": SCD2_ORACLE_SQL,
+        "documents_compact": COMPACT_ORACLE_SQL,
         "token_fuzzy_pairs": FUZZY_PAIRS_ORACLE_SQL,
         "documents_snapshot_diff": SNAPSHOT_DIFF_ORACLE_SQL,
         "events_lead_lag": LEAD_LAG_ORACLE_SQL,

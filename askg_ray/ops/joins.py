@@ -2099,3 +2099,79 @@ WHERE epoch_us(l_shipdate) >= {Q5_DATE_LO_US}
   AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
   AND CAST(round(l_quantity) AS BIGINT) < {Q6_QTY_MAX}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO with tombstones (CDC compaction incl. the DELETE branch)
+
+CDC_DELETE_MOD = 20   # doc_id % 20 == 4 → v2 tombstone
+
+
+def documents_compact(sf_dir: str, num_partitions: int | None = None):
+    """CDC compaction with ALL THREE MERGE branches: the deterministic
+    delta updates doc_id %10==3 ('UPD'), inserts %25==0 (+1e6 ids),
+    and now DELETES %20==4 via version-2 tombstones — the winner per
+    key is the highest version, and a tombstone winner erases the row
+    from the compacted table entirely. Join-free: one groupby(doc_id)
+    kernel sees the key's whole version set (≤3 thin fingerprint
+    rows), picks the max version, and emits nothing when it is a
+    tombstone — no argmax-join-back needed because the group IS the
+    key's history.
+    """
+    import ray.data as rd
+
+    from ..rayutil import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(CDC_SCHEMA.empty_table())
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def tombstones(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % CDC_DELETE_MOD == 4]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "version": pa.array(np.full(len(ids), 2, np.int64)),
+            "fp": pa.array(["__TOMBSTONE__"] * len(ids), pa.string()),
+        }, schema=CDC_SCHEMA)
+
+    merged = (docs.map_batches(_cdc_base_rows, batch_format="pyarrow")
+              .union(docs.map_batches(_cdc_delta_rows,
+                                      batch_format="pyarrow"))
+              .union(docs.map_batches(tombstones, batch_format="pyarrow")))
+
+    def compact_key(g: pa.Table) -> pa.Table:
+        top = g.take(pc.sort_indices(
+            g, sort_keys=[("version", "descending"),
+                          ("fp", "ascending")])[:1])
+        if top["fp"][0].as_py() == "__TOMBSTONE__":
+            return CDC_SCHEMA.empty_table()
+        return top.select(["doc_id", "version", "fp"]).cast(CDC_SCHEMA)
+
+    return (merged.groupby("doc_id")
+            .map_groups(compact_key, batch_format="pyarrow"))
+
+
+COMPACT_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, 1 AS version, md5(coalesce(text, '')) AS fp
+  FROM documents),
+delta AS (
+  SELECT doc_id, 2 AS version, md5('UPD ' || coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 1000000, 2, md5('NEW ' || coalesce(text, ''))
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id, 2, '__TOMBSTONE__'
+  FROM documents WHERE doc_id % {CDC_DELETE_MOD} = 4),
+m AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (SELECT doc_id, version, fp,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY version DESC, fp) AS rn
+      FROM m)
+SELECT doc_id, CAST(version AS BIGINT) AS version, fp
+FROM r WHERE rn = 1 AND fp <> '__TOMBSTONE__'
+""".strip()

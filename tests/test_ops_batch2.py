@@ -952,3 +952,26 @@ def test_audit_constraints_planted_violations(ray_session, tmp_path):
     assert n["events_unknown_type"] == 1
     assert n["orders_orphan_custkey"] == 1
     assert n["lineitem_orphan_orderkey"] == 2   # row grain
+
+
+def test_compact_all_three_merge_branches(ray_session):
+    """UPDATE keys carry the UPD fingerprint at v2, INSERT keys exist
+    above 1e6, DELETE keys (%20==4) are absent entirely, untouched
+    keys stay v1 — and the compacted key set is exactly
+    (base - deleted) ∪ inserted."""
+    import duckdb
+
+    from askg_ray.ops.joins import CDC_DELETE_MOD, documents_compact
+
+    sf = "/root/testdata/sf0.001"
+    got = documents_compact(sf).to_pandas()
+    ids = duckdb.sql(f"SELECT doc_id FROM "
+                     f"read_parquet('{sf}/documents.parquet')"
+                     ).df()["doc_id"]
+    deleted = set(ids[ids % CDC_DELETE_MOD == 4])
+    inserted = {i + 1_000_000 for i in ids[ids % 25 == 0]}
+    assert set(got["doc_id"]) == (set(ids) - deleted) | inserted
+    assert got["doc_id"].is_unique
+    old = got[got["doc_id"] < 1_000_000]
+    assert ((old["version"] == 2) == (old["doc_id"] % 10 == 3)).all()
+    assert not (got["fp"] == "__TOMBSTONE__").any()
