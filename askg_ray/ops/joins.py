@@ -2107,16 +2107,18 @@ WHERE epoch_us(l_shipdate) >= {Q5_DATE_LO_US}
 CDC_DELETE_MOD = 20   # doc_id % 20 == 4 → v2 tombstone
 
 
-def documents_compact(sf_dir: str, num_partitions: int | None = None):
+def documents_compact(sf_dir: str,
+                      exchange_max_rows: int = SCD2_EXCHANGE_MAX):
     """CDC compaction with ALL THREE MERGE branches: the deterministic
     delta updates doc_id %10==3 ('UPD'), inserts %25==0 (+1e6 ids),
     and now DELETES %20==4 via version-2 tombstones — the winner per
     key is the highest version, and a tombstone winner erases the row
-    from the compacted table entirely. Join-free: one groupby(doc_id)
-    kernel sees the key's whole version set (≤3 thin fingerprint
-    rows), picks the max version, and emits nothing when it is a
-    tombstone — no argmax-join-back needed because the group IS the
-    key's history.
+    from the compacted table entirely. Join-free and, like
+    ``documents_scd2``, keyed through the direct-task exchange with a
+    VECTORIZED multi-group kernel (one lexsort per reduce slice,
+    winners at doc-run starts) — never a Python call per key; above
+    the row gate the identical kernel runs under
+    ``groupby().map_groups``. Both paths forced in tests.
     """
     import ray.data as rd
 
@@ -2140,18 +2142,31 @@ def documents_compact(sf_dir: str, num_partitions: int | None = None):
     merged = (docs.map_batches(_cdc_base_rows, batch_format="pyarrow")
               .union(docs.map_batches(_cdc_delta_rows,
                                       batch_format="pyarrow"))
-              .union(docs.map_batches(tombstones, batch_format="pyarrow")))
+              .union(docs.map_batches(tombstones, batch_format="pyarrow"))
+              .materialize())
 
-    def compact_key(g: pa.Table) -> pa.Table:
-        top = g.take(pc.sort_indices(
-            g, sort_keys=[("version", "descending"),
-                          ("fp", "ascending")])[:1])
-        if top["fp"][0].as_py() == "__TOMBSTONE__":
-            return CDC_SCHEMA.empty_table()
-        return top.select(["doc_id", "version", "fp"]).cast(CDC_SCHEMA)
+    def compact_kernel(t: pa.Table) -> pa.Table:
+        # vectorized across ALL keys in the slice: one lexsort, winners
+        # at doc-run starts (version desc, fp asc inside the run),
+        # tombstone winners dropped — no per-key Python call
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ver = t["version"].to_numpy(zero_copy_only=False)
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fp, -ver, ids))
+        ids_s = ids[order]
+        starts = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        win = t.take(pa.array(order[starts]))
+        keep = pc.invert(pc.equal(win["fp"], "__TOMBSTONE__"))
+        return win.filter(keep).select(
+            ["doc_id", "version", "fp"]).cast(CDC_SCHEMA)
 
+    from ..stages.exchange import exchange_reduce
+
+    if merged.count() <= exchange_max_rows:
+        return exchange_reduce(merged, "doc_id", compact_kernel,
+                               CDC_SCHEMA)
     return (merged.groupby("doc_id")
-            .map_groups(compact_key, batch_format="pyarrow"))
+            .map_groups(compact_kernel, batch_format="pyarrow"))
 
 
 COMPACT_ORACLE_SQL = f"""

@@ -965,6 +965,11 @@ def test_compact_all_three_merge_branches(ray_session):
 
     sf = "/root/testdata/sf0.001"
     got = documents_compact(sf).to_pandas()
+    # forced groupby fallback emits identical rows
+    gb = documents_compact(sf, exchange_max_rows=0).to_pandas()
+    key = ["doc_id"]
+    assert (got.sort_values(key).reset_index(drop=True).equals(
+            gb.sort_values(key).reset_index(drop=True)))
     ids = duckdb.sql(f"SELECT doc_id FROM "
                      f"read_parquet('{sf}/documents.parquet')"
                      ).df()["doc_id"]
