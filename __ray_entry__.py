@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type": stats.events_mode_type,
         "events_markov": stats.events_markov,
         "events_window_distinct": windows.events_window_distinct,
+        "events_longest_streak": windows.events_longest_streak,
         "events_type_runs": windows.events_type_runs,
         "events_props_flatten": stats.events_props_flatten,
         "docs_bottomk_per_lang": curation.docs_bottomk_per_lang,
@@ -540,7 +541,7 @@ def oracle_sql() -> dict[str, str]:
         RANGE_JOIN_ORACLE_SQL,
         RANK_FAMILY_ORACLE_SQL,
         SESSION_TABLE_ORACLE_SQL,
-        SHARE_ORACLE_SQL, TYPE_RUNS_ORACLE_SQL,
+        SHARE_ORACLE_SQL, STREAK_ORACLE_SQL, TYPE_RUNS_ORACLE_SQL,
         WINDOW_DISTINCT_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mode_type": MODE_ORACLE_SQL,
         "events_markov": MARKOV_ORACLE_SQL,
         "events_window_distinct": WINDOW_DISTINCT_ORACLE_SQL,
+        "events_longest_streak": STREAK_ORACLE_SQL,
         "events_type_runs": TYPE_RUNS_ORACLE_SQL,
         "events_props_flatten": PROPS_FLATTEN_ORACLE_SQL,
         "docs_bottomk_per_lang": BOTTOMK_PER_LANG_ORACLE_SQL,

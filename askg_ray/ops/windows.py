@@ -745,3 +745,80 @@ SELECT user_id, CAST(rid AS BIGINT) AS run_idx,
        epoch_us(min(ts)) AS start_us
 FROM s GROUP BY user_id, rid
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak per user (islands on the day grid)
+
+
+def events_longest_streak(sf_dir: str):
+    """Per user: the longest run of CONSECUTIVE ACTIVE DAYS, its start
+    day, and the distinct-active-day count — gaps-and-islands on the
+    day grid (sessions split on silence within a day; this collapses
+    to days first, so the kernel's cost is active days, not events).
+    Per-batch (user, day) distinct partials shrink the exchange; the
+    group kernel is a sort over the user's distinct days, one
+    difference compare, and run-boundary arithmetic. Earliest streak
+    wins ties (pinned on both sides).
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // DAY_US
+        g = (pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                       "day": pa.array(day)})
+             .group_by(["user_id", "day"]).aggregate([]))
+        return g
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("longest_streak", pa.int64()),
+        ("streak_start_day", pa.int64()), ("n_active_days", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        days = np.unique(t["day"].to_numpy(zero_copy_only=False))
+        brk = np.r_[True, np.diff(days) > 1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(days)])
+        best = int(np.argmax(lens))          # first max = earliest streak
+        return pa.table({
+            "user_id": pa.array([t["user_id"][0].as_py()], pa.int64()),
+            "longest_streak": pa.array([int(lens[best])], pa.int64()),
+            "streak_start_day": pa.array([int(days[starts[best]])],
+                                         pa.int64()),
+            "n_active_days": pa.array([len(days)], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow"))
+
+
+STREAK_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('day', ts)) // {DAY_US} AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             AS island
+  FROM d),
+s AS (
+  SELECT user_id, min(day) AS start_day, count(*) AS len
+  FROM i GROUP BY user_id, island),
+r AS (
+  SELECT user_id, len, start_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_islands,
+         sum(len) OVER (PARTITION BY user_id) AS n_days
+  FROM s)
+SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
+       CAST(start_day AS BIGINT) AS streak_start_day,
+       CAST(n_days AS BIGINT) AS n_active_days
+FROM r WHERE rn = 1
+""".strip()

@@ -394,3 +394,43 @@ def test_bottomk_per_lang(ray_session, tiny_corpus):
         "FROM documents GROUP BY lang").df()
     assert (one.sort_values("lang")["priority"].tolist()
             == exp1.sort_values("lang")["priority"].tolist())
+
+
+def test_longest_streak_ties_and_gaps(ray_session, tmp_path):
+    """Two equal-length streaks -> the EARLIEST wins; single-day users
+    report streak 1; multiple same-day events collapse to one day."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 7, 1)
+    # user 0: days 0,1,2 then gap, days 10,11,12 (tie -> start day 0)
+    for d in [0, 1, 2, 10, 11, 12]:
+        for _ in range(2):                      # same-day duplicates
+            rows.append({"event_id": eid, "ts": base + dt.timedelta(days=d),
+                         "user_id": 0, "event_type": "view", "value": 1.0,
+                         "props": ""}); eid += 1
+    # user 1: one day only
+    rows.append({"event_id": eid, "ts": base, "user_id": 1,
+                 "event_type": "view", "value": 1.0, "props": ""}); eid += 1
+    # user 2: days 0,1 then 3,4,5 (longer second streak wins)
+    for d in [0, 1, 3, 4, 5]:
+        rows.append({"event_id": eid, "ts": base + dt.timedelta(days=d),
+                     "user_id": 2, "event_type": "view", "value": 1.0,
+                     "props": ""}); eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops.windows import (STREAK_ORACLE_SQL,
+                                      events_longest_streak)
+
+    got_df = events_longest_streak(str(tmp_path)).to_pandas()
+    assert _canon(got_df) == _canon(con.sql(STREAK_ORACLE_SQL).df())
+    by = got_df.set_index("user_id")
+    base_day = int(base.timestamp() * 1e6) // (86_400_000_000)
+    assert by.loc[0, "longest_streak"] == 3
+    assert by.loc[0, "streak_start_day"] == base_day       # earliest tie
+    assert by.loc[0, "n_active_days"] == 6
+    assert by.loc[1, "longest_streak"] == 1
+    assert by.loc[2, "longest_streak"] == 3
+    assert by.loc[2, "streak_start_day"] == base_day + 3
