@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bfs_hops": graph.parts_bfs_hops,
         "parts_coorder_topk": graph.parts_coorder_topk,
         "events_value_gini": stats.events_value_gini,
+        "events_value_mad": stats.events_value_mad,
         "events_types_csv": stats.events_types_csv,
         "events_key_skew": stats.events_key_skew,
         # -- window-function family (SQL-checked) --------------------------
@@ -523,7 +524,7 @@ def oracle_sql() -> dict[str, str]:
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
         GINI_ORACLE_SQL,
-        KEY_SKEW_ORACLE_SQL,
+        KEY_SKEW_ORACLE_SQL, MAD_ORACLE_SQL,
         PROPS_FLATTEN_ORACLE_SQL,
         PROPS_ORACLE_SQL, TYPE_HLL_ORACLE_SQL, TYPES_CSV_ORACLE_SQL,
         LANG_OVERLAP_ORACLE_SQL, LM_SCORE_ORACLE_SQL,
@@ -645,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_bfs_hops": BFS_ORACLE_SQL,
         "parts_coorder_topk": COORDER_TOPK_ORACLE_SQL,
         "events_value_gini": GINI_ORACLE_SQL,
+        "events_value_mad": MAD_ORACLE_SQL,
         "events_types_csv": TYPES_CSV_ORACLE_SQL,
         "events_key_skew": KEY_SKEW_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,

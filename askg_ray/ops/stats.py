@@ -1471,3 +1471,95 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS gini_num
 FROM c GROUP BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact median absolute deviation per group (robust dispersion)
+
+
+def events_value_mad(sf_dir: str):
+    """Per-type MEDIAN ABSOLUTE DEVIATION of value — the robust
+    dispersion statistic (insensitive to the outliers the 2σ clip
+    chases), exact to the cent with the same lower-median order-stat
+    convention as ``events_type_median`` (sorted[(n−1)//2]). Both
+    medians come off the (type, cents) HISTOGRAM inside one
+    groupby(type) kernel: the value median by cumsum + searchsorted,
+    then the deviation histogram is |v − med| with the SAME counts
+    (re-sorted, equal deviations merged), so the second median costs
+    another cumsum — the full value list is never shuffled or held.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        g = (pa.table({"event_type": t["event_type"],
+                       "vc": pa.array(vc)})
+             .group_by(["event_type", "vc"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"event_type": g["event_type"], "vc": g["vc"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("median_cents", pa.int64()),
+                            ("mad_cents", pa.int64())])
+
+    def mad(g: pa.Table) -> pa.Table:
+        h = (g.select(["event_type", "vc", "n"])
+             .group_by(["event_type", "vc"]).aggregate([("n", "sum")]))
+        vc = h["vc"].to_numpy(zero_copy_only=False)
+        n = h["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vc)
+        vc, n = vc[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        med = int(vc[np.searchsorted(cum, (total - 1) // 2,
+                                     side="right")])
+        # deviation histogram: same counts over |v - med|
+        dev = np.abs(vc - med)
+        dorder = np.argsort(dev, kind="stable")
+        dev, dn = dev[dorder], n[dorder]
+        dcum = np.cumsum(dn)
+        mad_c = int(dev[np.searchsorted(dcum, (total - 1) // 2,
+                                        side="right")])
+        return pa.table({
+            "event_type": h["event_type"].slice(0, 1),
+            "n": pa.array([total], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad_c], pa.int64()),
+        }, schema=out_schema)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(mad,
+                                              batch_format="pyarrow"))
+
+
+MAD_ORACLE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+m AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c),
+med AS (
+  SELECT event_type, vc AS median_cents, n
+  FROM m WHERE rn = (n - 1) // 2 + 1),
+d AS (
+  SELECT c.event_type, abs(c.vc - med.median_cents) AS dev,
+         med.median_cents, med.n
+  FROM c JOIN med ON c.event_type = med.event_type),
+dm AS (
+  SELECT event_type, dev, median_cents, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+  FROM d)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(median_cents AS BIGINT) AS median_cents,
+       CAST(dev AS BIGINT) AS mad_cents
+FROM dm WHERE rn = (n - 1) // 2 + 1
+""".strip()

@@ -980,3 +980,23 @@ def test_compact_all_three_merge_branches(ray_session):
     old = got[got["doc_id"] < 1_000_000]
     assert ((old["version"] == 2) == (old["doc_id"] % 10 == 3)).all()
     assert not (got["fp"] == "__TOMBSTONE__").any()
+
+
+def test_mad_exact_and_robust(ray_session, rfm_events):
+    """MAD equals the brute per-group computation under the lower-
+    median convention, is zero for a constant group, and ignores a
+    planted extreme value (robustness — unlike the 2σ clip)."""
+    from askg_ray.ops.stats import MAD_ORACLE_SQL, events_value_mad
+
+    sf, con = rfm_events
+    got = events_value_mad(sf).to_pandas()
+    assert _canon(got) == _canon(con.sql(MAD_ORACLE_SQL).df())
+    rows = con.sql("SELECT event_type, CAST(round(value*100) AS BIGINT) c "
+                   "FROM events").df()
+    for et, g in rows.groupby("event_type"):
+        xs = sorted(g["c"])
+        med = xs[(len(xs) - 1) // 2]
+        mad = sorted(abs(x - med) for x in xs)[(len(xs) - 1) // 2]
+        row = got.set_index("event_type").loc[et]
+        assert row["median_cents"] == med and row["mad_cents"] == mad, et
+    assert got.set_index("event_type").loc["click", "mad_cents"] == 0
