@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_coorder_topk": graph.parts_coorder_topk,
         "events_value_gini": stats.events_value_gini,
         "events_value_mad": stats.events_value_mad,
+        "events_decayed_score": stats.events_decayed_score,
         "events_types_csv": stats.events_types_csv,
         "events_key_skew": stats.events_key_skew,
         # -- window-function family (SQL-checked) --------------------------
@@ -520,7 +521,7 @@ def oracle_sql() -> dict[str, str]:
         SLIDING_ORACLE_SQL, UNPIVOT_ORACLE_SQL,
         ZORDER_ORACLE_SQL)
     from askg_ray.ops.stats import (CHECKSUM_ORACLE_SQL, CMS_ORACLE_SQL,
-        COOCCURRENCE_ORACLE_SQL,
+        COOCCURRENCE_ORACLE_SQL, DECAYED_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
         GINI_ORACLE_SQL,
@@ -647,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_coorder_topk": COORDER_TOPK_ORACLE_SQL,
         "events_value_gini": GINI_ORACLE_SQL,
         "events_value_mad": MAD_ORACLE_SQL,
+        "events_decayed_score": DECAYED_ORACLE_SQL,
         "events_types_csv": TYPES_CSV_ORACLE_SQL,
         "events_key_skew": KEY_SKEW_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,

@@ -1563,3 +1563,75 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(dev AS BIGINT) AS mad_cents
 FROM dm WHERE rn = (n - 1) // 2 + 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed score per group (recsys popularity)
+
+DECAY_SCALE_BITS = 20   # weight = 2^20 >> age_days (integer halving/day)
+
+
+def events_decayed_score(sf_dir: str):
+    """Per-type popularity under EXPONENTIAL TIME DECAY — every event
+    contributes ``2^20 >> age_days`` (halving per day relative to the
+    corpus's newest event), so the score is an exact integer and the
+    whole 'decayed aggregate' is hash-checkable, unlike float e^-λt.
+    Two-phase: per-batch (type, day) → count partials (the exchange is
+    bounded by type × active days); the reference day is the max over
+    a few per-batch maxima (driver holds ONE scalar); the final
+    groupby(type) kernel folds counts × shifted weights. Events older
+    than 20 days contribute exactly 0 — the integer decay has a hard
+    horizon, which is precisely what a freshness score wants.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // 86_400_000_000
+        g = (pa.table({"event_type": t["event_type"],
+                       "day": pa.array(day)})
+             .group_by(["event_type", "day"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .materialize())
+    ref_day = parts.aggregate(Max("day", alias_name="m"))["m"]
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()), ("score_u", pa.int64())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        h = (g.select(["event_type", "day", "n"])
+             .group_by(["event_type", "day"]).aggregate([("n", "sum")]))
+        day = h["day"].to_numpy(zero_copy_only=False)
+        n = h["n_sum"].to_numpy(zero_copy_only=False)
+        age = np.minimum(ref_day - day, 63)
+        w = (1 << DECAY_SCALE_BITS) >> age.astype(np.int64)
+        return pa.table({
+            "event_type": h["event_type"].slice(0, 1),
+            "n": pa.array([int(n.sum())], pa.int64()),
+            "score_u": pa.array([int((n * w).sum())], pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby("event_type").map_groups(fold,
+                                                  batch_format="pyarrow")
+
+
+DECAYED_ORACLE_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day
+  FROM events),
+r AS (SELECT max(day) AS ref FROM d)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN ref - day >= {DECAY_SCALE_BITS + 1} THEN 0
+                ELSE (1 << {DECAY_SCALE_BITS}) // (1 << (ref - day))
+                END) AS BIGINT) AS score_u
+FROM d, r GROUP BY event_type
+""".strip()

@@ -434,3 +434,30 @@ def test_longest_streak_ties_and_gaps(ray_session, tmp_path):
     assert by.loc[1, "longest_streak"] == 1
     assert by.loc[2, "longest_streak"] == 3
     assert by.loc[2, "streak_start_day"] == base_day + 3
+
+
+def test_decayed_score_horizon_and_halving(ray_session, tmp_path):
+    """The newest day weighs 2^20 per event, each older day exactly
+    halves, and events past the 20-day horizon contribute ZERO."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 8, 1)
+    for d, n in [(0, 1), (1, 2), (20, 4), (25, 8)]:   # ages rel. newest
+        for _ in range(n):
+            rows.append({"event_id": eid,
+                         "ts": base - dt.timedelta(days=d), "user_id": 0,
+                         "event_type": "view", "value": 1.0,
+                         "props": ""}); eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops.stats import DECAYED_ORACLE_SQL, events_decayed_score
+
+    got = events_decayed_score(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(DECAYED_ORACLE_SQL).df())
+    row = got.iloc[0]
+    # 1*2^20 + 2*2^19 + 4*1 + 8*0
+    assert row["score_u"] == (1 << 20) + 2 * (1 << 19) + 4
+    assert row["n"] == 15
