@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": funnel.events_funnel,
         "events_cohort_retention": funnel.events_cohort_retention,
         "events_rfm": funnel.events_rfm,
+        "events_windowed_funnel": funnel.events_windowed_funnel,
         "events_first_per_window": relational.events_first_per_window,
         # -- iterative graph algorithms (pagerank rows-only: float sums
         #    are shuffle-order-dependent; numpy parity in pytest) -------
@@ -480,7 +481,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from askg_ray.ops.dedup import SIMHASH_ORACLE_SQL
     from askg_ray.ops.funnel import (COHORT_ORACLE_SQL, FUNNEL_ORACLE_SQL,
-                                     RFM_ORACLE_SQL)
+                                     RFM_ORACLE_SQL,
+                                     WINDOWED_FUNNEL_ORACLE_SQL)
     from askg_ray.ops.graph import (BFS_ORACLE_SQL, COMPONENTS_ORACLE_SQL,
         COORDER_TOPK_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
@@ -621,6 +623,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": FUNNEL_ORACLE_SQL,
         "events_cohort_retention": COHORT_ORACLE_SQL,
         "events_rfm": RFM_ORACLE_SQL,
+        "events_windowed_funnel": WINDOWED_FUNNEL_ORACLE_SQL,
         "events_first_per_window": FIRST_PER_WINDOW_ORACLE_SQL,
         "events_type_median": TYPE_MEDIAN_ORACLE_SQL,
         "events_share_of_day": SHARE_ORACLE_SQL,

@@ -294,3 +294,110 @@ SELECT user_id, r_day, CAST(f_n AS BIGINT) AS f_n, m_cents,
          || CAST(1 + mr * {RFM_NQ} // n AS VARCHAR) AS segment
 FROM r
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel (conversion deadlines between stages)
+
+FUNNEL_WINDOW_US = 86_400_000_000   # each stage within 24 h of the last
+
+
+def events_windowed_funnel(sf_dir: str, window_us: int = FUNNEL_WINDOW_US):
+    """Funnel with CONVERSION DEADLINES: stage k+1 must land strictly
+    after stage k and within 24 h of it. Greedy earliest-match — exact
+    for the unwindowed funnel — is WRONG here (matching the earliest
+    view can kill a conversion a later view would have made), so the
+    kernel evaluates existence over all chains instead, still fully
+    vectorized: a click is reachable iff ANY view sits in
+    [click−W, click) (two searchsorted calls over the user's view
+    array), and depth 3 iff any reachable click has a purchase in
+    (click, click+W]. Output: per stage the number of users whose best
+    chain reaches it (cumulative), stage 0 = all active users. Same
+    thin-row shuffle as ``events_funnel``; the oracle states the same
+    existence logic as chained EXISTS joins.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    thin_schema = pa.schema([("user_id", pa.int64()),
+                             ("ts_us", pa.int64()),
+                             ("stage", pa.int8())])
+
+    def thin(t: pa.Table) -> pa.Table:
+        st = np.full(t.num_rows, -1, np.int8)
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        for i, name in enumerate(FUNNEL_STAGES):
+            st[types == name] = i
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = st >= 0
+        marker_uids = np.unique(uid[~keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate([uid[keep], marker_uids])),
+            "ts_us": pa.array(np.concatenate(
+                [ts[keep], np.zeros(len(marker_uids), np.int64)])),
+            "stage": pa.array(np.concatenate(
+                [st[keep], np.full(len(marker_uids), -1, np.int8)])),
+        }, schema=thin_schema)
+
+    mid_schema = pa.schema([("stage", pa.int64()), ("n", pa.int64())])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        st = t["stage"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        V = np.sort(ts[st == 0])
+        C = np.sort(ts[st == 1])
+        P = np.sort(ts[st == 2])
+        depth = 0
+        if len(V):
+            depth = 1
+            # click reachable iff a view sits in [c-W, c)
+            lo = np.searchsorted(V, C - window_us, side="left")
+            hi = np.searchsorted(V, C, side="left")
+            reach = C[hi > lo]
+            if len(reach):
+                depth = 2
+                pidx = np.searchsorted(P, reach, side="right")
+                ok = pidx < len(P)
+                if np.any(P[pidx[ok]] <= reach[ok] + window_us):
+                    depth = 3
+        return pa.table({
+            "stage": pa.array(np.arange(depth + 1, dtype=np.int64)),
+            "n": pa.array(np.ones(depth + 1, np.int64)),
+        }, schema=mid_schema)
+
+    # seed zero rows keep every stage present even when nobody converts
+    # (the oracle's UNION ALL always emits all four)
+    seed = rd.from_arrow(pa.table({
+        "stage": pa.array(np.arange(4, dtype=np.int64)),
+        "n": pa.array(np.zeros(4, np.int64))}, schema=mid_schema))
+    return (ev.map_batches(thin, batch_format="pyarrow")
+            .groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+            .union(seed)
+            .groupby("stage").aggregate(Sum("n", alias_name="n_users")))
+
+
+WINDOWED_FUNNEL_ORACLE_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+d1 AS (SELECT DISTINCT user_id FROM v),
+d2 AS (SELECT DISTINCT v.user_id
+       FROM v JOIN c ON c.user_id = v.user_id
+        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR),
+d3 AS (SELECT DISTINCT v.user_id
+       FROM v JOIN c ON c.user_id = v.user_id
+        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+       JOIN p ON p.user_id = c.user_id
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR)
+SELECT 0 AS stage, (SELECT count(*) FROM u) AS n_users
+UNION ALL SELECT 1, (SELECT count(*) FROM d1)
+UNION ALL SELECT 2, (SELECT count(*) FROM d2)
+UNION ALL SELECT 3, (SELECT count(*) FROM d3)
+""".strip()

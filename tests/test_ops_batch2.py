@@ -1000,3 +1000,42 @@ def test_mad_exact_and_robust(ray_session, rfm_events):
         row = got.set_index("event_type").loc[et]
         assert row["median_cents"] == med and row["mad_cents"] == mad, et
     assert got.set_index("event_type").loc["click", "mad_cents"] == 0
+
+
+def test_windowed_funnel_greedy_trap(ray_session, tmp_path):
+    """The case greedy matching gets wrong: user 0's EARLIEST view is
+    too old for the click (greedy would bind to it and fail), but a
+    later view converts — the existence semantics must reach depth 3.
+    User 1's click at exactly view+24h converts (inclusive deadline);
+    user 2's click at +24h+1µs does not. User 3 never views."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 9, 1)
+    W = dt.timedelta(hours=24)
+
+    def add(uid, kind, off):
+        nonlocal eid
+        rows.append({"event_id": eid, "ts": base + off, "user_id": uid,
+                     "event_type": kind, "value": 1.0, "props": ""})
+        eid += 1
+
+    add(0, "view", dt.timedelta(0))                       # too old
+    add(0, "view", dt.timedelta(days=5))                  # the real chain
+    add(0, "click", dt.timedelta(days=5, hours=1))
+    add(0, "purchase", dt.timedelta(days=5, hours=2))
+    add(1, "view", dt.timedelta(0)); add(1, "click", W)   # inclusive edge
+    add(2, "view", dt.timedelta(0))
+    add(2, "click", W + dt.timedelta(microseconds=1))     # past deadline
+    add(3, "error", dt.timedelta(0))                      # stage 0 only
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops.funnel import (WINDOWED_FUNNEL_ORACLE_SQL,
+                                     events_windowed_funnel)
+
+    got = events_windowed_funnel(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(WINDOWED_FUNNEL_ORACLE_SQL).df())
+    n = got.set_index("stage")["n_users"]
+    assert n[0] == 4 and n[1] == 3 and n[2] == 2 and n[3] == 1
