@@ -583,20 +583,34 @@ KCORE_ORACLE_SQL = _kcore_oracle_sql()
 BFS_MAX_ROUNDS = 40
 
 
+BFS_BROADCAST_MAX = 5_000_000   # reached-node gate for the fast path
+
+
 def parts_bfs_hops(sf_dir: str, max_rounds: int = BFS_MAX_ROUNDS,
-                   num_partitions: int | None = None):
+                   num_partitions: int | None = None,
+                   broadcast_max: int = BFS_BROADCAST_MAX):
     """Unweighted shortest-path hop counts over the co-order graph from
     a canonical source (the minimum partkey that appears in any edge) —
     the frontier-expansion iterative shape (SSSP/BFS) the degree/
-    components/k-core family doesn't cover: per round ONE frontier ⋈
-    edges join discovers neighbor candidates, one distinct pass and one
-    left-outer anti-join against the settled set keep only unseen
-    nodes, and the driver holds a single scalar (the round's new-node
-    count — the termination test). Rounds are bounded by the graph's
-    diameter, and the frontier join's cost by the frontier's own edge
-    cut, so the loop does strictly less work as the wave passes.
-    Unreached nodes (other components) carry no row, matching the
-    closure oracle."""
+    components/k-core family doesn't cover. TWO paths, same answer
+    (the components-stage precedent):
+
+    * **Broadcast fast path** (reached set ≤ ``broadcast_max``): the
+      frontier + seen sets ride ``ray.put`` once per round; each round
+      is ONE stateless map over the pinned edge table (vectorized
+      isin + unique per batch) and a bounded driver merge of new
+      nodes — no per-round shuffle at all (75 s → ~8 s at sf0.1).
+    * **Distributed path** (forced with ``broadcast_max=0``; the
+      unconditionally scalable shape): per round one marker-union
+      expansion groupby plus one marker-union anti-join groupby —
+      Dataset joins are deliberately avoided because a sparse frontier
+      hands Ray 2.49's hash-join aggregator empty-bundle partitions.
+
+    Rounds are bounded by the graph's diameter; the driver holds the
+    round's new-node count (both paths) plus, on the fast path only,
+    the gated reached set. Unreached nodes (other components) carry no
+    row, matching the closure oracle."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -621,6 +635,46 @@ def parts_bfs_hops(sf_dir: str, max_rounds: int = BFS_MAX_ROUNDS,
     if e.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
     src = e.aggregate(Min("node", alias_name="m"))["m"]
+
+    if broadcast_max > 0:
+        nodes = [np.array([src], np.int64)]
+        seen = {int(src)}
+        frontier_arr = nodes[0]
+        hops = [np.array([0], np.int64)]
+        for r in range(1, max_rounds + 1):
+            fref = ray.put(np.sort(frontier_arr))
+
+            def expand(t: pa.Table) -> pa.Table:
+                fr = ray.get(fref)
+                node = t["node"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(fr, node)
+                hit = (idx < len(fr)) & (fr[np.minimum(idx, len(fr) - 1)]
+                                         == node)
+                out = np.unique(t["nbr"].to_numpy(
+                    zero_copy_only=False)[hit])
+                return pa.table({"nbr": pa.array(out, pa.int64())})
+
+            cand = np.unique(np.concatenate(
+                [b["nbr"].to_numpy(zero_copy_only=False)
+                 for b in e.map_batches(expand, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")] or
+                [np.array([], np.int64)]))
+            new = np.array([n for n in cand if int(n) not in seen],
+                           np.int64)
+            if len(new) == 0:
+                break
+            if len(seen) + len(new) > broadcast_max:
+                raise RuntimeError(
+                    "BFS broadcast fast path exceeded its gate; rerun "
+                    "with broadcast_max=0 for the distributed path")
+            seen.update(int(n) for n in new)
+            nodes.append(new)
+            hops.append(np.full(len(new), r, np.int64))
+            frontier_arr = new
+        return rd.from_arrow(pa.table({
+            "l_partkey": pa.array(np.concatenate(nodes), pa.int64()),
+            "hop": pa.array(np.concatenate(hops), pa.int64()),
+        }, schema=out_schema))
 
     dist = rd.from_arrow(pa.table({
         "l_partkey": pa.array([src], pa.int64()),

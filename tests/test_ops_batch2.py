@@ -617,14 +617,17 @@ def test_bfs_hops_path_graph(ray_session, tmp_path):
     li.append({"l_orderkey": 900, "l_partkey": 99})  # isolated
     pq.write_table(pa.Table.from_pylist(li),
                    str(tmp_path / "lineitem.parquet"))
-    got = parts_bfs_hops(str(tmp_path)).to_pandas()
-    assert dict(zip(got["l_partkey"], got["hop"])) == {
-        1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
     con = duckdb.connect()
     con.sql(f"CREATE VIEW lineitem AS SELECT * "
             f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
-    exp = con.sql(BFS_ORACLE_SQL).df()
-    assert _canon(got) == _canon(exp)
+    exp = _canon(con.sql(BFS_ORACLE_SQL).df())
+    # broadcast fast path AND the forced distributed marker-union path
+    for bm in (None, 0):
+        kw = {} if bm is None else {"broadcast_max": bm}
+        got = parts_bfs_hops(str(tmp_path), **kw).to_pandas()
+        assert dict(zip(got["l_partkey"], got["hop"])) == {
+            1: 0, 2: 1, 3: 2, 4: 3, 5: 4}, f"broadcast_max={bm}"
+        assert _canon(got) == exp, f"broadcast_max={bm}"
 
 
 def test_types_csv_and_key_skew(ray_session, rfm_events):
