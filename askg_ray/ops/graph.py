@@ -90,36 +90,77 @@ GROUP BY o.o_custkey
 """.strip()
 
 
-def co_order_edges(sf_dir: str, num_partitions: int | None = None):
-    """DISTINCT undirected part—part edges (u < v by id): two parts are
-    adjacent when some order contains lineitems of both. One
-    groupby(orderkey) whose kernel emits the order's local pair
-    triangle (orders hold ≤7 lineitems, so groups are tiny at any SF),
-    then a distinct pass over thin (u, v) rows."""
-    import numpy as np
+PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+COORDER_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
+
+
+def _coorder_pair_kernel(t: pa.Table) -> pa.Table:
+    """Vectorized MULTI-GROUP pair explode: works on any table holding
+    complete orderkey groups (a direct-exchange reduce slice or a
+    single group). One lexsort + consecutive dedupe, then the pair
+    triangles of ALL orders come out of ≤6 size-class passes (orders
+    hold ≤7 lineitems) of pure index arithmetic — no Python call per
+    order (the per-group map_groups draft paid one per order; support
+    top-k at sf0.1: 17.4 s → ~11 s min-of-2, the residual being the
+    (u, v) pair groupby itself)."""
+    ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pk, ok))
+    ok, pk = ok[order], pk[order]
+    keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+    ok, pk = ok[keep], pk[keep]
+    starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+    sizes = np.diff(np.r_[starts, len(ok)])
+    us, vs = [], []
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        s = starts[sizes == m]
+        iu, iv = np.triu_indices(int(m), k=1)
+        us.append(pk[(s[:, None] + iu[None, :]).ravel()])
+        vs.append(pk[(s[:, None] + iv[None, :]).ravel()])
+    if not us:
+        return PAIR_SCHEMA.empty_table()
+    return pa.table({"u": pa.array(np.concatenate(us)),
+                     "v": pa.array(np.concatenate(vs))},
+                    schema=PAIR_SCHEMA)
+
+
+def _coorder_pairs(sf_dir: str,
+                   exchange_max_rows: int = COORDER_EXCHANGE_MAX):
+    """Per-order co-occurrence pair rows (u < v, deduped within the
+    order, repeated across orders) — the shared first stage of the
+    co-order graph family. Direct-task keyed exchange with the
+    vectorized multi-group kernel under the row gate; identical kernel
+    per group under ``groupby().map_groups`` above it."""
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from ..rayutil import parquet_num_rows
+    from ..stages.exchange import exchange_reduce
 
-    empty = pa.schema([("u", pa.int64()), ("v", pa.int64())])
     if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
-        return rd.from_arrow(empty.empty_table())
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_partkey"])
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ks = np.unique(g["l_partkey"].to_numpy(zero_copy_only=False)
-                       .astype(np.int64))
-        if len(ks) < 2:
-            return empty.empty_table()
-        iu, iv = np.triu_indices(len(ks), k=1)
-        return pa.table({"u": pa.array(ks[iu]), "v": pa.array(ks[iv])},
-                        schema=empty)
-
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+          .materialize())
+    if li.count() <= exchange_max_rows:
+        return exchange_reduce(li, "l_orderkey", _coorder_pair_kernel,
+                               PAIR_SCHEMA)
     return (li.groupby("l_orderkey")
-            .map_groups(pairs, batch_format="pyarrow")
+            .map_groups(_coorder_pair_kernel, batch_format="pyarrow"))
+
+
+def co_order_edges(sf_dir: str, num_partitions: int | None = None):
+    """DISTINCT undirected part—part edges (u < v by id): two parts are
+    adjacent when some order contains lineitems of both. The pair
+    explode runs on the vectorized multi-group kernel over the direct
+    exchange (``_coorder_pairs``); one distinct pass over thin (u, v)
+    rows follows."""
+    from ray.data.aggregate import Count
+
+    del num_partitions   # the exchange sizes itself
+    return (_coorder_pairs(sf_dir)
             .groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
             .select_columns(["u", "v"]))
 
@@ -779,32 +820,13 @@ def parts_coorder_topk(sf_dir: str, k: int = COORDER_TOPK):
     merge every top-k in this repo uses. Tie-break (n DESC, u, v)
     pinned on both sides.
     """
-    import ray.data as rd
     from ray.data.aggregate import Count
 
-    from ..rayutil import parquet_num_rows
     from .stats import _topk_table
 
     out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
                             ("n", pa.int64())])
-    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
-        return rd.from_arrow(out_schema.empty_table())
-
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_partkey"])
-    pair_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
-
-    def pairs(g: pa.Table) -> pa.Table:
-        ks = np.unique(g["l_partkey"].to_numpy(zero_copy_only=False)
-                       .astype(np.int64))
-        if len(ks) < 2:
-            return pair_schema.empty_table()
-        iu, iv = np.triu_indices(len(ks), k=1)
-        return pa.table({"u": pa.array(ks[iu]), "v": pa.array(ks[iv])},
-                        schema=pair_schema)
-
-    support = (li.groupby("l_orderkey")
-               .map_groups(pairs, batch_format="pyarrow")
+    support = (_coorder_pairs(sf_dir)
                .groupby(["u", "v"]).aggregate(Count(alias_name="n")))
     return _topk_table(support, [("n", "descending"), ("u", "ascending"),
                                  ("v", "ascending")], k, out_schema)
