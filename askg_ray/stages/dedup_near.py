@@ -382,7 +382,13 @@ def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
     (2·min(len)/total, an upper bound on ratio) skips SequenceMatcher
     construction entirely for length-mismatched names. lru_cached —
     pure function, and duplicate clusters re-compare the same name pair
-    in every cell that owns one of its pairs."""
+    in every cell that owns one of its pairs.
+
+    The quick_ratio + ratio core runs through the exact C replica in
+    _fastratio when available (in-worker profiles put pure-Python
+    difflib at ~45% of verify-exchange reduce time); the difflib path
+    below is the verbatim fallback and the equality oracle for
+    tests/test_property.py."""
     from difflib import SequenceMatcher
 
     if nn1 == nn2:
@@ -390,6 +396,10 @@ def _name_ratio(nn1: str, nn2: str, thresh: float) -> float:
     l1, l2 = len(nn1), len(nn2)
     if not l1 or not l2 or 2.0 * min(l1, l2) / (l1 + l2) <= thresh:
         return 0.0
+    from .._fastratio import ratio_gated
+    r = ratio_gated(nn1, nn2, thresh)
+    if r is not None:
+        return r
     sm = SequenceMatcher(None, nn1, nn2)
     if sm.quick_ratio() <= thresh:
         return 0.0

@@ -96,6 +96,22 @@ def _reduce_parts(reduce_fn, out_schema: pa.Schema, *parts):
         parts = [p for p in parts if p is not None and p.num_rows]
         if not parts:
             return out_schema.empty_table()
+        if os.environ.get("ASKG_PROF_CPROF"):
+            import cProfile
+            import io
+            import pstats
+            pr = cProfile.Profile()
+            pr.enable()
+            out = reduce_fn(pa.concat_tables(parts, promote_options="default"))
+            pr.disable()
+            dur = time.time() - t0
+            if dur > float(os.environ.get("ASKG_PROF_CPROF", "5")):
+                buf = io.StringIO()
+                pstats.Stats(pr, stream=buf).sort_stats("tottime") \
+                    .print_stats(12)
+                print(f"[rprof] dur={dur:7.3f} in={nin}\n{buf.getvalue()}",
+                      file=sys.stderr, flush=True)
+            return out
         out = reduce_fn(pa.concat_tables(parts, promote_options="default"))
         print(f"[rtask] dur={time.time() - t0:7.3f} in={nin} "
               f"out={out.num_rows}", file=sys.stderr, flush=True)

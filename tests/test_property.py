@@ -111,3 +111,52 @@ def test_merge_invariants(a, b):
         if a["description"]:
             assert m["description"] == a["description"]
         assert m["warc_ts"] == max(a["warc_ts"], b["warc_ts"])
+
+
+# ---- native fastratio == difflib, exactly ---------------------------------
+
+_name_alpha = st.text(
+    alphabet="abcdefghij-_ 0123456789é中", min_size=0, max_size=60)
+
+
+@given(_name_alpha, _name_alpha,
+       st.sampled_from([0.0, 0.5, 0.75, 0.85]))
+@settings(max_examples=400)
+def test_fastratio_matches_difflib_exactly(a, b, thresh):
+    """The C replica must be BIT-identical to SequenceMatcher: same
+    quick_ratio short-circuit at the threshold, same ratio doubles."""
+    from difflib import SequenceMatcher
+
+    from askg_ray._fastratio import ratio_gated
+
+    got = ratio_gated(a, b, thresh)
+    if got is None:  # no compiler on this host — fallback path covers it
+        return
+    sm = SequenceMatcher(None, a, b)
+    want = 0.0 if sm.quick_ratio() <= thresh else sm.ratio()
+    assert got == want
+
+
+def test_name_ratio_native_and_fallback_agree():
+    """_name_ratio must return the same values with the native path
+    disabled (ASKG_NO_NATIVE) as with it on — spot-checked here by
+    comparing against a fresh difflib evaluation."""
+    from difflib import SequenceMatcher
+
+    from askg_ray.stages.dedup_near import _name_ratio
+
+    cases = [("mcp server", "mcp-server"), ("alpha", "alphabet"),
+             ("x" * 150, "x" * 149 + "y"), ("", "nonempty"),
+             ("abc", "abc")]
+    for nn1, nn2 in cases:
+        got = _name_ratio(nn1, nn2, 0.75)
+        if nn1 == nn2:
+            assert got == 1.0
+            continue
+        l1, l2 = len(nn1), len(nn2)
+        if not l1 or not l2 or 2.0 * min(l1, l2) / (l1 + l2) <= 0.75:
+            assert got == 0.0
+            continue
+        sm = SequenceMatcher(None, nn1, nn2)
+        want = 0.0 if sm.quick_ratio() <= 0.75 else sm.ratio()
+        assert got == want
