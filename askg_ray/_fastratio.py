@@ -117,6 +117,117 @@ static int flm(const uint32_t *a, const uint32_t *b,
     return bestsize;
 }
 
+/* ---- zlib-compatible crc32 (IEEE reflected) --------------------------- */
+
+static uint32_t crc_tab[256];
+static int crc_ready = 0;
+
+static void crc_init(void) {
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_tab[i] = c;
+    }
+    crc_ready = 1;
+}
+
+static uint32_t crc32b(const uint8_t *p, int n) {
+    uint32_t c = 0xFFFFFFFFu;
+    for (int i = 0; i < n; i++)
+        c = crc_tab[(c ^ p[i]) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+static int utf8_enc(uint32_t cp, uint8_t *o) {
+    if (cp < 0x80) { o[0] = cp; return 1; }
+    if (cp < 0x800) {
+        o[0] = 0xC0 | (cp >> 6); o[1] = 0x80 | (cp & 0x3F); return 2;
+    }
+    if (cp < 0x10000) {
+        o[0] = 0xE0 | (cp >> 12); o[1] = 0x80 | ((cp >> 6) & 0x3F);
+        o[2] = 0x80 | (cp & 0x3F); return 3;
+    }
+    o[0] = 0xF0 | (cp >> 18); o[1] = 0x80 | ((cp >> 12) & 0x3F);
+    o[2] = 0x80 | ((cp >> 6) & 0x3F); o[3] = 0x80 | (cp & 0x3F); return 4;
+}
+
+/* exact replica of stages/dedup_near._name_bands: 2-codepoint shingles
+   (whole string when shorter), crc32 of the utf-8 bytes as shingle id,
+   (a*x + b) mod (2^61-1) MinHash with uint64 WRAP on the multiply/add
+   (numpy semantics), all-max sentinel for the empty string, then the
+   band_keys (bi<<56) ^ (crc32(seg_le_bytes)<<16) ^ crc32(rev_seg) mix.
+   A/B: the np.random.RandomState(seed) coefficient arrays, passed in so
+   the one source of truth stays minhash._coeffs. */
+void askg_name_bands(const uint32_t *cps, int n,
+                     const uint64_t *A, const uint64_t *B,
+                     int nperm, int bands, int64_t *out) {
+    if (!crc_ready) crc_init();
+    const uint64_t M = (((uint64_t)1) << 61) - 1;
+    uint64_t sig[256];
+    for (int p = 0; p < nperm; p++) sig[p] = ~(uint64_t)0;
+    uint8_t buf[8];
+    if (n == 1) {
+        int bl = utf8_enc(cps[0], buf);
+        uint64_t x = crc32b(buf, bl);
+        for (int p = 0; p < nperm; p++) {
+            uint64_t v = (A[p] * x + B[p]) % M;
+            if (v < sig[p]) sig[p] = v;
+        }
+    } else if (n >= 2) {
+        for (int i = 0; i + 1 < n; i++) {
+            int bl = utf8_enc(cps[i], buf);
+            bl += utf8_enc(cps[i + 1], buf + bl);
+            uint64_t x = crc32b(buf, bl);
+            for (int p = 0; p < nperm; p++) {
+                uint64_t v = (A[p] * x + B[p]) % M;
+                if (v < sig[p]) sig[p] = v;
+            }
+        }
+    }
+    int rows = nperm / bands;
+    uint64_t rev[64];
+    for (int bi = 0; bi < bands; bi++) {
+        const uint64_t *seg = sig + bi * rows;
+        uint32_t c1 = crc32b((const uint8_t *)seg, rows * 8);
+        for (int r = 0; r < rows; r++) rev[r] = seg[rows - 1 - r];
+        uint32_t c2 = crc32b((const uint8_t *)rev, rows * 8);
+        out[bi] = (int64_t)((((uint64_t)bi) << 56) ^
+                            (((uint64_t)c1) << 16) ^ (uint64_t)c2);
+    }
+}
+
+/* exact replica of stages/edges._ids_from_hashes in one pass: the
+   splitmix64 chain and big-endian hex expansion with no intermediate
+   arrays (the numpy version's byteswap + gather temporaries were
+   memory-bandwidth-bound at full node width). */
+static uint64_t sm64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+void askg_edge_ids(const uint64_t *hs, const uint64_t *hd,
+                   const uint64_t *t, int t_stride,
+                   long long n, uint8_t *out) {
+    static const char hexd[] = "0123456789abcdef";
+    for (long long r = 0; r < n; r++) {
+        uint64_t tv = t[r * t_stride];   /* stride 0 = scalar broadcast */
+        uint64_t h1 = sm64(hs[r] ^ sm64(hd[r] ^ tv));
+        uint64_t h2 = sm64(h1 ^ hd[r] ^ 0xD6E8FEB86659FD93ULL);
+        uint8_t *o = out + r * 32;
+        for (int i = 0; i < 8; i++) {
+            uint8_t b1 = (uint8_t)(h1 >> (56 - 8 * i));
+            uint8_t b2 = (uint8_t)(h2 >> (56 - 8 * i));
+            o[2 * i] = hexd[b1 >> 4];
+            o[2 * i + 1] = hexd[b1 & 15];
+            o[16 + 2 * i] = hexd[b2 >> 4];
+            o[17 + 2 * i] = hexd[b2 & 15];
+        }
+    }
+}
+
 /* ratio with the quick_ratio prune folded in: returns 0.0 when
    quick_ratio <= thresh (difflib ratio <= quick_ratio makes the
    short-circuit lossless for callers comparing > thresh), else the
@@ -168,6 +279,7 @@ double askg_ratio(const uint32_t *a, int la, const uint32_t *b, int lb,
 """
 
 _fn = None
+_libobj = None
 _tried = False
 
 
@@ -190,11 +302,20 @@ def _build() -> "ctypes.CDLL | None":
     lib.askg_ratio.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                ctypes.c_char_p, ctypes.c_int,
                                ctypes.c_double]
+    lib.askg_name_bands.restype = None
+    lib.askg_name_bands.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_void_p]
+    lib.askg_edge_ids.restype = None
+    lib.askg_edge_ids.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_longlong, ctypes.c_void_p]
     return lib
 
 
 def _get():
-    global _fn, _tried
+    global _fn, _libobj, _tried
     if not _tried:
         _tried = True
         if os.environ.get("ASKG_NO_NATIVE"):
@@ -216,6 +337,7 @@ def _get():
                 if abs(want - got) > 0:
                     raise AssertionError(f"fastratio mismatch on {x!r},{y!r}")
             _fn = call
+            _libobj = lib
         except Exception:
             _fn = None
             print("[askg] native fastratio unavailable; difflib fallback",
@@ -232,3 +354,47 @@ def ratio_gated(a: str, b: str, thresh: float) -> float | None:
         return None
     r = fn(a, b, thresh)
     return None if r < 0.0 else r
+
+
+def _lib():
+    """The loaded CDLL, or None — the ratio self-check gates all entry
+    points (one compile, one validation)."""
+    return _libobj if _get() is not None else None
+
+
+def name_bands(nn: str, a_coeffs, b_coeffs, nperm: int,
+               bands: int) -> "tuple[int, ...] | None":
+    """Exact C replica of stages/dedup_near._name_bands for one name.
+    a_coeffs/b_coeffs: contiguous uint64 numpy arrays (minhash._coeffs).
+    None when the native library is unavailable."""
+    lib = _lib()
+    if lib is None or nperm > 256 or bands > 64:
+        return None
+    import numpy as np
+    out = np.empty(bands, dtype=np.int64)
+    cps = nn.encode("utf-32-le")
+    lib.askg_name_bands(cps, len(nn),
+                        a_coeffs.ctypes.data, b_coeffs.ctypes.data,
+                        nperm, bands, out.ctypes.data)
+    return tuple(out.tolist())
+
+
+def edge_ids_hex(hs, hd, t) -> "object | None":
+    """(n, 32) uint8 hex chars for stages/edges._ids_from_hashes — the
+    splitmix chain + hex expansion in one C pass. None when the native
+    library is unavailable. hs/hd: uint64 arrays; t: a uint64 scalar or
+    a per-row uint64 array (the truncate path restores ids with per-row
+    relationship tags)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    import numpy as np
+    n = len(hs)
+    tarr = np.asarray(t, dtype=np.uint64)
+    stride = 0 if tarr.ndim == 0 else 1
+    tarr = np.ascontiguousarray(tarr.reshape(-1))
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.askg_edge_ids(np.ascontiguousarray(hs).ctypes.data,
+                      np.ascontiguousarray(hd).ctypes.data,
+                      tarr.ctypes.data, stride, n, out.ctypes.data)
+    return out

@@ -89,7 +89,17 @@ def _name_bands(nn: str | None) -> tuple[int, ...]:
     # names repeat heavily (duplicate clusters, 16 band rows per record)
     # — this also lets the exploded rows NOT carry the 16×int64 band
     # list (128 B/row of pure shuffle weight); consumers recompute.
-    sig = minhash_signature(shingle_ids(char_shingles(nn or "", k=2)), _NUM_PERM)
+    # Cache MISSES run the exact C replica when available (~125 µs of
+    # per-name crc32/minhash Python otherwise — a top-3 verify-task
+    # cost); equality vs this Python path is property-tested.
+    nn = nn or ""
+    from .._fastratio import name_bands
+    from ..minhash import _coeffs
+    a, b = _coeffs(_NUM_PERM, 7)
+    native = name_bands(nn, a, b, _NUM_PERM, _BANDS)
+    if native is not None:
+        return native
+    sig = minhash_signature(shingle_ids(char_shingles(nn, k=2)), _NUM_PERM)
     return tuple(band_keys(sig, _BANDS))
 
 

@@ -154,13 +154,24 @@ def _ordered_ids(lc, rc, i, j):
 
 
 _HEXTAB = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+# byte → its two hex chars packed as one little-endian uint16 (low byte =
+# high-nibble char), so the hex expansion is ONE contiguous gather instead
+# of two strided half-writes — the strided stores were the measured cost
+# of _ids_from_hashes under full-width memory contention
+_HEX2 = np.array([int.from_bytes(f"{i:02x}".encode(), "little")
+                  for i in range(256)], dtype=np.uint16)
 
 
 def _splitmix(x: np.ndarray) -> np.ndarray:
+    # in-place after the first copy: the 9-temporary version paid ~2×
+    # the memory traffic on multi-million-edge cells
     x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
 
 def _pool_hashes(pool: pa.Array) -> np.ndarray:
@@ -205,18 +216,19 @@ def _edge_ids(ai, bi, pool: pa.Array, tag: str) -> pa.Array:
 
 
 def _ids_from_hashes(hs: np.ndarray, hd: np.ndarray, t) -> pa.Array:
-    h1 = _splitmix(hs ^ _splitmix(hd ^ t))
-    h2 = _splitmix(h1 ^ hd ^ np.uint64(0xD6E8FEB86659FD93))
-    n = len(h1)
-    b = np.empty((n, 16), dtype=np.uint8)
-    b[:, :8] = h1.byteswap().view(np.uint8).reshape(n, 8)
-    b[:, 8:] = h2.byteswap().view(np.uint8).reshape(n, 8)
-    chars = np.empty((n, 32), dtype=np.uint8)
-    chars[:, 0::2] = _HEXTAB[b >> 4]
-    chars[:, 1::2] = _HEXTAB[b & 0xF]
+    n = len(hs)
     offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    from .._fastratio import edge_ids_hex
+    chars = edge_ids_hex(hs, hd, t)  # one C pass, no temporaries
+    if chars is None:  # numpy fallback — identical output, ~4× the traffic
+        h1 = _splitmix(hs ^ _splitmix(hd ^ t))
+        h2 = _splitmix(h1 ^ hd ^ np.uint64(0xD6E8FEB86659FD93))
+        b = np.empty((n, 16), dtype=np.uint8)
+        b[:, :8] = h1.byteswap().view(np.uint8).reshape(n, 8)
+        b[:, 8:] = h2.byteswap().view(np.uint8).reshape(n, 8)
+        chars = np.ascontiguousarray(_HEX2[b])
     return pa.StringArray.from_buffers(
-        n, pa.py_buffer(offsets), pa.py_buffer(chars.reshape(-1)))
+        n, pa.py_buffer(offsets), pa.py_buffer(chars))
 
 
 def _dict32(indices: np.ndarray, pool: pa.Array) -> pa.DictionaryArray:

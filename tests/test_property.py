@@ -121,7 +121,7 @@ _name_alpha = st.text(
 
 @given(_name_alpha, _name_alpha,
        st.sampled_from([0.0, 0.5, 0.75, 0.85]))
-@settings(max_examples=400)
+@settings(max_examples=400, deadline=None)
 def test_fastratio_matches_difflib_exactly(a, b, thresh):
     """The C replica must be BIT-identical to SequenceMatcher: same
     quick_ratio short-circuit at the threshold, same ratio doubles."""
@@ -160,3 +160,55 @@ def test_name_ratio_native_and_fallback_agree():
         sm = SequenceMatcher(None, nn1, nn2)
         want = 0.0 if sm.quick_ratio() <= 0.75 else sm.ratio()
         assert got == want
+
+
+@given(st.text(alphabet="abcdefgh-_ 0123456789é中𝄞", min_size=0,
+               max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_native_name_bands_match_python(s):
+    """The C band kernel must reproduce the pure-Python
+    shingle→minhash→band_keys chain exactly (same crc32, same uint64
+    wrap, same sentinel for the empty string)."""
+    from askg_ray._fastratio import name_bands
+    from askg_ray.minhash import (_coeffs, band_keys, char_shingles,
+                                  minhash_signature, shingle_ids)
+    from askg_ray.stages.dedup_near import _BANDS, _NUM_PERM
+
+    a, b = _coeffs(_NUM_PERM, 7)
+    got = name_bands(s, a, b, _NUM_PERM, _BANDS)
+    if got is None:  # no compiler on this host
+        return
+    want = tuple(band_keys(
+        minhash_signature(shingle_ids(char_shingles(s, k=2)), _NUM_PERM),
+        _BANDS))
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0,
+                max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_native_edge_ids_match_numpy(vals):
+    """The C edge-id kernel (splitmix chain + hex) must emit the same
+    StringArray as the numpy fallback."""
+    import numpy as np
+
+    from askg_ray.stages import edges as E
+
+    hs = np.array(vals, dtype=np.uint64)
+    hd = hs[::-1].copy()
+    t = E._tag_hash("similar")
+    got = E._ids_from_hashes(hs, hd, t)
+    # numpy fallback, inlined (module reload under ASKG_NO_NATIVE is
+    # too heavy per example)
+    h1 = E._splitmix(hs ^ E._splitmix(hd ^ t))
+    h2 = E._splitmix(h1 ^ hd ^ np.uint64(0xD6E8FEB86659FD93))
+    n = len(h1)
+    b = np.empty((n, 16), dtype=np.uint8)
+    b[:, :8] = h1.byteswap().view(np.uint8).reshape(n, 8)
+    b[:, 8:] = h2.byteswap().view(np.uint8).reshape(n, 8)
+    import pyarrow as pa
+    chars = np.ascontiguousarray(E._HEX2[b])
+    offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    want = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets), pa.py_buffer(chars))
+    assert got.equals(want)
