@@ -368,7 +368,8 @@ def name_bands(nn: str, a_coeffs, b_coeffs, nperm: int,
     a_coeffs/b_coeffs: contiguous uint64 numpy arrays (minhash._coeffs).
     None when the native library is unavailable."""
     lib = _lib()
-    if lib is None or nperm > 256 or bands > 64:
+    if (lib is None or nperm > 256 or bands > 64
+            or bands == 0 or nperm // bands > 64):  # C scratch bounds
         return None
     import numpy as np
     out = np.empty(bands, dtype=np.int64)

@@ -526,16 +526,18 @@ def blocked_self_join(exploded, pair_fn, out_schema: pa.Schema, cap: int = 400,
     # replication skew serialized the old path's critical path).
     # R sizing: per-cell verify/emit cost is quadratic in cell size, so
     # hash-assigned reducers see heavy-tailed loads; finer tasks smooth
-    # stragglers until per-task overhead bites. An interleaved A/B on
-    # the bench corpus (mult 8 vs 32, alternating in one warm session)
-    # measured min-of-2 43.3 s vs 42.2 s — indistinguishable under this
-    # host's ±2× noise — while mult=64 (2048 reducers, 65k slice
-    # objects) was reliably past the knee. Default stays 8; the env
-    # knob exists for wider clusters where straggler smoothing pays.
+    # stragglers until per-task overhead (M×R slice objects, arg
+    # fetches) bites. The knee MOVED when the verify/emit kernels went
+    # native (~4× cheaper tasks): post-kernel min-of-2 at the
+    # repl=32/mult=1 corpus, 32 cpus — mult 8 = 25.3 s, 4 = 21.5 s,
+    # 2 = 20.5 s, 1 = 21.8 s; at 8 cpus mult 8 vs 2 are within noise
+    # (40.0 vs 41.4 s). Default 2; the env knob remains for kernels
+    # whose per-cell cost is heavy enough to re-buy straggler
+    # smoothing.
     if n_rows < SMALL_EXPLODED_ROWS:
         from .exchange import exchange_reduce
 
-        nred_mult = int(os.environ.get("ASKG_SJ_NRED_MULT", "8"))
+        nred_mult = int(os.environ.get("ASKG_SJ_NRED_MULT", "2"))
         nred = max(2, min(nred_mult * nb, max(8, est_pairs // 2000)))
         return exchange_reduce(exploded, "cell_key", bucket_cells,
                                out_schema, pre_fn=to_cells, nred=nred)
