@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": joins.local_supplier_revenue,
         "nation_pair_volume": joins.nation_pair_volume,
         "nation_market_share": joins.nation_market_share,
+        "nation_profit": joins.nation_profit,
+        "late_order_priority": joins.late_order_priority,
         "banded_part_revenue": joins.banded_part_revenue,
         "forecast_revenue_delta": joins.forecast_revenue_delta,
         "audit_constraints": _audit_constraints,
@@ -504,6 +506,7 @@ def oracle_sql() -> dict[str, str]:
         ORDERS_WITHOUT_RETURNS_ORACLE_SQL, Q13_ORACLE_SQL,
         COMPACT_ORACLE_SQL,
         PRICE_BANDS_ORACLE_SQL, Q5_ORACLE_SQL, Q7_ORACLE_SQL,
+        Q4_ORACLE_SQL, Q9_ORACLE_SQL,
         Q6_ORACLE_SQL,
         Q8_ORACLE_SQL, Q19_ORACLE_SQL,
         RETURN_CUSTOMERS_ORACLE_SQL, SCD2_ORACLE_SQL,
@@ -594,6 +597,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": PRICE_BANDS_ORACLE_SQL,
         "local_supplier_revenue": Q5_ORACLE_SQL,
         "nation_pair_volume": Q7_ORACLE_SQL,
+        "nation_profit": Q9_ORACLE_SQL,
+        "late_order_priority": Q4_ORACLE_SQL,
         "nation_market_share": Q8_ORACLE_SQL,
         "banded_part_revenue": Q19_ORACLE_SQL,
         "forecast_revenue_delta": Q6_ORACLE_SQL,

@@ -2190,3 +2190,230 @@ r AS (SELECT doc_id, version, fp,
 SELECT doc_id, CAST(version AS BIGINT) AS version, fp
 FROM r WHERE rn = 1 AND fp <> '__TOMBSTONE__'
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation × order year over a part slice
+
+Q9_PART_NEEDLE = "red"     # p_name substring slice of the market
+
+
+def nation_profit(sf_dir: str, num_partitions: int | None = None,
+                  broadcast_threshold: int | None = None):
+    """Q9-shape profit rollup: for every lineitem of a part whose name
+    contains ``Q9_PART_NEEDLE``, profit = revenue − cost, summed by the
+    SUPPLIER's nation and the ORDER's year. (The reference schema has
+    no partsupp table, so cost is the part's retail price × quantity —
+    the join/aggregate shape of Q9 is unchanged: two dimension attaches
+    on the lineitem side, one fact-fact orderkey join for the date,
+    then a two-key rollup.)
+
+    Scale plan: the part slice prunes lineitem BEFORE anything moves
+    (attach p_retailprice via the size-gated dim policy, drop
+    non-matching rows in the same batch pass); the supplier nation
+    rides the second size-gated attach; orders ships only (orderkey,
+    year) through the single hash join. Profit in exact integer
+    10⁻⁴-dollar units: cents × (100 − disc-pct) − retail-cents × qty ×
+    100, so the value-hash cannot drift on float sum order.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    name = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet",
+                         f"{sf_dir}/orders.parquet")
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def part_slice(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], Q9_PART_NEEDLE))
+        retail_c = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                           * 100).astype(np.int64)
+        return pa.table({"p_partkey": t["p_partkey"].cast(pa.int64()),
+                         "retail_c": pa.array(retail_c)})
+
+    part = part.map_batches(part_slice, batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    li = attach_dim(li, part, "l_partkey", "p_partkey", ["retail_c"],
+                    broadcast_threshold=bt)
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    li = attach_dim(li, sup, "l_suppkey", "s_suppkey", ["s_nationkey"],
+                    broadcast_threshold=bt)
+
+    def li_profit(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["retail_c"]))   # part-slice inner join
+        price_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+        retail_c = t["retail_c"].to_numpy(zero_copy_only=False)
+        amount = price_c * (100 - disc) - retail_c * qty * 100
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "s_nat": t["s_nationkey"].cast(pa.int64()),
+            "amount_u": pa.array(amount, pa.int64())})
+
+    li = li.map_batches(li_profit, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        od = (t["o_orderdate"].cast(pa.timestamp("us"))
+              .to_numpy(zero_copy_only=False))
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                         "o_year": pa.array(year, pa.int64())})
+
+    orders = orders.map_batches(ord_year, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=npart,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["s_nat", "o_year", "amount_u"])
+             .group_by(["s_nat", "o_year"])
+             .aggregate([("amount_u", "sum")]))
+        return pa.table({
+            "nation": pa.array([name[k] for k in g["s_nat"].to_pylist()],
+                               pa.string()),
+            "o_year": g["o_year"].cast(pa.int64()),
+            "profit_u": g["amount_u_sum"].cast(pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["nation", "o_year"])
+            .aggregate(Sum("profit_u", alias_name="profit_u")))
+
+
+Q9_ORACLE_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l.l_quantity) AS BIGINT) * 100)
+            AS BIGINT) AS profit_u
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE contains(p.p_name, '{Q9_PART_NEEDLE}')
+GROUP BY 1, 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count under a cross-table EXISTS predicate
+
+Q4_DATE_LO_US = 820_454_400_000_000      # 1996-01-01 epoch µs
+Q4_DATE_HI_US = 828_316_800_000_000      # 1996-04-01 epoch µs
+Q4_LATE_DAYS = 90
+
+
+def late_order_priority(sf_dir: str, num_partitions: int | None = None,
+                        broadcast_threshold: int | None = None):
+    """Q4-shape: count one quarter's orders per priority that have AT
+    LEAST ONE lineitem shipped more than ``Q4_LATE_DAYS`` days after
+    the order date — the correlated EXISTS whose predicate compares a
+    column from EACH side (l_shipdate vs o_orderdate), so it cannot be
+    pushed to either table alone.
+
+    Scale plan: the quarter filter prunes orders first; (o_orderdate,
+    o_orderpriority) rides the size-gated dim attach onto lineitem
+    (lineitems of other quarters drop in the same pass — the attach IS
+    the semi-join); the late predicate resolves per batch vectorized;
+    EXISTS-dedup ships thin (orderkey, priority) rows through one
+    groupby(orderkey) first-row pass; the final count is a priority
+    groupby over per-batch partials.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def quarter(t: pa.Table) -> pa.Table:
+        us = (t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        keep = (us >= Q4_DATE_LO_US) & (us < Q4_DATE_HI_US)
+        t = t.filter(pa.array(keep))
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                         "o_us": pa.array(us[keep], pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = orders.map_batches(quarter, batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    li = attach_dim(li, orders, "l_orderkey", "o_orderkey",
+                    ["o_us", "o_orderpriority"], broadcast_threshold=bt)
+
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_us"]))       # quarter semi-join
+        ship = (t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False))
+        ous = t["o_us"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ship > ous + late_us))
+        # local distinct: one (orderkey, priority) per batch
+        g = (t.select(["l_orderkey", "o_orderpriority"])
+             .group_by("l_orderkey").aggregate([("o_orderpriority", "min")]))
+        return pa.table({"o_orderkey": g["l_orderkey"].cast(pa.int64()),
+                         "o_orderpriority":
+                             g["o_orderpriority_min"].cast(pa.string())})
+
+    keys = li.map_batches(late_keys, batch_format="pyarrow")
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    keys = keys.groupby("o_orderkey").map_groups(first_row,
+                                                 batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_orderpriority"]).group_by("o_orderpriority")
+             .aggregate([([], "count_all")]))
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "order_count": g["count_all"].cast(pa.int64())})
+
+    return (keys.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("order_count", alias_name="order_count")))
+
+
+Q4_ORACLE_SQL = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY 1
+""".strip()

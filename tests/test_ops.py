@@ -318,7 +318,7 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
 
     con = duckdb.connect()
     for t in ["lineitem", "orders", "customer", "events", "part",
-              "supplier"]:
+              "supplier", "nation"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * "
                 f"FROM read_parquet('{SF}/{t}.parquet')")
 
@@ -370,6 +370,15 @@ def test_fact_fact_joins_vs_duckdb(ray_session):
          joins.SOLE_FAILED_ORACLE_SQL),
         (lambda: joins.sole_failed_suppliers(SF, broadcast_threshold=0),
          joins.SOLE_FAILED_ORACLE_SQL),
+        # Q9 shape: profit rollup, both attach paths + forced partitions
+        (lambda: joins.nation_profit(SF), joins.Q9_ORACLE_SQL),
+        (lambda: joins.nation_profit(SF, num_partitions=2,
+                                     broadcast_threshold=0),
+         joins.Q9_ORACLE_SQL),
+        # Q4 shape: cross-table EXISTS, both attach paths
+        (lambda: joins.late_order_priority(SF), joins.Q4_ORACLE_SQL),
+        (lambda: joins.late_order_priority(SF, broadcast_threshold=0),
+         joins.Q4_ORACLE_SQL),
     ]
     for fn, sql in cases:
         got = canon(fn().to_pandas())

@@ -54,6 +54,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])          # optional query-name subset
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_ok = n_bad = 0
     import time
     for name, fn in qs.items():
