@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": curation.doc_sample,
         "passage_dedup": curation.passage_dedup,
         "corpus_prep": curation.corpus_prep,
+        "doc_dup_spans": curation.doc_dup_spans,
         "corpus_pack": packing.corpus_pack,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -475,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         CHUNK_ORACLE_SQL,
         CORPUS_PREP_ORACLE_SQL,
         DECON_ORACLE_SQL,
+        DUP_SPANS_ORACLE_SQL,
         PASSAGE_ORACLE_SQL,
         PII_ORACLE_SQL,
         REP_ORACLE_SQL,
@@ -574,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
             "'https://github\\.com/([^/]+/[^/\\s\\)]+)', 1)) AS repo_path "
             "FROM corpus",
         "decontaminate": DECON_ORACLE_SQL,
+        "doc_dup_spans": DUP_SPANS_ORACLE_SQL,
         "pii_scrub": PII_ORACLE_SQL,
         "doc_repetition": REP_ORACLE_SQL,
         "doc_split": SPLIT_ORACLE_SQL,

@@ -652,3 +652,101 @@ WITH p AS (
   FROM documents)
 SELECT lang, doc_id, priority FROM p WHERE rn <= {BOTTOMK_GROUP_K}
 """.strip()
+
+
+# ---- ExactSubstr-style duplicate-span accounting ---------------------------
+
+DUPSPAN_W = 8          # overlapping window width (tokens)
+
+
+def doc_dup_spans(sf_dir: str, w: int = DUPSPAN_W,
+                  broadcast_threshold: int | None = None):
+    """Per-doc duplicate-span accounting with OVERLAPPING windows — the
+    ExactSubstr shape of web-corpus dedup (Lee et al.'s
+    deduplicate-text-datasets: find substrings repeated ACROSS
+    documents; here token-aligned): for every doc, how many of its
+    ``w``-token sliding windows also occur verbatim in at least one
+    OTHER document. Unlike ``passage_dedup`` (disjoint passages, "seen
+    earlier" ownership), every window position counts and the predicate
+    is cross-doc multiplicity, not first-owner.
+
+    Scale shape: windows travel as md5 hex thin rows (hash, doc_id) —
+    never text; ONE groupby(hash) co-locates a gram's occurrences and
+    emits per-doc counts only for grams spanning ≥2 distinct docs; the
+    per-doc rollup and the (doc_id, n_windows) totals are doc-scale;
+    the final zero-fill attach rides the size-gated broadcast/shuffle
+    policy. Docs shorter than ``w`` tokens report 0 windows.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        hs, dids = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            ws = (t or "").split(" ")
+            for i in range(len(ws) - w + 1):
+                hs.append(hashlib.md5(
+                    " ".join(ws[i:i + w]).encode()).hexdigest())
+                dids.append(did)
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "doc_id": pa.array(dids, pa.int64())})
+
+    grams = _read_docs(sf_dir).map_batches(gram_rows, batch_format="pyarrow")
+
+    def cross_doc(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ids, return_counts=True)
+        if len(uniq) < 2:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("c", pa.int64())]).empty_table()
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "c": pa.array(counts, pa.int64())})
+
+    dup = (grams.groupby("h").map_groups(cross_doc, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Sum("c", alias_name="dup_windows")))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        n = [max(len((t or "").split(" ")) - w + 1, 0)
+             for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_windows": pa.array(n, pa.int64())})
+
+    tot = _read_docs(sf_dir).map_batches(totals, batch_format="pyarrow")
+    out = attach_dim(tot, dup, "doc_id", "doc_id", ["dup_windows"],
+                     broadcast_threshold=bt)
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("dup_windows"), "dup_windows",
+            pc.coalesce(t["dup_windows"].cast(pa.int64()),
+                        pa.scalar(0, pa.int64())))
+
+    return out.map_batches(zero_fill, batch_format="pyarrow")
+
+
+DUP_SPANS_ORACLE_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
+wins AS (
+  SELECT doc_id, array_to_string(ws[i : i + {DUPSPAN_W - 1}], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(
+                       1, len(ws) - {DUPSPAN_W - 1})) AS i) gs(i)),
+dup_grams AS (
+  SELECT gram FROM wins GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT w.doc_id, count(*) AS dup_windows
+  FROM wins w JOIN dup_grams d USING (gram)
+  GROUP BY w.doc_id)
+SELECT t.doc_id,
+       CAST(greatest(len(t.ws) - {DUPSPAN_W - 1}, 0) AS BIGINT)
+           AS n_windows,
+       CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows
+FROM t LEFT JOIN per_doc p USING (doc_id)
+""".strip()

@@ -424,6 +424,30 @@ def test_passage_dedup_vs_duckdb(ray_session):
     assert sum(1 for _, _, d in exp if d > 0) > 0
 
 
+def test_doc_dup_spans_vs_duckdb(ray_session):
+    """ExactSubstr-style overlapping duplicate-window accounting
+    hash-matches its oracle on BOTH the broadcast and the forced
+    shuffle zero-fill attach; the corpus guarantees nonzero cross-doc
+    repeated windows and window counts bound dup counts."""
+    import duckdb
+
+    from askg_ray.ops.curation import DUP_SPANS_ORACLE_SQL, doc_dup_spans
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    exp = sorted(map(tuple, con.sql(
+        "SELECT doc_id, n_windows, dup_windows FROM ("
+        + DUP_SPANS_ORACLE_SQL + ")").fetchall()))
+    for bt in (None, 0):
+        got = sorted((r["doc_id"], r["n_windows"], r["dup_windows"])
+                     for r in _rows(doc_dup_spans(SF,
+                                                  broadcast_threshold=bt)))
+        assert got == exp
+    assert sum(1 for _, _, d in exp if d > 0) > 0
+    assert all(d <= n for _, n, d in exp)
+
+
 def test_sliding_window_and_pivot_vs_duckdb(ray_session):
     """RANGE-semantics sliding count (peers included) and the per-user
     event-type pivot hash-match their oracles."""
