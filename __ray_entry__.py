@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": curation.passage_dedup,
         "corpus_prep": curation.corpus_prep,
         "doc_dup_spans": curation.doc_dup_spans,
+        "source_mixing_weights": curation.source_mixing_weights,
+        "docs_weighted_sample": curation.docs_weighted_sample,
         "corpus_pack": packing.corpus_pack,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -477,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
         CORPUS_PREP_ORACLE_SQL,
         DECON_ORACLE_SQL,
         DUP_SPANS_ORACLE_SQL,
+        MIXING_ORACLE_SQL,
+        WEIGHTED_SAMPLE_ORACLE_SQL,
         PASSAGE_ORACLE_SQL,
         PII_ORACLE_SQL,
         REP_ORACLE_SQL,
@@ -577,6 +581,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM corpus",
         "decontaminate": DECON_ORACLE_SQL,
         "doc_dup_spans": DUP_SPANS_ORACLE_SQL,
+        "source_mixing_weights": MIXING_ORACLE_SQL,
+        "docs_weighted_sample": WEIGHTED_SAMPLE_ORACLE_SQL,
         "pii_scrub": PII_ORACLE_SQL,
         "doc_repetition": REP_ORACLE_SQL,
         "doc_split": SPLIT_ORACLE_SQL,

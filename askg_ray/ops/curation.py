@@ -750,3 +750,127 @@ SELECT t.doc_id,
        CAST(coalesce(p.dup_windows, 0) AS BIGINT) AS dup_windows
 FROM t LEFT JOIN per_doc p USING (doc_id)
 """.strip()
+
+
+# ---- domain/source mixing weights ------------------------------------------
+
+MIX_CAP_PPM = 10_000_000        # max upsampling = 10× (parts-per-million)
+
+
+def source_mixing_weights(sf_dir: str):
+    """Per-source resampling weights toward a UNIFORM token budget —
+    the domain-mixture step of training-data assembly (each source's
+    weight = target-share / actual-share, upsampling capped at
+    ``MIX_CAP_PPM``). Exact integer arithmetic end-to-end:
+    weight_ppm = min(total_tokens·10⁶ // (n_sources·n_tokens), cap),
+    so the value-hash cannot drift.
+
+    Scale shape: one map-side (source, n_docs, n_tokens) partial per
+    batch (the token count never leaves the map task as rows), a
+    source-vocabulary groupby, then the totals resolve inside ONE
+    constant-key kernel over the source-scale aggregate — no driver
+    collection at any corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        nt = [len((t or "").split(" ")) for t in batch["text"].to_pylist()]
+        g = (pa.table({"source": pa.array(src, pa.string()),
+                       "n_tokens": pa.array(nt, pa.int64())})
+             .group_by("source")
+             .aggregate([([], "count_all"), ("n_tokens", "sum")]))
+        return pa.table({"source": g["source"],
+                         "n_docs": g["count_all"].cast(pa.int64()),
+                         "n_tokens": g["n_tokens_sum"].cast(pa.int64())})
+
+    import ray.data as rd
+
+    agg = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens")))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__k", pa.array([0] * t.num_rows, pa.int8()))
+
+    def weigh(g: pa.Table) -> pa.Table:
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        total = int(nt.sum())
+        ns = g.num_rows
+        ppm = np.minimum(total * 1_000_000 // (ns * np.maximum(nt, 1)),
+                         MIX_CAP_PPM)
+        return pa.table({"source": g["source"],
+                         "n_docs": g["n_docs"].cast(pa.int64()),
+                         "n_tokens": g["n_tokens"].cast(pa.int64()),
+                         "weight_ppm": pa.array(ppm, pa.int64())})
+
+    return (agg.map_batches(add_key, batch_format="pyarrow")
+            .groupby("__k").map_groups(weigh, batch_format="pyarrow"))
+
+
+MIXING_ORACLE_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(coalesce(text, ''), ' '))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS ns FROM s)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(least((t * 1000000) // (ns * greatest(n_tokens, 1)),
+                  {MIX_CAP_PPM}) AS BIGINT) AS weight_ppm
+FROM s, tot
+""".strip()
+
+
+# ---- weighted bottom-k sample ----------------------------------------------
+
+WEIGHTED_K = 50
+
+
+def docs_weighted_sample(sf_dir: str, k: int = WEIGHTED_K):
+    """Exactly-k WEIGHTED sample (weight = n_chars): an integer
+    Efraimidis–Spirakis-style priority sketch — every doc gets the
+    deterministic priority md5₆₀(doc_id) // weight and the k smallest
+    win, so a doc's selection odds grow with its weight while the
+    draw stays reproducible on any cluster size or block layout (no
+    RNG state). Same mergeable shape as ``docs_bottomk_sample``:
+    per-block bottom-k, then one bounded ≤ k-rows-per-block merge.
+    Exact integer arithmetic; (priority, doc_id) is a total order.
+    """
+    from .stats import _topk_table
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False), 1)
+        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+                      for d in ids], np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "source": t["source"],
+                         "n_chars": t["n_chars"].cast(pa.int64()),
+                         "priority": pa.array(h // w, pa.int64())})
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64()),
+                            ("priority", pa.int64())])
+    return _topk_table(docs.map_batches(key, batch_format="pyarrow"),
+                       [("priority", "ascending"),
+                        ("doc_id", "ascending")], k, out_schema)
+
+
+WEIGHTED_SAMPLE_ORACLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) // greatest(n_chars, 1) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {WEIGHTED_K}
+""".strip()

@@ -448,6 +448,46 @@ def test_doc_dup_spans_vs_duckdb(ray_session):
     assert all(d <= n for _, n, d in exp)
 
 
+def test_mixing_weights_and_weighted_sample(ray_session):
+    """Source mixing weights hash-match the oracle and respect the
+    upsampling cap / budget direction; the weighted bottom-k sample
+    matches its oracle and skews toward heavier docs vs the uniform
+    bottom-k."""
+    import duckdb
+
+    from askg_ray.ops import curation
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+
+    rows = _rows(curation.source_mixing_weights(SF))
+    exp = sorted(map(tuple, con.sql(curation.MIXING_ORACLE_SQL).fetchall()))
+    got = sorted((r["source"], r["n_docs"], r["n_tokens"], r["weight_ppm"])
+                 for r in rows)
+    assert got == exp
+    assert all(r["weight_ppm"] <= curation.MIX_CAP_PPM for r in rows)
+    # below-target sources upsample (>1x), above-target ones downsample
+    mean_tokens = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        if r["n_tokens"] < mean_tokens:
+            assert r["weight_ppm"] >= 1_000_000
+        else:
+            assert r["weight_ppm"] <= 1_000_000
+
+    ws = _rows(curation.docs_weighted_sample(SF))
+    exp_ws = sorted(map(tuple, con.sql(
+        curation.WEIGHTED_SAMPLE_ORACLE_SQL).fetchall()))
+    got_ws = sorted((r["doc_id"], r["source"], r["n_chars"], r["priority"])
+                    for r in ws)
+    assert got_ws == exp_ws
+    uni = _rows(curation.docs_bottomk_sample(SF, k=curation.WEIGHTED_K))
+    chars = dict(con.sql("SELECT doc_id, n_chars FROM documents").fetchall())
+    mean_w = sum(r["n_chars"] for r in ws) / len(ws)
+    mean_u = sum(chars[r["doc_id"]] for r in uni) / len(uni)
+    assert mean_w > mean_u        # weight = n_chars biases the draw
+
+
 def test_sliding_window_and_pivot_vs_duckdb(ray_session):
     """RANGE-semantics sliding count (peers included) and the per-user
     event-type pivot hash-match their oracles."""
