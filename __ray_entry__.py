@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_top10": similarity.ann_lsh,
         "ann_ivf_top10": similarity.ann_ivf,
         "embedding_centroids": similarity.embedding_centroids,
+        "doc_cosine_pairs": similarity.doc_cosine_pairs,
         # -- multimodal plumbing (stubbed decode/resize kernels) -----------
         "media_features": media_features,
         "media_resize": media_resize,
@@ -503,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.analyze import AUDIT_ORACLE_SQL
     from askg_ray.pipelines.export import SORTED_EXPORT_ORACLE_SQL
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
+                                         COSINE_PAIRS_ORACLE_SQL,
                                          KMEANS_ORACLE_SQL)
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
@@ -583,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": DUP_SPANS_ORACLE_SQL,
         "source_mixing_weights": MIXING_ORACLE_SQL,
         "docs_weighted_sample": WEIGHTED_SAMPLE_ORACLE_SQL,
+        "doc_cosine_pairs": COSINE_PAIRS_ORACLE_SQL,
         "pii_scrub": PII_ORACLE_SQL,
         "doc_repetition": REP_ORACLE_SQL,
         "doc_split": SPLIT_ORACLE_SQL,

@@ -424,6 +424,50 @@ def test_passage_dedup_vs_duckdb(ray_session):
     assert sum(1 for _, _, d in exp if d > 0) > 0
 
 
+def test_doc_cosine_pairs_vs_duckdb(ray_session):
+    """Exact all-pairs cosine join hash-matches its oracle on the
+    direct-exchange path, the forced streaming-groupby path, and the
+    forced shuffle norm attach; df_cap prunes hot terms."""
+    import duckdb
+
+    from askg_ray.ops.similarity import (COSINE_PAIRS_ORACLE_SQL,
+                                         doc_cosine_pairs)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{SF}/documents.parquet')")
+    exp = sorted(map(tuple, con.sql(COSINE_PAIRS_ORACLE_SQL).fetchall()))
+    assert exp                         # corpus guarantees matches
+    got = sorted((r["doc_a"], r["doc_b"], r["dot"],
+                  r["norm_a"], r["norm_b"])
+                 for r in _rows(doc_cosine_pairs(SF)))
+    assert got == exp
+    assert all(a < b for a, b, *_ in exp)
+    capped = _rows(doc_cosine_pairs(SF, df_cap=1))
+    assert len(capped) == 0            # every term is hot in this corpus
+
+    # forced streaming-groupby + forced shuffle attach on a 60-doc slice
+    # (the full corpus's 2.3M partials pay the sort-shuffle floor there)
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        sl = con.sql("SELECT * FROM documents WHERE doc_id % 9 = 0").arrow()
+        pq.write_table(sl, str(pathlib.Path(td) / "documents.parquet"))
+        con2 = duckdb.connect()
+        con2.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{td}/documents.parquet')")
+        exp2 = sorted(map(tuple,
+                          con2.sql(COSINE_PAIRS_ORACLE_SQL).fetchall()))
+        got2 = sorted((r["doc_a"], r["doc_b"], r["dot"],
+                       r["norm_a"], r["norm_b"])
+                      for r in _rows(doc_cosine_pairs(
+                          td, exchange_max_rows=0, broadcast_threshold=0)))
+        assert exp2 and got2 == exp2
+
+
 def test_doc_dup_spans_vs_duckdb(ray_session):
     """ExactSubstr-style overlapping duplicate-window accounting
     hash-matches its oracle on BOTH the broadcast and the forced
