@@ -250,6 +250,11 @@ def _sorted_export_stats(sf_dir: str):
     })
 
 
+def _pruned_range_scan(sf_dir: str):
+    from askg_ray.pipelines.export import pruned_range_scan
+    return pruned_range_scan(sf_dir)
+
+
 def _audit_constraints(sf_dir: str):
     from askg_ray.ops.analyze import audit_constraints
     return audit_constraints(sf_dir)
@@ -423,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": media_dedup,
         "doc_word_bigrams": text.doc_word_bigrams,
         "export_sorted_stats": _sorted_export_stats,
+        "pruned_range_scan": _pruned_range_scan,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
@@ -502,7 +508,8 @@ def oracle_sql() -> dict[str, str]:
                                          MEDIA_DEDUP_ORACLE_SQL,
                                          RESIZE_ORACLE_SQL)
     from askg_ray.ops.analyze import AUDIT_ORACLE_SQL
-    from askg_ray.pipelines.export import SORTED_EXPORT_ORACLE_SQL
+    from askg_ray.pipelines.export import (PRUNED_SCAN_ORACLE_SQL,
+                                           SORTED_EXPORT_ORACLE_SQL)
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
                                          COSINE_PAIRS_ORACLE_SQL,
                                          KMEANS_ORACLE_SQL)
@@ -699,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": MEDIA_DEDUP_ORACLE_SQL,
         "doc_word_bigrams": WORD_BIGRAM_ORACLE_SQL,
         "export_sorted_stats": SORTED_EXPORT_ORACLE_SQL,
+        "pruned_range_scan": PRUNED_SCAN_ORACLE_SQL,
         "doc_count_by_source":
             "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "doc_lang_hist":

@@ -277,3 +277,86 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM b GROUP BY bucket
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Min/max file skipping over the range-partitioned sink
+
+PRUNE_LO, PRUNE_HI = 40, 60     # n_chars range predicate
+
+
+def pruned_range_scan(sf_dir: str, out_dir: str | None = None,
+                      lo: int = PRUNE_LO, hi: int = PRUNE_HI):
+    """Predicate-pruned scan over the range-partitioned sorted sink —
+    the file-skipping read every table format (Iceberg/Delta/Hudi)
+    does with partition stats: consult the manifest's per-shard
+    (min_chars, max_chars), OPEN ONLY shards whose range overlaps
+    [lo, hi], and count matches inside them. Returns one row:
+    (n_match, n_buckets_total, n_buckets_opened, rows_scanned) — all
+    deterministic because the bucket rule is the SQL-mirrored
+    prefix-scan; n_match must equal the unpruned predicate count (the
+    correctness of skipping), rows_scanned < corpus proves I/O was
+    actually avoided.
+
+    The sink itself is resumable, so reruns reuse finished shards: the
+    scratch dir is keyed by the corpus path.
+    """
+    import hashlib as _hl
+    import json
+
+    import ray.data as rd
+
+    if out_dir is None:
+        out_dir = ("/tmp/askg_sorted_cache_"
+                   + _hl.md5(sf_dir.encode()).hexdigest()[:12])
+    manifest = export_sorted_parquet(sf_dir, out_dir)
+    buckets = manifest["buckets"]
+    opened = [b for b in buckets
+              if b["min_chars"] <= hi and b["max_chars"] >= lo]
+    rows_scanned = sum(b["n_rows"] for b in opened)
+
+    n_match = 0
+    if opened:
+        paths = [f"{out_dir}/part-{b['bucket']:05d}.parquet"
+                 for b in opened]
+        scanned = rd.read_parquet(paths, columns=["n_chars"])
+
+        def count_range(t: pa.Table) -> pa.Table:
+            nc = t["n_chars"].to_numpy(zero_copy_only=False)
+            n = int(((nc >= lo) & (nc <= hi)).sum())
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        agg = (scanned.map_batches(count_range, batch_format="pyarrow")
+               .aggregate(Sum("n")))
+        n_match = int(agg["sum(n)"] or 0)
+
+    return pa.table({
+        "n_match": pa.array([n_match], pa.int64()),
+        "n_buckets_total": pa.array([len(buckets)], pa.int64()),
+        "n_buckets_opened": pa.array([len(opened)], pa.int64()),
+        "rows_scanned": pa.array([rows_scanned], pa.int64()),
+    })
+
+
+PRUNED_SCAN_ORACLE_SQL = f"""
+WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+t AS (SELECT sum(c) AS total FROM h),
+b AS (SELECT n_chars, c,
+             (sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - c)
+               * {SORTED_EXPORT_BUCKETS} // total AS bucket
+      FROM h, t),
+pb AS (SELECT bucket, sum(c) AS n_rows, min(n_chars) AS mn,
+              max(n_chars) AS mx
+       FROM b GROUP BY bucket),
+op AS (SELECT * FROM pb WHERE mn <= {PRUNE_HI} AND mx >= {PRUNE_LO})
+SELECT
+  CAST((SELECT count(*) FROM documents
+        WHERE n_chars BETWEEN {PRUNE_LO} AND {PRUNE_HI}) AS BIGINT)
+      AS n_match,
+  CAST((SELECT count(*) FROM pb) AS BIGINT) AS n_buckets_total,
+  CAST((SELECT count(*) FROM op) AS BIGINT) AS n_buckets_opened,
+  CAST((SELECT coalesce(sum(n_rows), 0) FROM op) AS BIGINT)
+      AS rows_scanned
+""".strip()

@@ -175,3 +175,27 @@ def test_sorted_export_sortedness_and_resume(ray_session, tmp_path):
     assert flags[m1["buckets"][3]["bucket"]] == 0
     assert sum(v == 0 for v in flags.values()) == 1
     assert pq2.read_table(victim).num_rows == m1["buckets"][3]["n_rows"]
+
+
+def test_pruned_range_scan(ray_session, tmp_path):
+    """The file-skipping scan opens a strict subset of shards, its
+    match count equals the unpruned predicate count, and the oracle
+    hash-matches."""
+    import duckdb
+
+    from askg_ray.pipelines.export import (PRUNED_SCAN_ORACLE_SQL,
+                                           pruned_range_scan)
+
+    sf, out = "/root/testdata/sf0.001", str(tmp_path / "pscan")
+    got = pruned_range_scan(sf, out_dir=out).to_pylist()[0]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{sf}/documents.parquet')")
+    exp = con.sql(PRUNED_SCAN_ORACLE_SQL).df().iloc[0].to_dict()
+    assert got == {k: int(v) for k, v in exp.items()}
+    assert 0 < got["n_buckets_opened"] < got["n_buckets_total"]
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert got["rows_scanned"] < n_docs        # I/O actually avoided
+    assert got["n_match"] == con.sql(
+        "SELECT count(*) FROM documents WHERE n_chars BETWEEN 40 AND 60"
+    ).fetchone()[0]
