@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": relational.orders_by_segment,
         "top_parts_by_price": relational.top_parts_by_price,
         "parts_topk_per_brand": relational.parts_topk_per_brand,
+        "parts_topk_diversified": relational.parts_topk_diversified,
         "events_hourly": relational.events_hourly,
         "events_user_windows": relational.events_user_windows,
         "events_sessions": relational.events_sessions,
@@ -385,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_hll": stats.events_type_hll,
         "documents_checksum": stats.documents_checksum,
         "events_session_table": windows.events_session_table,
+        "sessions_max_concurrency": windows.sessions_max_concurrency,
         "token_cms_topk": stats.token_cms_topk,
         "events_props_stats": stats.events_props_stats,
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -533,7 +535,8 @@ def oracle_sql() -> dict[str, str]:
     from askg_ray.ops.packing import (CORPUS_PACK_ORACLE_SQL,
         CURRICULUM_ORACLE_SQL, PACK_ORACLE_SQL, SHUFFLE_INDEX_ORACLE_SQL)
     from askg_ray.ops.relational import (ABOVE_AVG_ORACLE_SQL,
-        ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, GAP_FILL_ORACLE_SQL,
+        ASOF_ORACLE_SQL, CUBE_ORACLE_SQL, DIV_TOPK_ORACLE_SQL,
+        GAP_FILL_ORACLE_SQL,
         PIVOT_ORACLE_SQL,
         FIRST_PER_WINDOW_ORACLE_SQL,
         PRICE_QUANTILES_ORACLE_SQL, QUANTILES_ORACLE_SQL, REVENUE_ORACLE_SQL,
@@ -559,7 +562,8 @@ def oracle_sql() -> dict[str, str]:
                                    WORD_BIGRAM_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
-        JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, PERCENT_RANK_ORACLE_SQL,
+        JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, MAX_CONCURRENCY_ORACLE_SQL,
+        PERCENT_RANK_ORACLE_SQL,
         RANGE_JOIN_ORACLE_SQL,
         RANK_FAMILY_ORACLE_SQL,
         SESSION_TABLE_ORACLE_SQL,
@@ -694,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_hll": TYPE_HLL_ORACLE_SQL,
         "documents_checksum": CHECKSUM_ORACLE_SQL,
         "events_session_table": SESSION_TABLE_ORACLE_SQL,
+        "sessions_max_concurrency": MAX_CONCURRENCY_ORACLE_SQL,
+        "parts_topk_diversified": DIV_TOPK_ORACLE_SQL,
         "token_cms_topk": CMS_ORACLE_SQL,
         "events_props_stats": PROPS_ORACLE_SQL,
         "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,

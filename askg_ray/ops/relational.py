@@ -1222,3 +1222,88 @@ SELECT user_id, date_trunc('day', ts) AS day, event_type,
        count(*) AS n_in_window
 FROM events GROUP BY 1, 2, 3
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (global ranking under a per-group quota)
+
+DIV_TOPK = 10
+DIV_PER_BRAND = 2
+
+
+def parts_topk_diversified(sf_dir: str, k: int = DIV_TOPK,
+                           per_group: int = DIV_PER_BRAND):
+    """Global top-``k`` parts by (price DESC, partkey) holding AT MOST
+    ``per_group`` per brand — the diversified-ranking shape (search
+    results, recommendations) a plain LIMIT cannot express. Greedy
+    selection in global order equals "brand-rank ≤ per_group, then
+    global top-k" (a row's brand rank counts exactly its earlier
+    same-brand rows), so the distributed plan is lossless: per-BLOCK
+    per-brand top-``per_group`` partials, one brand groupby to settle
+    the global brand ranks, then the bounded top-k merge. Price in
+    integer cents so the order is hash-stable.
+    """
+    import ray.data as rd
+
+    from .stats import _topk_table
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand",
+                                     "p_retailprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+        c = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        return pa.table({"p_partkey": t["p_partkey"].cast(pa.int64()),
+                         "p_brand": t["p_brand"],
+                         "price_c": pa.array(c, pa.int64())})
+
+    def block_per_brand(t: pa.Table) -> pa.Table:
+        import numpy as np
+        # lossless per-block shrink: keep each brand's local top
+        # per_group by (price DESC, partkey ASC) — one lexsort, ranks
+        # from run boundaries, no per-row Python
+        bc = (t["p_brand"].combine_chunks().dictionary_encode()
+              .indices.to_numpy(zero_copy_only=False).astype(np.int64))
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -price, bc))
+        b_sorted = bc[order]
+        starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)]))
+        keep = np.sort(order[rank < per_group])
+        return t.take(pa.array(keep, pa.int64()))
+
+    cand = parts.map_batches(cents, batch_format="pyarrow") \
+                .map_batches(block_per_brand, batch_format="pyarrow")
+
+    def brand_rank(g: pa.Table) -> pa.Table:
+        import numpy as np
+        price = g["price_c"].to_numpy(zero_copy_only=False)
+        pk = g["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -price))
+        g = g.take(pa.array(order[:per_group], pa.int64()))
+        return g
+
+    settled = cand.groupby("p_brand").map_groups(brand_rank,
+                                                 batch_format="pyarrow")
+    out_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("p_brand", pa.string()),
+                            ("price_c", pa.int64())])
+    return _topk_table(settled, [("price_c", "descending"),
+                                 ("p_partkey", "ascending")], k, out_schema)
+
+
+DIV_TOPK_ORACLE_SQL = f"""
+WITH c AS (SELECT p_partkey, p_brand,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+           FROM part),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+                                   ORDER BY price_c DESC, p_partkey) AS rn
+      FROM c)
+SELECT p_partkey, p_brand, price_c
+FROM r WHERE rn <= {DIV_PER_BRAND}
+ORDER BY price_c DESC, p_partkey LIMIT {DIV_TOPK}
+""".strip()

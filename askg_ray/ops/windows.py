@@ -822,3 +822,117 @@ SELECT user_id, CAST(len AS BIGINT) AS longest_streak,
        CAST(n_days AS BIGINT) AS n_active_days
 FROM r WHERE rn = 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Global max session concurrency (ordered sweep WITHOUT a global sort)
+
+CONC_BUCKET_US = 86_400_000_000     # fixed day grid (data-independent)
+
+
+def sessions_max_concurrency(sf_dir: str, gap_us: int = SESSION_GAP_US,
+                             bucket_us: int = CONC_BUCKET_US):
+    """Peak number of SIMULTANEOUSLY open sessions across all users
+    (and the earliest µs timestamp achieving it) — the classic
+    interval sweep, distributed exactly without a global sort:
+    sessions (from ``events_session_table``'s gap rule) explode to
+    (+1 at start, −1 at end+1µs) deltas; deltas land in FIXED
+    day-grid buckets (data-independent, so the assignment is a
+    stateless map); each bucket kernel sorts ITS OWN deltas and emits
+    (bucket, total_delta, max_prefix, argmax_ts); the final
+    constant-key kernel, bounded by the calendar span (buckets, never
+    events), settles entry offsets by prefix sum and picks the global
+    max. Concurrency is evaluated AFTER applying all deltas at a
+    timestamp, so intra-ts order cannot matter — the tie rule is
+    (max concurrency, earliest ts), pinned in the oracle's ORDER BY.
+    """
+    sess = events_session_table(sf_dir, gap_us=gap_us)
+
+    delta_schema = pa.schema([("bucket", pa.int64()), ("ts", pa.int64()),
+                              ("dlt", pa.int64())])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["start_us"].to_numpy(zero_copy_only=False)
+        e = t["end_us"].to_numpy(zero_copy_only=False) + 1
+        ts = np.concatenate([s, e])
+        dlt = np.concatenate([np.ones(len(s), np.int64),
+                              np.full(len(e), -1, np.int64)])
+        return pa.table({"bucket": pa.array(ts // bucket_us, pa.int64()),
+                         "ts": pa.array(ts, pa.int64()),
+                         "dlt": pa.array(dlt, pa.int64())},
+                        schema=delta_schema)
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("total", pa.int64()),
+                             ("max_prefix", pa.int64()),
+                             ("argmax_ts", pa.int64())])
+
+    def bucket_kernel(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        dlt = g["dlt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts, dlt = ts[order], dlt[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        per_ts = np.add.reduceat(dlt, starts)
+        run = np.cumsum(per_ts)
+        i = int(np.argmax(run))           # first occurrence of the max
+        return pa.table({
+            "bucket": pa.array([int(g["bucket"][0].as_py())], pa.int64()),
+            "total": pa.array([int(run[-1])], pa.int64()),
+            "max_prefix": pa.array([int(run[i])], pa.int64()),
+            "argmax_ts": pa.array([int(ts[starts[i]])], pa.int64())},
+            schema=part_schema)
+
+    parts = (sess.map_batches(deltas, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_kernel,
+                                           batch_format="pyarrow"))
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column("__k", pa.array([0] * t.num_rows, pa.int8()))
+
+    out_schema = pa.schema([("max_concurrent", pa.int64()),
+                            ("at_ts_us", pa.int64())])
+
+    def final(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["bucket"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        total = g["total"].to_numpy(zero_copy_only=False)[order]
+        mx = g["max_prefix"].to_numpy(zero_copy_only=False)[order]
+        ats = g["argmax_ts"].to_numpy(zero_copy_only=False)[order]
+        offset = np.r_[0, np.cumsum(total)[:-1]]
+        cand = offset + mx
+        i = int(np.argmax(cand))          # earliest bucket wins ties
+        return pa.table({"max_concurrent": pa.array([int(cand[i])],
+                                                    pa.int64()),
+                         "at_ts_us": pa.array([int(ats[i])], pa.int64())},
+                        schema=out_schema)
+
+    return (parts.map_batches(add_key, batch_format="pyarrow")
+            .groupby("__k").map_groups(
+                lambda g: final(g.drop_columns(["__k"])),
+                batch_format="pyarrow"))
+
+
+MAX_CONCURRENCY_ORACLE_SQL = """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid, ts
+  FROM d),
+iv AS (SELECT epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+       FROM s GROUP BY user_id, sid),
+del AS (SELECT start_us AS ts, 1 AS dlt FROM iv
+        UNION ALL SELECT end_us + 1, -1 FROM iv),
+g AS (SELECT ts, sum(dlt) AS dlt FROM del GROUP BY ts),
+c AS (SELECT ts, sum(dlt) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+             AS conc FROM g)
+SELECT CAST(conc AS BIGINT) AS max_concurrent,
+       CAST(ts AS BIGINT) AS at_ts_us
+FROM c ORDER BY conc DESC, ts LIMIT 1
+""".strip()

@@ -461,3 +461,78 @@ def test_decayed_score_horizon_and_halving(ray_session, tmp_path):
     # 1*2^20 + 2*2^19 + 4*1 + 8*0
     assert row["score_u"] == (1 << 20) + 2 * (1 << 19) + 4
     assert row["n"] == 15
+
+
+def test_max_concurrency_cross_bucket(ray_session, tmp_path):
+    """Sessions that OVERLAP across users and SPAN the day-bucket
+    boundary (a +1 in one bucket, its -1 in the next) — the
+    cross-bucket prefix-sum path — plus a planted tie in the peak
+    (two timestamps reach the same concurrency; earliest must win).
+    Checked against the oracle AND re-run with a 1-hour bucket grid,
+    which must give the identical answer (grid independence)."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1, 23, 50)      # 10 min before midnight
+    # three users whose single sessions all straddle midnight
+    for u in range(3):
+        for m in [0, 20]:                       # 23:50 -> 00:10, one session
+            rows.append({"event_id": eid,
+                         "ts": base + dt.timedelta(minutes=m + u),
+                         "user_id": u, "event_type": "view", "value": 1.0,
+                         "props": ""}); eid += 1
+    # later, a second peak of 3 at a LATER ts (tie -> earliest wins)
+    late = dt.datetime(2024, 3, 3, 12, 0)
+    for u in range(3, 6):
+        rows.append({"event_id": eid, "ts": late, "user_id": u,
+                     "event_type": "view", "value": 1.0,
+                     "props": ""}); eid += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops.windows import (MAX_CONCURRENCY_ORACLE_SQL,
+                                      sessions_max_concurrency)
+
+    got = sessions_max_concurrency(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(MAX_CONCURRENCY_ORACLE_SQL).df())
+    assert int(got["max_concurrent"].iloc[0]) == 3
+    # earliest of the two 3-way peaks: user 2's session start (23:52)
+    exp_ts = int((base + dt.timedelta(minutes=2)).timestamp() * 1e6)
+    assert int(got["at_ts_us"].iloc[0]) == exp_ts
+    # grid independence: 1-hour buckets, same answer
+    fine = sessions_max_concurrency(
+        str(tmp_path), bucket_us=3_600_000_000).to_pandas()
+    assert _canon(fine) == _canon(got)
+
+
+def test_diversified_topk_quota_and_ties(ray_session, tmp_path):
+    """One brand owns the 5 highest prices (quota must cut it to 2),
+    exact price ties INSIDE a brand and ACROSS brands (partkey breaks
+    both), and the freed slots fall to lower-priced brands — checked
+    against the window-function oracle plus explicit quota asserts."""
+    rows = []
+    pk = 0
+    for price in [99.0, 98.0, 97.0, 96.0, 95.0]:    # brand HOG tops all
+        rows.append({"p_partkey": pk, "p_brand": "HOG",
+                     "p_retailprice": price}); pk += 1
+    for b in ["A", "B", "C"]:
+        for price in [50.0, 50.0, 40.0]:            # in/cross-brand ties
+            rows.append({"p_partkey": pk, "p_brand": b,
+                         "p_retailprice": price}); pk += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "part.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/part.parquet')")
+
+    from askg_ray.ops.relational import (DIV_PER_BRAND, DIV_TOPK_ORACLE_SQL,
+                                         parts_topk_diversified)
+
+    got = parts_topk_diversified(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(DIV_TOPK_ORACLE_SQL).df())
+    assert (got.groupby("p_brand").size() <= DIV_PER_BRAND).all()
+    hog = got[got["p_brand"] == "HOG"].sort_values("price_c")
+    assert list(hog["price_c"]) == [9800, 9900]     # top-2 only
+    # 2 HOG + 2 each of A/B/C = 8 rows total (k=10 not reachable)
+    assert len(got) == 8
