@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cms_topk": stats.token_cms_topk,
         "events_props_stats": stats.events_props_stats,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "embedding_knn": similarity.embedding_knn_join,
         "docs_bottomk_sample": curation.docs_bottomk_sample,
         "events_zorder": relational.events_zorder,
         "events_moving_avg": windows.events_moving_avg,
@@ -514,7 +515,8 @@ def oracle_sql() -> dict[str, str]:
                                            SORTED_EXPORT_ORACLE_SQL)
     from askg_ray.ops.similarity import (CENTROIDS_ORACLE_SQL,
                                          COSINE_PAIRS_ORACLE_SQL,
-                                         KMEANS_ORACLE_SQL)
+                                         KMEANS_ORACLE_SQL,
+                                         KNN_JOIN_ORACLE_SQL)
     from askg_ray.ops.joins import (
         DISTINCT_USERS_ORACLE_SQL,
         LEAD_LAG_ORACLE_SQL,
@@ -684,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "events_key_skew": KEY_SKEW_ORACLE_SQL,
         "embedding_centroids": CENTROIDS_ORACLE_SQL,
         "embedding_kmeans": KMEANS_ORACLE_SQL,
+        "embedding_knn": KNN_JOIN_ORACLE_SQL,
         "events_rank_family": RANK_FAMILY_ORACLE_SQL,
         "events_first_last": FIRST_LAST_ORACLE_SQL,
         "events_range_join": RANGE_JOIN_ORACLE_SQL,

@@ -638,3 +638,113 @@ JOIN norms na ON d.doc_a = na.doc_id
 JOIN norms nb ON d.doc_b = nb.doc_id
 WHERE {PAIRS_TAU_DEN} * d.dot * d.dot >= {PAIRS_TAU_NUM} * na.n2 * nb.n2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN self-join (every vector's top-k neighbors in one pass)
+
+KNN_K = 5
+_KNN_QSCALE = 1_000_000          # per-dimension floor quantization
+_KNN_SSCALE = 1_000_000_000      # cosine -> integer sort key
+# min+1, NOT min: the fold negates keys (argpartition/argsort on -x)
+# and -int64.min overflows back to itself, which would rank empty
+# sentinel slots as winners. Real keys are >= -2^62 - id, far above.
+_KNN_SENTINEL = np.iinfo(np.int64).min + 1
+
+
+def embedding_knn_join(sf_dir: str, k: int = KNN_K):
+    """Every embedding's exact top-``k`` cosine neighbors — the batch
+    retrieval / near-dup-clustering primitive the single-query ``ann_*``
+    ops don't cover. Shape: the right side is pinned ONCE as the
+    materialized dataset's own Arrow block refs; an actor pool streams
+    the left blocks, each actor decodes+quantizes every right chunk
+    exactly once in ``__init__`` and then runs one GEMM per (left
+    batch × chunk), folding a running per-row top-k — ZERO exchanges,
+    each node fetches each right chunk once from plasma. Exact k-NN is
+    inherently O(n²d/p) compute with an O(n·d) per-actor resident
+    matrix: that is the honest price of exactness (fine to ~10⁷
+    vectors); above it use ``ann_ivf``'s list-pruned scan per left
+    batch, same folding kernel.
+
+    Determinism contract (why this hash-matches a DuckDB oracle with
+    FLOATS in play): vectors quantize to floor(x·10⁶) integers, so
+    every dot product and squared norm is an integer < 2⁵³ computed
+    EXACTLY in float64 regardless of summation order; sqrt/mul/div
+    are IEEE correctly-rounded (bit-identical in numpy and DuckDB);
+    floor(sim·10⁹) has no rounding tie rule. Neighbor order packs
+    (sim_q, neighbor_id) into one int64 key — ties on sim_q break by
+    LOWEST neighbor id, matching the oracle's ORDER BY. Requires
+    vec_id < 2³² (the key's low half; at larger id spaces widen to a
+    two-key lexsort).
+    """
+    import ray
+    import ray.data as rd
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    mat = embs.materialize()
+    refs = mat.to_arrow_refs()
+
+    def _quantize(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(list_col_matrix(t["embedding"]) * _KNN_QSCALE)
+        n2 = (q * q).sum(axis=1)                 # exact: integer < 2^53
+        return ids, q, np.sqrt(n2)
+
+    class KnnFold:
+        def __init__(self, chunk_refs):
+            self._chunks = [_quantize(c) for c in ray.get(list(chunk_refs))]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, q, rootn = _quantize(t)
+            b = len(ids)
+            best = np.full((b, k), _KNN_SENTINEL, np.int64)
+            best_id = np.zeros((b, k), np.int64)
+            best_sq = np.zeros((b, k), np.int64)
+            for cids, cq, crootn in self._chunks:
+                denom = np.maximum(rootn[:, None] * crootn[None, :], 1.0)
+                sq = np.floor(q @ cq.T * float(_KNN_SSCALE)
+                              / denom).astype(np.int64)
+                key = (sq << np.int64(32)) - cids[None, :]
+                key[ids[:, None] == cids[None, :]] = _KNN_SENTINEL
+                cand = np.concatenate([best, key], axis=1)
+                cand_id = np.concatenate(
+                    [best_id, np.broadcast_to(cids, (b, len(cids)))], axis=1)
+                cand_sq = np.concatenate([best_sq, sq], axis=1)
+                top = np.argpartition(-cand, min(k, cand.shape[1]) - 1,
+                                      axis=1)[:, :k]
+                best = np.take_along_axis(cand, top, axis=1)
+                best_id = np.take_along_axis(cand_id, top, axis=1)
+                best_sq = np.take_along_axis(cand_sq, top, axis=1)
+            order = np.argsort(-best, axis=1, kind="stable")
+            best = np.take_along_axis(best, order, axis=1)
+            best_id = np.take_along_axis(best_id, order, axis=1)
+            best_sq = np.take_along_axis(best_sq, order, axis=1)
+            keep = (best != _KNN_SENTINEL).ravel()
+            ranks = np.broadcast_to(np.arange(1, k + 1), (b, k))
+            return pa.table({
+                "vec_id": pa.array(np.repeat(ids, k)[keep], pa.int64()),
+                "rank": pa.array(ranks.ravel()[keep], pa.int64()),
+                "neighbor_id": pa.array(best_id.ravel()[keep], pa.int64()),
+                "sim_q": pa.array(best_sq.ravel()[keep], pa.int64())})
+
+    return mat.map_batches(KnnFold, fn_constructor_args=(refs,),
+                           concurrency=4, batch_format="pyarrow")
+
+
+KNN_JOIN_ORACLE_SQL = f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> floor(x * {_KNN_QSCALE})) AS e
+           FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             CAST(floor(list_inner_product(a.e, b.e) * {_KNN_SSCALE}
+                  / greatest(sqrt(list_inner_product(a.e, a.e))
+                             * sqrt(list_inner_product(b.e, b.e)), 1.0))
+                  AS BIGINT) AS sim_q
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_q DESC, neighbor_id) AS rn
+      FROM s)
+SELECT vec_id, rn AS rank, neighbor_id, sim_q FROM r WHERE rn <= {KNN_K}
+""".strip()

@@ -70,12 +70,15 @@ def _split_block(tbl: pa.Table, pre_fn, key: str, nred: int):
     ``filter(b == r)`` loop scans the full block R times — O(R × bytes),
     measured 5 s for 54 reducers over a 100 MB table; sorting the
     bucket array once and slicing run boundaries is O(bytes)."""
+    if tbl.num_rows == 0:
+        # Ray's map_batches/map_groups can emit SCHEMA-LESS empty blocks
+        # (an empty upstream partition skips the fn); they carry nothing
+        # and pre_fns are allowed to index columns, so bail BEFORE
+        # pre_fn — hand every reducer a None, which _reduce_parts drops
+        return (None,) * nred
     if pre_fn is not None:
         tbl = pre_fn(tbl)
     if tbl.num_rows == 0 or key not in tbl.column_names:
-        # Ray's map_batches can emit SCHEMA-LESS empty blocks (an empty
-        # upstream block skips the fn); they carry nothing — hand every
-        # reducer a None, which _reduce_parts already drops
         return (None,) * nred
     b = _hash_buckets(tbl[key], nred)
     order = np.argsort(b, kind="stable")

@@ -572,3 +572,27 @@ def test_truncate_recompute_ids_byte_identical(ray_session):
     kept = canon(truncate_out_degree(edges, 3))
     rebuilt = canon(truncate_out_degree(edges, 3, recompute_ids=True))
     assert kept and rebuilt == kept
+
+
+def test_split_block_schemaless_empty_before_prefn(ray_session):
+    """Ray's map_groups can hand the exchange a SCHEMA-LESS empty block
+    (zero columns); pre_fns are allowed to index columns, so the split
+    task must drop the block BEFORE running pre_fn (regression: the
+    intermittent doc_cosine_pairs KeyError 'Field \"a\" does not
+    exist')."""
+    import ray
+
+    from askg_ray.stages.exchange import _split_block
+
+    def pack(t: pa.Table) -> pa.Table:      # indexes columns, like prod
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(a, pa.int64()), "p": t["p"]})
+
+    out = ray.get(_split_block.options(num_returns=4)
+                  .remote(pa.table({}), pack, "pk", 4))
+    assert list(out) == [None] * 4
+    # schema-PRESENT empty block: same outcome
+    empty = pa.schema([("a", pa.int64()), ("p", pa.int64())]).empty_table()
+    out = ray.get(_split_block.options(num_returns=4)
+                  .remote(empty, pack, "pk", 4))
+    assert list(out) == [None] * 4
