@@ -693,11 +693,19 @@ def embedding_knn_join(sf_dir: str, k: int = KNN_K):
 
     class KnnFold:
         def __init__(self, chunk_refs):
-            self._chunks = [_quantize(c) for c in ray.get(list(chunk_refs))]
+            # drop empty blocks (materialize can emit them); their
+            # (0, 0) matrices would break the GEMM's dim contract
+            self._chunks = [_quantize(c) for c in ray.get(list(chunk_refs))
+                            if c.num_rows]
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, q, rootn = _quantize(t)
             b = len(ids)
+            if b == 0:
+                return pa.schema([("vec_id", pa.int64()),
+                                  ("rank", pa.int64()),
+                                  ("neighbor_id", pa.int64()),
+                                  ("sim_q", pa.int64())]).empty_table()
             best = np.full((b, k), _KNN_SENTINEL, np.int64)
             best_id = np.zeros((b, k), np.int64)
             best_sq = np.zeros((b, k), np.int64)

@@ -1042,3 +1042,46 @@ def test_windowed_funnel_greedy_trap(ray_session, tmp_path):
     assert _canon(got) == _canon(con.sql(WINDOWED_FUNNEL_ORACLE_SQL).df())
     n = got.set_index("stage")["n_users"]
     assert n[0] == 4 and n[1] == 3 and n[2] == 2 and n[3] == 1
+
+
+def test_knn_join_ties_zero_vector_small_n(ray_session, tmp_path):
+    """Planted DUPLICATE vectors (exact cosine ties -> lowest neighbor
+    id must win), a ZERO vector (guarded denominator; everyone's
+    sim_q=0 against it, itself ties everywhere), and n-1 < k (rows must
+    emit only their n-1 real neighbors, no sentinel padding) — all
+    hash-compared against the window-function oracle."""
+    import numpy as np
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],     # 0
+        [1.0, 0.0, 0.0, 0.0],     # 1 duplicate of 0 (tie vs everyone)
+        [0.9, 0.1, 0.0, 0.0],     # 2 near 0/1
+        [0.0, 1.0, 0.0, 0.0],     # 3 orthogonal
+        [0.0, 0.0, 0.0, 0.0],     # 4 zero vector
+        [-1.0, 0.0, 0.0, 0.0],    # 5 antipode
+    ]
+    t = pa.table({"vec_id": pa.array(range(6), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0] * 6, pa.int32())})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/embeddings.parquet')")
+
+    from askg_ray.ops.similarity import (KNN_JOIN_ORACLE_SQL,
+                                         embedding_knn_join)
+
+    got = embedding_knn_join(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(KNN_JOIN_ORACLE_SQL).df())
+    by = got.set_index(["vec_id", "rank"]).sort_index()
+    assert by.loc[(0, 1), "neighbor_id"] == 1        # the duplicate
+    assert by.loc[(1, 1), "neighbor_id"] == 0
+    # 5 real neighbors per row even though k=5 == n-1 exactly; force
+    # the n-1 < k path too
+    assert (got.groupby("vec_id").size() == 5).all()
+    got3 = embedding_knn_join(str(tmp_path), k=8).to_pandas()
+    assert (got3.groupby("vec_id").size() == 5).all()
+    # zero vector: sim 0 against everyone; ties break by lowest id
+    z = got[got["vec_id"] == 4].sort_values("rank")
+    assert list(z["neighbor_id"]) == [0, 1, 2, 3, 5]
+    assert (z["sim_q"] == 0).all()
