@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_components": graph.parts_components,
         "parts_kcore": graph.parts_kcore,
         "parts_bfs_hops": graph.parts_bfs_hops,
+        "parts_sssp": graph.parts_sssp,
         "parts_coorder_topk": graph.parts_coorder_topk,
         "events_value_gini": stats.events_value_gini,
         "events_value_mad": stats.events_value_mad,
@@ -502,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
                                      RFM_ORACLE_SQL,
                                      WINDOWED_FUNNEL_ORACLE_SQL)
     from askg_ray.ops.graph import (BFS_ORACLE_SQL, COMPONENTS_ORACLE_SQL,
+                                    SSSP_ORACLE_SQL,
         COORDER_TOPK_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL)
@@ -678,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_prefix_containment": CONTAINMENT_ORACLE_SQL,
         "parts_kcore": KCORE_ORACLE_SQL,
         "parts_bfs_hops": BFS_ORACLE_SQL,
+        "parts_sssp": SSSP_ORACLE_SQL,
         "parts_coorder_topk": COORDER_TOPK_ORACLE_SQL,
         "events_value_gini": GINI_ORACLE_SQL,
         "events_value_mad": MAD_ORACLE_SQL,

@@ -841,3 +841,249 @@ p AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
 SELECT u, v, CAST(n AS BIGINT) AS n
 FROM p ORDER BY n DESC, u, v LIMIT {COORDER_TOPK}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (min-plus relaxation rounds)
+
+SSSP_WEIGHT_NUM = 1_000_000      # edge weight = NUM // support (floor)
+SSSP_ORACLE_ROUNDS = 12          # unrolled relaxations in the SQL oracle
+SSSP_MAX_ROUNDS = 64
+SSSP_BROADCAST_MAX = 5_000_000   # settled-node gate for the fast path
+
+_SSSP_SCHEMA = pa.schema([("l_partkey", pa.int64()), ("dist", pa.int64())])
+
+
+def _sssp_weighted_edges(sf_dir: str):
+    """Directed weighted edge table (node, nbr, w) over the co-order
+    graph: w = SSSP_WEIGHT_NUM // support, so strongly co-ordered parts
+    are CLOSER — integer floor division keeps every distance exact."""
+    from ray.data.aggregate import Count
+
+    e_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                          ("w", pa.int64())])
+    support = (_coorder_pairs(sf_dir)
+               .groupby(["u", "v"]).aggregate(Count(alias_name="n")))
+
+    def both_dir(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return e_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False)
+        w = pa.array(SSSP_WEIGHT_NUM // n, pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([t["u"].combine_chunks(),
+                                      t["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([t["v"].combine_chunks(),
+                                     t["u"].combine_chunks()]),
+            "w": pa.concat_arrays([w, w])}, schema=e_schema)
+
+    return support.map_batches(both_dir, batch_format="pyarrow")
+
+
+def parts_sssp(sf_dir: str, max_rounds: int = SSSP_MAX_ROUNDS,
+               broadcast_max: int = SSSP_BROADCAST_MAX):
+    """Exact weighted shortest-path distances from a canonical source
+    (minimum partkey on any edge) — Bellman-Ford as distributed
+    min-plus relaxation rounds, the weighted sibling of
+    ``parts_bfs_hops`` (hop counts can't model tie strength; here
+    support-weighted edges make strongly co-ordered parts close).
+    Unlike BFS, a node's distance can IMPROVE after first discovery
+    via a longer-but-lighter path, so rounds run until a full
+    relaxation changes nothing. TWO paths, same answer:
+
+    * **Broadcast fast path** (settled set ≤ ``broadcast_max``): the
+      (sorted nodes, dists) arrays ride ``ray.put`` once per round;
+      each round is ONE stateless map over the pinned weighted edge
+      table (searchsorted hit test + per-batch min-per-nbr partials)
+      and a bounded driver min-merge — no per-round shuffle.
+    * **Distributed path** (``broadcast_max=0``; unconditionally
+      scalable): per round one marker-union relaxation groupby(node)
+      emitting (nbr, dist+w) candidates plus one marker-union
+      min-merge groupby(key) that rebuilds the dist table and counts
+      improvements — Dataset joins avoided for the same sparse-bundle
+      reason as BFS.
+
+    Rounds are bounded by the weighted diameter in hops; convergence =
+    an improvement-free round. The oracle unrolls
+    ``SSSP_ORACLE_ROUNDS`` relaxations with a poison row if a further
+    relaxation would still improve — convergence is driver-checked on
+    BOTH sides."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    e = _sssp_weighted_edges(sf_dir).materialize()
+    if e.count() == 0:
+        return rd.from_arrow(_SSSP_SCHEMA.empty_table())
+    src = int(e.aggregate(Min("node", alias_name="m"))["m"])
+
+    if broadcast_max > 0:
+        nodes = np.array([src], np.int64)          # sorted
+        dists = np.array([0], np.int64)
+        for _ in range(max_rounds):
+            dref = ray.put((nodes, dists))
+
+            def relax(t: pa.Table) -> pa.Table:
+                sn, sd = ray.get(dref)
+                node = t["node"].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(sn, node)
+                hit = (idx < len(sn)) & (sn[np.minimum(idx, len(sn) - 1)]
+                                         == node)
+                nbr = t["nbr"].to_numpy(zero_copy_only=False)[hit]
+                if len(nbr) == 0:      # no settled endpoint in batch
+                    return pa.schema([("nbr", pa.int64()),
+                                      ("d", pa.int64())]).empty_table()
+                cand = (sd[idx[hit]]
+                        + t["w"].to_numpy(zero_copy_only=False)[hit])
+                order = np.lexsort((cand, nbr))
+                nbr, cand = nbr[order], cand[order]
+                starts = np.flatnonzero(np.r_[True, nbr[1:] != nbr[:-1]])
+                return pa.table({"nbr": pa.array(nbr[starts], pa.int64()),
+                                 "d": pa.array(cand[starts], pa.int64())})
+
+            parts = [b for b in e.map_batches(relax,
+                                              batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow") if b.num_rows]
+            if not parts:
+                break
+            cat = pa.concat_tables(parts)
+            nbr = cat["nbr"].to_numpy(zero_copy_only=False)
+            cand = cat["d"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((cand, nbr))
+            nbr, cand = nbr[order], cand[order]
+            starts = np.flatnonzero(np.r_[True, nbr[1:] != nbr[:-1]])
+            nbr, cand = nbr[starts], cand[starts]
+            idx = np.searchsorted(nodes, nbr)
+            known = (idx < len(nodes)) & (nodes[np.minimum(
+                idx, len(nodes) - 1)] == nbr)
+            improved = known & (cand < dists[np.minimum(
+                idx, len(nodes) - 1)])
+            if not (improved.any() or (~known).any()):
+                return rd.from_arrow(pa.table(
+                    {"l_partkey": pa.array(nodes, pa.int64()),
+                     "dist": pa.array(dists, pa.int64())},
+                    schema=_SSSP_SCHEMA))
+            dists[idx[improved]] = cand[improved]
+            nodes = np.concatenate([nodes, nbr[~known]])
+            dists = np.concatenate([dists, cand[~known]])
+            order = np.argsort(nodes)
+            nodes, dists = nodes[order], dists[order]
+            if len(nodes) > broadcast_max:
+                raise RuntimeError(
+                    "SSSP broadcast fast path exceeded its gate; rerun "
+                    "with broadcast_max=0 for the distributed path")
+        else:
+            raise RuntimeError(
+                f"SSSP did not converge in {max_rounds} rounds")
+        return rd.from_arrow(pa.table(
+            {"l_partkey": pa.array(nodes, pa.int64()),
+             "dist": pa.array(dists, pa.int64())}, schema=_SSSP_SCHEMA))
+
+    # ---- distributed path: marker-union groupbys, no Dataset joins ----
+    em_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                           ("w", pa.int64()), ("d", pa.int64())])
+    dist = rd.from_arrow(pa.table({
+        "l_partkey": pa.array([src], pa.int64()),
+        "dist": pa.array([0], pa.int64())},
+        schema=_SSSP_SCHEMA)).materialize()
+    e_marked = e.map_batches(
+        lambda t: t.append_column("d", pa.array(
+            np.full(t.num_rows, -1, np.int64))),
+        batch_format="pyarrow").materialize()
+
+    def dist_mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["l_partkey"].cast(pa.int64()),
+            "nbr": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "w": pa.array(np.zeros(t.num_rows, np.int64)),
+            "d": t["dist"].cast(pa.int64())}, schema=em_schema)
+
+    cand_schema = pa.schema([("key", pa.int64()), ("d", pa.int64()),
+                             ("old", pa.int64())])
+
+    def relax_group(g: pa.Table) -> pa.Table:
+        d_col = g["d"].to_numpy(zero_copy_only=False)
+        mk = d_col >= 0
+        if not mk.any():                   # node not settled yet
+            return cand_schema.empty_table()
+        d0 = int(d_col[mk].min())
+        nbr = g["nbr"].to_numpy(zero_copy_only=False)[~mk]
+        w = g["w"].to_numpy(zero_copy_only=False)[~mk]
+        return pa.table({"key": pa.array(nbr, pa.int64()),
+                         "d": pa.array(d0 + w, pa.int64()),
+                         "old": pa.array(np.zeros(len(nbr), np.int64))},
+                        schema=cand_schema)
+
+    merged_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("dist", pa.int64()),
+                               ("improved", pa.int64())])
+
+    def min_merge(g: pa.Table) -> pa.Table:
+        d = g["d"].to_numpy(zero_copy_only=False)
+        old = g["old"].to_numpy(zero_copy_only=False)
+        best = int(d.min())
+        had = bool((old == 1).any())
+        prev = int(d[old == 1].min()) if had else None
+        return pa.table({
+            "l_partkey": pa.array([int(g["key"][0].as_py())], pa.int64()),
+            "dist": pa.array([best], pa.int64()),
+            "improved": pa.array(
+                [int((not had) or best < prev)], pa.int64())},
+            schema=merged_schema)
+
+    for _ in range(max_rounds):
+        cand = (e_marked.union(dist.map_batches(dist_mark,
+                                                batch_format="pyarrow"))
+                .groupby("node").map_groups(relax_group,
+                                            batch_format="pyarrow"))
+        settled = dist.map_batches(
+            lambda t: pa.table({"key": t["l_partkey"].cast(pa.int64()),
+                                "d": t["dist"].cast(pa.int64()),
+                                "old": pa.array(np.ones(t.num_rows,
+                                                        np.int64))},
+                               schema=cand_schema),
+            batch_format="pyarrow")
+        merged = (cand.union(settled).groupby("key")
+                  .map_groups(min_merge, batch_format="pyarrow")
+                  .materialize())
+        n_improved = merged.aggregate(Sum("improved",
+                                          alias_name="s"))["s"] or 0
+        dist = merged.select_columns(["l_partkey", "dist"]).materialize()
+        if n_improved == 0:
+            return dist
+    raise RuntimeError(f"SSSP did not converge in {max_rounds} rounds")
+
+
+def _sssp_oracle_sql(rounds: int = SSSP_ORACLE_ROUNDS) -> str:
+    """Unrolled min-plus relaxations with the BFS oracle's poison-row
+    convergence guard: if relaxation ``rounds``+1 would still improve
+    any distance, a (-1, -1) row fails the driver compare loudly."""
+    parts = [f"""WITH
+li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+s0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        {SSSP_WEIGHT_NUM} // count(*) AS w
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM s0
+                   UNION ALL SELECT v, u, w FROM s0),
+a0 AS (SELECT min(node) AS node, 0 AS d FROM e)"""]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (SELECT e.nbr AS node, min(a.d + e.w) AS d
+  FROM e JOIN a{r - 1} a ON a.node = e.node GROUP BY e.nbr),
+a{r} AS MATERIALIZED (SELECT node, min(d) AS d
+  FROM (SELECT * FROM a{r - 1} UNION ALL SELECT * FROM c{r})
+  GROUP BY node)""")
+    return ",\n".join(parts) + f""",
+probe AS (SELECT e.nbr AS node, min(a.d + e.w) AS d
+  FROM e JOIN a{rounds} a ON a.node = e.node GROUP BY e.nbr),
+viol AS (SELECT p.node FROM probe p
+  LEFT JOIN a{rounds} a ON a.node = p.node
+  WHERE a.node IS NULL OR p.d < a.d)
+SELECT node AS l_partkey, CAST(d AS BIGINT) AS dist FROM a{rounds}
+UNION ALL
+SELECT -1, -1 FROM viol"""
+
+
+SSSP_ORACLE_SQL = _sssp_oracle_sql()

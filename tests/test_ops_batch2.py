@@ -1085,3 +1085,33 @@ def test_knn_join_ties_zero_vector_small_n(ray_session, tmp_path):
     z = got[got["vec_id"] == 4].sort_values("rank")
     assert list(z["neighbor_id"]) == [0, 1, 2, 3, 5]
     assert (z["sim_q"] == 0).all()
+
+
+def test_sssp_lighter_long_path_and_both_paths(ray_session, tmp_path):
+    """Planted Bellman-Ford trap: the direct (1,2) edge has support 1
+    (w=1,000,000) but 1-3-2 rides two support-4 edges (250,000 each),
+    so node 2's distance must IMPROVE after first discovery — the case
+    hop-BFS cannot express. Fast path, the forced distributed path
+    (broadcast_max=0), and the unrolled SQL oracle must all agree."""
+    rows = []
+    def order(ok, parts):
+        for p in parts:
+            rows.append({"l_orderkey": ok, "l_partkey": p})
+    order(1, [1, 2])
+    for i in range(4):
+        order(10 + i, [1, 3])
+        order(20 + i, [2, 3])
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+
+    from askg_ray.ops.graph import SSSP_ORACLE_SQL, parts_sssp
+
+    fast = parts_sssp(str(tmp_path)).to_pandas()
+    assert _canon(fast) == _canon(con.sql(SSSP_ORACLE_SQL).df())
+    by = fast.set_index("l_partkey")["dist"]
+    assert by[1] == 0 and by[3] == 250_000 and by[2] == 500_000
+    dist = parts_sssp(str(tmp_path), broadcast_max=0).to_pandas()
+    assert _canon(dist) == _canon(fast)
