@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": media_frames,
         "media_dedup": media_dedup,
         "doc_word_bigrams": text.doc_word_bigrams,
+        "word_pmi_topk": text.word_pmi_topk,
         "export_sorted_stats": _sorted_export_stats,
         "pruned_range_scan": _pruned_range_scan,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
@@ -564,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         INVERTED_ORACLE_SQL,
                                    STOPWORDS, TOP_TERMS_ORACLE_SQL,
                                    WORD_BIGRAM_ORACLE_SQL,
+                                   PMI_ORACLE_SQL,
                                    bm25_oracle_sql)
     from askg_ray.ops.windows import (FIRST_LAST_ORACLE_SQL,
         JOURNEY_ORACLE_SQL, MAVG_ORACLE_SQL, MAX_CONCURRENCY_ORACLE_SQL,
@@ -717,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": FRAMES_ORACLE_SQL,
         "media_dedup": MEDIA_DEDUP_ORACLE_SQL,
         "doc_word_bigrams": WORD_BIGRAM_ORACLE_SQL,
+        "word_pmi_topk": PMI_ORACLE_SQL,
         "export_sorted_stats": SORTED_EXPORT_ORACLE_SQL,
         "pruned_range_scan": PRUNED_SCAN_ORACLE_SQL,
         "doc_count_by_source":

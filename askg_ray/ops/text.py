@@ -829,3 +829,125 @@ c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
 SELECT bigram, CAST(n AS BIGINT) AS n
 FROM c ORDER BY n DESC, bigram ASC LIMIT {WORD_BIGRAM_K}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (top bigrams by exact-integer pointwise mutual info)
+
+PMI_TOPK = 30
+PMI_MIN_COUNT = 5
+PMI_SCALE = 1_000_000
+
+
+def word_pmi_topk(sf_dir: str, k: int = PMI_TOPK,
+                  min_count: int = PMI_MIN_COUNT,
+                  broadcast_threshold: int | None = None):
+    """Top-``k`` collocations: adjacent word pairs ranked by the PMI
+    RATIO n_xy·N / (n_x·n_y) in exact integer ppm — the monotone image
+    of log-PMI, so no float log ever enters the order (the
+    ``doc_word_bigrams`` count pass finds frequent pairs; this finds
+    ASSOCIATED pairs whose joint count beats chance). Shape: unigram
+    and bigram count passes (per-batch Counter partials, one groupby
+    each), a ``min_count`` support filter, then the vocabulary-scale
+    unigram table attaches n_x and n_y through the size-gated policy
+    and the usual bounded top-k merge runs on (pmi_ppm DESC, w1, w2).
+    The corpus total N is ONE driver scalar. Integer contract:
+    n_xy·N·10⁶ must fit int64 — true to ~10¹² corpus tokens with the
+    numpy path; the kernel falls back to exact Python-int arithmetic
+    (vocab²-bounded rows, never corpus-bounded) beyond it."""
+    import collections
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+    from .stats import _topk_table
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            c.update(w for w in (text or "").split(" ") if w)
+        ks = sorted(c)
+        return pa.table({"tok": pa.array(ks, pa.string()),
+                         "n": pa.array([c[x] for x in ks], pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c = collections.Counter()
+        for text in t["text"].to_pylist():
+            ws = [w for w in (text or "").split(" ") if w]
+            c.update(zip(ws, ws[1:]))
+        ks = sorted(c)
+        return pa.table({"w1": pa.array([a for a, _ in ks], pa.string()),
+                         "w2": pa.array([b for _, b in ks], pa.string()),
+                         "n_xy": pa.array([c[x] for x in ks], pa.int64())})
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    total = int(uni.aggregate(Sum("n", alias_name="s"))["s"] or 0)
+
+    bi = (docs.map_batches(bi_partial, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
+          .filter(expr=f"n_xy >= {int(min_count)}"))
+
+    bi = attach_dim(bi, uni, "w1", "tok", ["n"], broadcast_threshold=bt)
+    bi = bi.map_batches(
+        lambda t: t.rename_columns(
+            [("n_x" if c == "n" else c) for c in t.column_names]),
+        batch_format="pyarrow")
+    bi = attach_dim(bi, uni, "w2", "tok", ["n"], broadcast_threshold=bt)
+
+    out_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("n_xy", pa.int64()), ("n_x", pa.int64()),
+                            ("n_y", pa.int64()), ("pmi_ppm", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_xy" not in t.column_names:
+            return out_schema.empty_table()
+        n_xy = t["n_xy"].to_numpy(zero_copy_only=False)
+        n_x = t["n_x"].to_numpy(zero_copy_only=False)
+        n_y = t["n"].to_numpy(zero_copy_only=False)
+        if total and int(n_xy.max(initial=0)) * total \
+                <= (1 << 62) // PMI_SCALE:
+            pmi = n_xy * total * PMI_SCALE // (n_x * n_y)
+        else:   # exact big-int fallback; rows here are vocab²-bounded
+            pmi = np.array([int(a) * total * PMI_SCALE // (int(b) * int(c))
+                            for a, b, c in zip(n_xy, n_x, n_y)], np.int64)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "n_xy": pa.array(n_xy, pa.int64()),
+                         "n_x": pa.array(n_x, pa.int64()),
+                         "n_y": pa.array(n_y, pa.int64()),
+                         "pmi_ppm": pa.array(pmi, pa.int64())},
+                        schema=out_schema)
+
+    scored = bi.map_batches(score, batch_format="pyarrow")
+    return _topk_table(scored, [("pmi_ppm", "descending"),
+                                ("w1", "ascending"), ("w2", "ascending")],
+                       k, out_schema)
+
+
+PMI_ORACLE_SQL = f"""
+WITH d AS (SELECT list_filter(string_split(coalesce(text, ''), ' '),
+                              w -> w <> '') AS ws FROM documents),
+u AS (SELECT unnest(ws) AS tok FROM d),
+un AS (SELECT tok, count(*) AS n FROM u GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM u),
+b AS (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                     FOR i IN range(1, len(ws))]) AS bigram
+      FROM d WHERE len(ws) >= 2),
+bc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2, count(*) AS n_xy
+       FROM b GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}),
+p AS (SELECT w1, w2, n_xy, ux.n AS n_x, uy.n AS n_y,
+             n_xy * (SELECT n FROM tot) * {PMI_SCALE}
+                 // (ux.n * uy.n) AS pmi_ppm
+      FROM bc JOIN un ux ON bc.w1 = ux.tok
+              JOIN un uy ON bc.w2 = uy.tok)
+SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy, CAST(n_x AS BIGINT) AS n_x,
+       CAST(n_y AS BIGINT) AS n_y, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
+FROM p ORDER BY pmi_ppm DESC, w1, w2 LIMIT {PMI_TOPK}
+""".strip()

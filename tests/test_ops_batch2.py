@@ -1115,3 +1115,38 @@ def test_sssp_lighter_long_path_and_both_paths(ray_session, tmp_path):
     assert by[1] == 0 and by[3] == 250_000 and by[2] == 500_000
     dist = parts_sssp(str(tmp_path), broadcast_max=0).to_pandas()
     assert _canon(dist) == _canon(fast)
+
+
+def test_pmi_association_beats_frequency(ray_session, tmp_path):
+    """'zx qv' occurs only 6 times but its words appear NOWHERE else
+    (maximal association); 'the cat' occurs 40 times amid very frequent
+    unigrams. PMI must rank the rare-but-exclusive pair first, counts
+    would rank it last. Double spaces (empty tokens) are dropped on
+    both sides, and the forced-shuffle attach path (threshold 0) must
+    match the broadcast path."""
+    rows = []
+    for i in range(6):
+        rows.append({"doc_id": i, "text": "zx qv", "lang": "en",
+                     "source": "s", "n_chars": 5})
+    for i in range(40):
+        rows.append({"doc_id": 100 + i,
+                     "text": "the cat  the dog the bird", "lang": "en",
+                     "source": "s", "n_chars": 25})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+
+    from askg_ray.ops.text import PMI_ORACLE_SQL, word_pmi_topk
+
+    got = word_pmi_topk(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(PMI_ORACLE_SQL).df())
+    first = got.sort_values(["pmi_ppm", "w1", "w2"],
+                            ascending=[False, True, True]).iloc[0]
+    assert (first["w1"], first["w2"]) == ("zx", "qv")
+    assert first["n_xy"] == 6 and first["n_x"] == 6 and first["n_y"] == 6
+    # counts would pick 'the cat'/'the dog'/'the bird' (40 each)
+    assert got.loc[got["w1"] == "the", "pmi_ppm"].max() < first["pmi_ppm"]
+    forced = word_pmi_topk(str(tmp_path), broadcast_threshold=0).to_pandas()
+    assert _canon(forced) == _canon(got)
