@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_novelty": stats.doc_bigram_novelty,
         "doc_lm_score": stats.doc_lm_score,
         "events_user_hll": stats.events_user_hll,
+        "events_user_simpson": stats.events_user_simpson,
         "events_type_hll": stats.events_type_hll,
         "documents_checksum": stats.documents_checksum,
         "events_session_table": windows.events_session_table,
@@ -548,7 +549,8 @@ def oracle_sql() -> dict[str, str]:
         ROLLUP_ORACLE_SQL, RUNNING_ORACLE_SQL, SKYLINE_ORACLE_SQL,
         SLIDING_ORACLE_SQL, UNPIVOT_ORACLE_SQL,
         ZORDER_ORACLE_SQL)
-    from askg_ray.ops.stats import (CHECKSUM_ORACLE_SQL, CMS_ORACLE_SQL,
+    from askg_ray.ops.stats import (SIMPSON_ORACLE_SQL,
+                                    CHECKSUM_ORACLE_SQL, CMS_ORACLE_SQL,
         COOCCURRENCE_ORACLE_SQL, DECAYED_ORACLE_SQL,
         DOC_FREQ_ORACLE_SQL, HISTOGRAM_ORACLE_SQL, HLL_ORACLE_SQL,
         MARKOV_ORACLE_SQL, MODE_ORACLE_SQL,
@@ -709,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions_max_concurrency": MAX_CONCURRENCY_ORACLE_SQL,
         "parts_topk_diversified": DIV_TOPK_ORACLE_SQL,
         "token_cms_topk": CMS_ORACLE_SQL,
+        "events_user_simpson": SIMPSON_ORACLE_SQL,
         "events_props_stats": PROPS_ORACLE_SQL,
         "docs_bottomk_sample": BOTTOMK_ORACLE_SQL,
         "events_zorder": ZORDER_ORACLE_SQL,

@@ -1635,3 +1635,79 @@ SELECT event_type, count(*) AS n,
                 END) AS BIGINT) AS score_u
 FROM d, r GROUP BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity / concentration index per user (exact rational)
+
+def events_user_simpson(sf_dir: str):
+    """Per-user event-type concentration as the EXACT rational Simpson
+    index: num = Σc·(c−1), den = n·(n−1) (the probability two random
+    events share a type, without replacement) — entropy's log makes it
+    unhashable, Simpson stays in integers. Two chained groupbys, both
+    map-side pre-aggregated: per-batch (user, type) counts shrink the
+    first exchange; per-batch (Σc, Σc², types) partials shrink the
+    second to one row per user per block. den = 0 for single-event
+    users (index undefined; emitted as the raw integers, the reader
+    divides)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"]})
+             .group_by(["user_id", "event_type"]).aggregate([([], "count_all")]))
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    counts = (ev.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                              ("n_types", pa.int64()),
+                              ("sum_c2", pa.int64())]).empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv, weights=c).astype(np.int64)),
+            "n_types": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_c2": pa.array(np.bincount(inv, weights=c * c)
+                               .astype(np.int64))})
+
+    agg = (counts.map_batches(user_partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_types", alias_name="n_types"),
+                      Sum("sum_c2", alias_name="sum_c2")))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        c2 = t["sum_c2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "n_types": t["n_types"].cast(pa.int64()),
+            "simpson_num": pa.array(c2 - n, pa.int64()),
+            "simpson_den": pa.array(n * (n - 1), pa.int64())})
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SIMPSON_ORACLE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c * c) - sum(c) AS BIGINT) AS simpson_num,
+       CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS simpson_den
+FROM c GROUP BY user_id
+""".strip()

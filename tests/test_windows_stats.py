@@ -536,3 +536,37 @@ def test_diversified_topk_quota_and_ties(ray_session, tmp_path):
     assert list(hog["price_c"]) == [9800, 9900]     # top-2 only
     # 2 HOG + 2 each of A/B/C = 8 rows total (k=10 not reachable)
     assert len(got) == 8
+
+
+def test_simpson_exact_rational(ray_session, tmp_path):
+    """User 0: single event (den must be 0 — undefined index). User 1:
+    all same type (num == den, index exactly 1). User 2: 2+2 split over
+    two types (num 4, den 12 → 1/3). Hash-checked against the oracle
+    and against hand arithmetic."""
+    rows, eid = [], 0
+    base = dt.datetime(2024, 9, 1)
+    def add(u, et):
+        nonlocal eid
+        rows.append({"event_id": eid, "ts": base, "user_id": u,
+                     "event_type": et, "value": 1.0, "props": ""})
+        eid += 1
+    add(0, "view")
+    for _ in range(5):
+        add(1, "click")
+    for et in ["view", "view", "click", "click"]:
+        add(2, et)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/events.parquet')")
+
+    from askg_ray.ops.stats import SIMPSON_ORACLE_SQL, events_user_simpson
+
+    got = events_user_simpson(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(SIMPSON_ORACLE_SQL).df())
+    by = got.set_index("user_id")
+    assert by.loc[0, "simpson_den"] == 0 and by.loc[0, "simpson_num"] == 0
+    assert by.loc[1, "simpson_num"] == by.loc[1, "simpson_den"] == 20
+    assert (by.loc[2, "simpson_num"], by.loc[2, "simpson_den"]) == (4, 12)
+    assert by.loc[2, "n_types"] == 2
