@@ -255,6 +255,11 @@ def _pruned_range_scan(sf_dir: str):
     return pruned_range_scan(sf_dir)
 
 
+def _ivf_index_query(sf_dir: str):
+    from askg_ray.pipelines.export import ivf_index_query
+    return ivf_index_query(sf_dir)
+
+
 def _audit_constraints(sf_dir: str):
     from askg_ray.ops.analyze import audit_constraints
     return audit_constraints(sf_dir)
@@ -435,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_pmi_topk": text.word_pmi_topk,
         "export_sorted_stats": _sorted_export_stats,
         "pruned_range_scan": _pruned_range_scan,
+        "ivf_index_query": _ivf_index_query,
         # -- KG pipeline (parity-checked in pytest vs reference oracle) ----
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,

@@ -360,3 +360,157 @@ SELECT
   CAST((SELECT coalesce(sum(n_rows), 0) FROM op) AS BIGINT)
       AS rows_scanned
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned vector index sink + list-pruned query
+
+IVF_EXPORT_LISTS = 16
+
+
+def export_ivf_index(sf_dir: str, out_dir: str,
+                     n_lists: int = IVF_EXPORT_LISTS) -> dict:
+    """Persist the embeddings as an IVF-PARTITIONED Parquet index: one
+    shard per coarse-quantizer list (nearest codebook centroid by
+    cosine, the exact assignment ``ops/similarity.ann_ivf`` uses), so
+    a later query opens only its probed lists — the build-once/
+    query-many split of a disk ANN index, expressed as the same
+    resumable partitioned sink as ``export_sorted_parquet``: each list
+    writes atomically (tmp + rename), a rerun probes the existing
+    shard's footer row count and SKIPS finished lists, and the
+    manifest records per-list counts for the pruned reader. The
+    codebook is the deterministic bounded-sample spherical k-means
+    (≤2048 driver-side vectors at ANY corpus size); assignment is one
+    GEMM per batch against the broadcast codebook."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..arrowutil import list_col_matrix
+    from ..ops.similarity import _ivf_centroids
+
+    os.makedirs(out_dir, exist_ok=True)
+    C = _ivf_centroids(sf_dir, n_lists)
+    cref = ray.put(C)
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import numpy as np
+        Cm = ray.get(cref)
+        vecs = list_col_matrix(t["embedding"])
+        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+        assign = np.argmax((vecs / norms) @ Cm.T, axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(assign, pa.int64()))
+
+    stats_schema = pa.schema([("list_id", pa.int64()),
+                              ("n_rows", pa.int64()),
+                              ("skipped", pa.int64())])
+
+    def write_list(g: pa.Table) -> pa.Table:
+        lid = int(g["list_id"][0].as_py())
+        path = f"{out_dir}/list-{lid:05d}.parquet"
+        if os.path.exists(path):
+            try:
+                if pq.read_metadata(path).num_rows == g.num_rows:
+                    return pa.table({"list_id": [lid],
+                                     "n_rows": [g.num_rows],
+                                     "skipped": [1]}, schema=stats_schema)
+            except Exception:
+                pass                      # corrupt shard: rewrite
+        g = g.take(pc.sort_indices(g, sort_keys=[("vec_id", "ascending")]))
+        tmp = path + ".tmp"
+        pq.write_table(g.drop_columns("list_id"), tmp)
+        os.replace(tmp, path)
+        return pa.table({"list_id": [lid], "n_rows": [g.num_rows],
+                         "skipped": [0]}, schema=stats_schema)
+
+    stats = (embs.map_batches(tag, batch_format="pyarrow")
+             .groupby("list_id").map_groups(write_list,
+                                            batch_format="pyarrow")
+             .to_pandas().sort_values("list_id"))
+    manifest = {
+        "format": "parquet-ivf",
+        "n_lists_trained": int(len(C)),
+        "n_rows": int(stats["n_rows"].sum()),
+        "lists": stats.to_dict("records"),
+    }
+    tmp = f"{out_dir}/manifest.json.tmp"
+    import json
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, f"{out_dir}/manifest.json")
+    return manifest
+
+
+def ivf_index_query(sf_dir: str, out_dir: str | None = None,
+                    query_id: int = 0, k: int = 10, n_probe: int = 4,
+                    n_lists: int = IVF_EXPORT_LISTS,
+                    min_recall: float | None = 0.3):
+    """List-pruned ANN over the persisted IVF index: consult the
+    manifest, OPEN ONLY the ``n_probe`` shards whose centroids are
+    nearest the query (cosine), exact-rerank inside them, and report
+    the pruning evidence the same way ``pruned_range_scan`` does —
+    one row with the approximate top-1, recall@k vs the exact
+    brute-force baseline (RAISES below ``min_recall``, so a degraded
+    index fails the driver run loudly), and
+    (n_lists_total, n_lists_opened, rows_scanned, n_rows_total)
+    proving I/O was skipped. The sink is resumable, so repeated
+    queries reuse finished shards (scratch dir keyed by corpus path).
+    """
+    import hashlib as _hl
+
+    import numpy as np
+    import ray.data as rd
+
+    from ..ops.similarity import (_ivf_centroids, _query_vector,
+                                  _score_batches, _topk_merge,
+                                  ann_bruteforce)
+
+    if out_dir is None:
+        out_dir = ("/tmp/askg_ivf_cache_"
+                   + _hl.md5(f"{sf_dir}|{n_lists}".encode())
+                   .hexdigest()[:12])
+    manifest = export_ivf_index(sf_dir, out_dir, n_lists=n_lists)
+    lists = manifest["lists"]
+
+    q = _query_vector(sf_dir, query_id)
+    C = _ivf_centroids(sf_dir, n_lists)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    ranked = np.argsort(-(C @ qn))
+    present = {int(r["list_id"]): int(r["n_rows"]) for r in lists}
+    probe = [int(l) for l in ranked if int(l) in present][:n_probe]
+    rows_scanned = sum(present[l] for l in probe)
+
+    scanned = rd.read_parquet(
+        [f"{out_dir}/list-{l:05d}.parquet" for l in probe],
+        columns=["vec_id", "embedding", "label"])
+    approx = _topk_merge(_score_batches(scanned, q), query_id, k)
+    approx_t = pa.concat_tables(
+        list(approx.iter_batches(batch_format="pyarrow")))
+    exact_t = pa.concat_tables(
+        list(ann_bruteforce(sf_dir, query_id, k)
+             .iter_batches(batch_format="pyarrow")))
+    exact_ids = set(exact_t["vec_id"].to_pylist())
+    hits = sum(1 for v in approx_t["vec_id"].to_pylist()
+               if v in exact_ids)
+    recall_pct = 100 * hits // max(len(exact_ids), 1)
+    if min_recall is not None and recall_pct < 100 * min_recall:
+        raise ValueError(
+            f"IVF index recall@{k} degraded: {recall_pct}% "
+            f"< {100 * min_recall:.0f}%")
+    top1 = (int(approx_t["vec_id"][0].as_py())
+            if approx_t.num_rows else -1)
+    return pa.table({
+        "top1_vec_id": pa.array([top1], pa.int64()),
+        "recall_pct": pa.array([recall_pct], pa.int64()),
+        "n_lists_total": pa.array([len(lists)], pa.int64()),
+        "n_lists_opened": pa.array([len(probe)], pa.int64()),
+        "rows_scanned": pa.array([rows_scanned], pa.int64()),
+        "n_rows_total": pa.array([manifest["n_rows"]], pa.int64()),
+    })

@@ -199,3 +199,46 @@ def test_pruned_range_scan(ray_session, tmp_path):
     assert got["n_match"] == con.sql(
         "SELECT count(*) FROM documents WHERE n_chars BETWEEN 40 AND 60"
     ).fetchone()[0]
+
+
+def test_ivf_index_sink_resume_and_pruned_query(ray_session, tmp_path):
+    """The IVF sink partitions the corpus exactly (list shards union to
+    every vec_id once), a rerun skips every finished list, a corrupted
+    shard is rewritten, and the pruned query opens a strict subset of
+    lists while meeting its recall floor — full-probe recall is 100 by
+    construction."""
+    import pyarrow.parquet as pq2
+
+    from askg_ray.pipelines.export import (IVF_EXPORT_LISTS,
+                                           export_ivf_index,
+                                           ivf_index_query)
+
+    sf, out = "/root/testdata/sf0.001", str(tmp_path / "ivf")
+    m1 = export_ivf_index(sf, out)
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(shards) == len(m1["lists"])
+    ids = []
+    for s in shards:
+        ids.extend(pq2.read_table(f"{out}/{s}")["vec_id"].to_pylist())
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*), count(DISTINCT vec_id) FROM "
+                   f"read_parquet('{sf}/embeddings.parquet')").fetchone()
+    assert len(ids) == len(set(ids)) == n[0] == n[1] == m1["n_rows"]
+    assert all(r["skipped"] == 0 for r in m1["lists"])
+    m2 = export_ivf_index(sf, out)
+    assert all(r["skipped"] == 1 for r in m2["lists"])
+    victim = f"{out}/{shards[0]}"
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    m3 = export_ivf_index(sf, out)
+    assert sum(r["skipped"] == 0 for r in m3["lists"]) == 1
+    # pruned query: subset of lists opened, recall floor met
+    got = ivf_index_query(sf, out_dir=out).to_pylist()[0]
+    assert 0 < got["n_lists_opened"] <= 4 < got["n_lists_total"]
+    assert got["rows_scanned"] < got["n_rows_total"]
+    assert got["recall_pct"] >= 30
+    # probing EVERY list is the exact scan: recall must be 100
+    full = ivf_index_query(sf, out_dir=out,
+                           n_probe=IVF_EXPORT_LISTS).to_pylist()[0]
+    assert full["recall_pct"] == 100
+    assert full["rows_scanned"] == got["n_rows_total"]
