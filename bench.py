@@ -52,7 +52,9 @@ def _bench_queries():
     from askg_ray.ops.dedup import minhash_dedup, simhash_dedup
     from askg_ray.ops.joins import order_revenue_topk
     from askg_ray.ops.relational import lineitem_pricing_summary, orders_by_segment
-    from askg_ray.ops.similarity import ann_bruteforce, embedding_kmeans
+    from askg_ray.ops.graph import parts_sssp
+    from askg_ray.ops.similarity import (ann_bruteforce, embedding_kmeans,
+                                         embedding_knn_join)
     from askg_ray.ops.text import token_stats
     from askg_ray.ops.webqual import gopher_quality
     from askg_ray.pipelines.kg import build_kg
@@ -79,6 +81,8 @@ def _bench_queries():
         "ann_cosine": lambda: ann_bruteforce(SF_DIR).count(),
         "quality_gopher": lambda: gopher_quality(SF_DIR).count(),
         "kmeans": lambda: embedding_kmeans(SF_DIR).count(),
+        "knn_join": lambda: embedding_knn_join(SF_DIR).count(),
+        "graph_sssp": lambda: parts_sssp(SF_DIR).count(),
     }
 
 
