@@ -53,6 +53,11 @@ def _partial_counts(t: pa.Table) -> pa.Table:
 
 
 def _count_block(tbl: pa.Table) -> pa.Table:
+    # raw block-ref task: unlike map_batches, nothing upstream skips
+    # the SCHEMA-LESS empty blocks repartition/map_groups can emit
+    if tbl.num_rows == 0 or "block_key" not in tbl.column_names:
+        return pa.schema([("k", pa.string()),
+                          ("n", pa.int64())]).empty_table()
     return _partial_counts(tbl.select(["block_key"]))
 
 
