@@ -151,18 +151,73 @@ def _coorder_pairs(sf_dir: str,
             .map_groups(_coorder_pair_kernel, batch_format="pyarrow"))
 
 
+
+_SUPPORT_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                             ("n", pa.int64())])
+
+
+def _support_count_kernel(t: pa.Table) -> pa.Table:
+    """Vectorized multi-group pair-count over complete packed-key
+    groups: one sort + run-boundary reduceat, no per-pair Python."""
+    pk = t["pk"].to_numpy(zero_copy_only=False)
+    pk = np.sort(pk)
+    starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+    n = np.diff(np.r_[starts, len(pk)])
+    heads = pk[starts]
+    return pa.table({"u": pa.array(heads >> 32, pa.int64()),
+                     "v": pa.array(heads & 0xFFFFFFFF, pa.int64()),
+                     "n": pa.array(n, pa.int64())},
+                    schema=_SUPPORT_SCHEMA)
+
+
+def _coorder_support(sf_dir: str,
+                     exchange_max_rows: int = COORDER_EXCHANGE_MAX):
+    """(u, v, n) co-order support counts — the shared second stage of
+    the co-order graph family (distinct edges, top-k, SSSP weights all
+    derive from it). Under the row gate: pack (u, v) into ONE int64
+    (partkeys < 2³² — probed per block like the cosine-pairs exchange)
+    and run the direct-task keyed exchange with a run-boundary count
+    kernel, skipping Ray's sort-shuffle aggregate (support at sf0.1:
+    5.2 s → ~3 s incl. the explode). Above the gate, or with ids too
+    wide to pack, the unconditionally-scalable two-key groupby."""
+    from ray.data.aggregate import Count
+
+    from ..stages.exchange import exchange_reduce
+
+    pairs = _coorder_pairs(sf_dir,
+                           exchange_max_rows=exchange_max_rows)
+    pairs = pairs.materialize()
+    cnt = pairs.count()
+    if 0 < cnt <= exchange_max_rows:
+        import ray
+
+        wide = any(
+            ray.get(ray.remote(num_cpus=0)(
+                lambda t: bool(t.num_rows) and (
+                    int(pc.max(t["v"]).as_py()) >= (1 << 32)
+                    or int(pc.min(t["u"]).as_py()) < 0)
+            ).remote(ref))
+            for ref in pairs.get_internal_block_refs())
+        if not wide:
+            def pack(t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                return pa.table({"pk": pa.array((u << 32) | v, pa.int64())})
+
+            return exchange_reduce(pairs, "pk", _support_count_kernel,
+                                   _SUPPORT_SCHEMA, pre_fn=pack)
+    return (pairs.groupby(["u", "v"])
+            .aggregate(Count(alias_name="n")))
+
+
 def co_order_edges(sf_dir: str, num_partitions: int | None = None):
     """DISTINCT undirected part—part edges (u < v by id): two parts are
     adjacent when some order contains lineitems of both. The pair
     explode runs on the vectorized multi-group kernel over the direct
     exchange (``_coorder_pairs``); one distinct pass over thin (u, v)
     rows follows."""
-    from ray.data.aggregate import Count
-
     del num_partitions   # the exchange sizes itself
-    return (_coorder_pairs(sf_dir)
-            .groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
-            .select_columns(["u", "v"]))
+    return _coorder_support(sf_dir).select_columns(["u", "v"])
 
 
 def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
@@ -820,14 +875,11 @@ def parts_coorder_topk(sf_dir: str, k: int = COORDER_TOPK):
     merge every top-k in this repo uses. Tie-break (n DESC, u, v)
     pinned on both sides.
     """
-    from ray.data.aggregate import Count
-
     from .stats import _topk_table
 
     out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
                             ("n", pa.int64())])
-    support = (_coorder_pairs(sf_dir)
-               .groupby(["u", "v"]).aggregate(Count(alias_name="n")))
+    support = _coorder_support(sf_dir)
     return _topk_table(support, [("n", "descending"), ("u", "ascending"),
                                  ("v", "ascending")], k, out_schema)
 
@@ -858,12 +910,9 @@ def _sssp_weighted_edges(sf_dir: str):
     """Directed weighted edge table (node, nbr, w) over the co-order
     graph: w = SSSP_WEIGHT_NUM // support, so strongly co-ordered parts
     are CLOSER — integer floor division keeps every distance exact."""
-    from ray.data.aggregate import Count
-
     e_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
                           ("w", pa.int64())])
-    support = (_coorder_pairs(sf_dir)
-               .groupby(["u", "v"]).aggregate(Count(alias_name="n")))
+    support = _coorder_support(sf_dir)
 
     def both_dir(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "u" not in t.column_names:

@@ -1150,3 +1150,15 @@ def test_pmi_association_beats_frequency(ray_session, tmp_path):
     assert got.loc[got["w1"] == "the", "pmi_ppm"].max() < first["pmi_ppm"]
     forced = word_pmi_topk(str(tmp_path), broadcast_threshold=0).to_pandas()
     assert _canon(forced) == _canon(got)
+
+
+def test_coorder_support_both_paths(ray_session):
+    """The packed-key direct-exchange support count and the forced
+    two-key groupby fallback (gate 0) must emit identical (u, v, n)
+    rows."""
+    from askg_ray.ops.graph import _coorder_support
+
+    sf = "/root/testdata/sf0.001"
+    fast = _coorder_support(sf).to_pandas()
+    slow = _coorder_support(sf, exchange_max_rows=0).to_pandas()
+    assert _canon(fast) == _canon(slow) and len(fast) > 0
