@@ -220,7 +220,9 @@ def co_order_edges(sf_dir: str, num_partitions: int | None = None):
     return _coorder_support(sf_dir).select_columns(["u", "v"])
 
 
-def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
+def parts_triangle_count(sf_dir: str, num_partitions: int | None = None,
+                         exchange_max_rows: int = COORDER_EXCHANGE_MAX,
+                         broadcast_threshold: int | None = None):
     """Per-part triangle count on the co-order graph — distributed
     triangle enumeration by DEGREE ORIENTATION, the standard trick that
     keeps wedge generation subquadratic at scale: orient every edge
@@ -230,16 +232,26 @@ def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
     per-vertex counts are orientation-invariant, so the id-ordered SQL
     oracle hash-matches.
 
-    Dataflow: edges → degree groupby → two hash joins attach endpoint
-    degrees → a groupby(src) kernel emits the oriented wedge pairs →
-    one (a, b)-keyed hash join against the oriented edges closes the
-    wedges → explode each triangle to its 3 vertices → count. Every
-    exchange is keyed; no broadcast, no driver state.
+    Dataflow: edges → degree groupby → the NODE-SCALE degree table
+    attaches to both endpoints through the size-gated policy → a
+    groupby(src) kernel emits the oriented wedge pairs → the wedges
+    CLOSE against the oriented edges on a packed (a, b) int64 key over
+    the direct exchange (marker-union kernel: a pk-run holding an edge
+    marker turns its wedge rows into triangles and emits (vertex, n)
+    partials in place — 24 s → ~8 s at sf0.01 vs the hash join +
+    unaggregated vertex explode). Above the row gate, or with ids too
+    wide to pack, the Dataset hash-join close runs instead (both paths
+    unit-forced). Every exchange is keyed; no driver state beyond the
+    gated degree broadcast.
     """
     import numpy as np
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
     npart = _npartitions(num_partitions, f"{sf_dir}/lineitem.parquet")
     edges = co_order_edges(sf_dir, num_partitions).materialize()
 
@@ -255,13 +267,16 @@ def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
     deg = (edges.map_batches(both_ends, batch_format="pyarrow")
            .groupby("node").aggregate(Count(alias_name="deg")))
 
-    e = edges.join(deg, join_type="inner", num_partitions=npart,
-                   on=("u",), right_on=("node",))
+    # node-scale dimension: size-gated broadcast beats two edge-scale
+    # hash joins (every endpoint has a degree, so unmatched-null
+    # semantics never fire)
+    e = attach_dim(edges, deg, "u", "node", ["deg"],
+                   broadcast_threshold=bt)
     e = e.map_batches(lambda t: pa.table(
         {"u": t["u"], "v": t["v"], "deg_u": t["deg"]}),
         batch_format="pyarrow")
-    e = e.join(deg, join_type="inner", num_partitions=npart,
-               on=("v",), right_on=("node",))
+    e = attach_dim(e, deg, "v", "node", ["deg"],
+                   broadcast_threshold=bt)
 
     ORI_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
                             ("dst_deg", pa.int64())])
@@ -300,6 +315,65 @@ def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
 
     cand = oriented.groupby("src").map_groups(wedges,
                                               batch_format="pyarrow")
+
+    cand = cand.materialize()
+    n_wedges = cand.count()
+    from ray.data.aggregate import Max, Min
+    bounds = oriented.aggregate(Min("src", alias_name="lo"),
+                                Max("dst", alias_name="hi"))
+    packable = (bounds["lo"] is not None and bounds["lo"] >= 0
+                and bounds["hi"] < (1 << 32))
+
+    if packable and 0 < n_wedges <= exchange_max_rows:
+        from ..stages.exchange import exchange_reduce
+
+        pk_schema = pa.schema([("pk", pa.int64()), ("w_src", pa.int64())])
+
+        def wedge_pk(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"pk": pa.array((a << 32) | b, pa.int64()),
+                             "w_src": t["w_src"]}, schema=pk_schema)
+
+        def edge_marker(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"pk": pa.array((s << 32) | d, pa.int64()),
+                             "w_src": pa.array(
+                                 np.full(len(s), -1, np.int64))},
+                            schema=pk_schema)
+
+        both = (cand.map_batches(wedge_pk, batch_format="pyarrow")
+                .union(oriented.map_batches(edge_marker,
+                                            batch_format="pyarrow"))
+                .materialize())
+
+        part_schema = pa.schema([("l_partkey", pa.int64()),
+                                 ("n", pa.int64())])
+
+        def close_kernel(t: pa.Table) -> pa.Table:
+            pk = t["pk"].to_numpy(zero_copy_only=False)
+            ws = t["w_src"].to_numpy(zero_copy_only=False)
+            order = np.argsort(pk, kind="stable")
+            pk, ws = pk[order], ws[order]
+            starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+            sizes = np.diff(np.r_[starts, len(pk)])
+            has_edge = np.minimum.reduceat(ws, starts) == -1
+            mask = np.repeat(has_edge, sizes) & (ws != -1)
+            if not mask.any():
+                return part_schema.empty_table()
+            verts = np.concatenate([ws[mask], pk[mask] >> 32,
+                                    pk[mask] & 0xFFFFFFFF])
+            uniq, n = np.unique(verts, return_counts=True)
+            return pa.table({"l_partkey": pa.array(uniq, pa.int64()),
+                             "n": pa.array(n.astype(np.int64))},
+                            schema=part_schema)
+
+        partials = exchange_reduce(both, "pk", close_kernel, part_schema)
+        return (partials.groupby("l_partkey")
+                .aggregate(Sum("n", alias_name="n_triangles")))
+
+    # fallback: Dataset hash-join close (unconditionally scalable).
     # dst_deg rides along as the non-key marker column: a key-only
     # right side coalesces away entirely in Ray 2.49's hash join
     # (same workaround as ops/joins.py / ops/curation.py)
@@ -307,10 +381,12 @@ def parts_triangle_count(sf_dir: str, num_partitions: int | None = None):
                     on=("a", "b"), right_on=("src", "dst"))
 
     def explode(t: pa.Table) -> pa.Table:
-        return pa.table({"l_partkey": pa.concat_arrays(
-            [t["w_src"].combine_chunks(), t["a"].combine_chunks(),
-             t["b"].combine_chunks()]),
-            "n": pa.array(np.ones(3 * t.num_rows, np.int64))})
+        uniq, n = np.unique(np.concatenate(
+            [t["w_src"].to_numpy(zero_copy_only=False),
+             t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)]), return_counts=True)
+        return pa.table({"l_partkey": pa.array(uniq, pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
 
     return (tri.map_batches(explode, batch_format="pyarrow")
             .groupby("l_partkey")

@@ -1162,3 +1162,19 @@ def test_coorder_support_both_paths(ray_session):
     fast = _coorder_support(sf).to_pandas()
     slow = _coorder_support(sf, exchange_max_rows=0).to_pandas()
     assert _canon(fast) == _canon(slow) and len(fast) > 0
+
+
+def test_triangle_close_both_paths(ray_session):
+    """The packed-key exchange close and the forced Dataset hash-join
+    close (gate 0) emit identical per-vertex triangle counts, and the
+    forced-shuffle degree attach (threshold 0) matches the broadcast
+    attach."""
+    from askg_ray.ops.graph import parts_triangle_count
+
+    sf = "/root/testdata/sf0.001"
+    fast = parts_triangle_count(sf).to_pandas()
+    slow = parts_triangle_count(sf, exchange_max_rows=0).to_pandas()
+    forced_attach = parts_triangle_count(sf,
+                                         broadcast_threshold=0).to_pandas()
+    assert _canon(fast) == _canon(slow) == _canon(forced_attach)
+    assert len(fast) > 0
