@@ -423,16 +423,20 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    npart = _npartitions(num_partitions)
+    from ..stages.labeljoin import attach_dim
 
-    edges = customer_supplier_edges(sf_dir, num_partitions).materialize()
+    del num_partitions   # node-scale dims ride the gated attach
+
+    edges = customer_supplier_edges(sf_dir).materialize()
     n = edges.count()
     if n == 0:
         return rd.from_arrow(pa.schema(
             [("node", pa.int64()), ("rank", pa.float64())]).empty_table())
     deg = edges.groupby("u").aggregate(Count(alias_name="deg"))
-    edges = edges.join(deg, join_type="inner", num_partitions=npart,
-                       on=("u",)).materialize()
+    # the degree and rank tables are NODE-scale: the size-gated attach
+    # (broadcast under threshold, padded-union groupby above) replaces
+    # one edge-scale hash join per iteration
+    edges = attach_dim(edges, deg, "u", "u", ["deg"]).materialize()
     n = deg.count()
 
     ranks = deg.map_batches(
@@ -443,8 +447,7 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
 
     base = (1.0 - damping) / n
     for _ in range(iters):
-        contrib = edges.join(ranks, join_type="inner",
-                             num_partitions=npart, on=("u",))
+        contrib = attach_dim(edges, ranks, "u", "u", ["rank"])
         contrib = contrib.map_batches(
             lambda t: pa.table({
                 "v": t["v"],
@@ -466,10 +469,12 @@ def supplier_pagerank(sf_dir: str, iters: int = 5, damping: float = 0.85,
 
 PR_SCALE = 10 ** 12        # fixed-point rank unit
 PR_ITERS = 5
+PR_BROADCAST_MAX = 5_000_000   # node gate for the broadcast loop
 
 
 def supplier_pagerank_int(sf_dir: str, iters: int = PR_ITERS,
-                          num_partitions: int | None = None):
+                          num_partitions: int | None = None,
+                          broadcast_max: int = PR_BROADCAST_MAX):
     """PageRank in exact int64 fixed-point (rank × 10^12). Integer
     floor-division contributions make every per-node sum
     order-independent across shuffles, so — unlike the float variant
@@ -486,19 +491,71 @@ def supplier_pagerank_int(sf_dir: str, iters: int = PR_ITERS,
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    npart = _npartitions(num_partitions)
+    from ..stages.labeljoin import attach_dim
 
-    edges = customer_supplier_edges(sf_dir, num_partitions).materialize()
+    del num_partitions   # node-scale dims ride the gated attach
+
+    edges = customer_supplier_edges(sf_dir).materialize()
     out_schema = pa.schema([("node", pa.int64()),
                             ("rank_fp", pa.int64())])
     if edges.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
     deg = edges.groupby("u").aggregate(Count(alias_name="deg"))
-    edges = edges.join(deg, join_type="inner", num_partitions=npart,
-                       on=("u",)).materialize()
     n = deg.count()
     init = PR_SCALE // n
     base = (15 * init) // 100
+
+    if n <= broadcast_max:
+        # node-scale state rides ray.put once per iteration; each
+        # iteration is ONE stateless map over the pinned edge table
+        # (searchsorted lookups + per-batch sum-per-dst partials) and a
+        # bounded driver fold — no join, no groupby, no materialize per
+        # step. Integer // arithmetic is order-independent, so this
+        # path is bit-identical to the distributed one (unit-forced).
+        import ray
+
+        dt = pa.concat_tables(list(deg.iter_batches(
+            batch_format="pyarrow")))
+        us = dt["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds_ = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(us)
+        us, ds_ = us[order], ds_[order]
+        ranks_v = np.full(n, init, np.int64)
+        for _ in range(iters):
+            # node arrays ride the object store, never the task closure
+            rref = ray.put((us, ds_, ranks_v))
+
+            def contrib_partial(t: pa.Table) -> pa.Table:
+                us2, ds2, r = ray.get(rref)
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                iu = np.searchsorted(us2, u)
+                c = r[iu] // ds2[iu]
+                ov = np.argsort(v, kind="stable")
+                v, c = v[ov], c[ov]
+                starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+                return pa.table({
+                    "v": pa.array(v[starts], pa.int64()),
+                    "s": pa.array(np.add.reduceat(c, starts), pa.int64())})
+
+            parts = [b for b in edges.map_batches(
+                contrib_partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+            cat = pa.concat_tables(parts)
+            v = cat["v"].to_numpy(zero_copy_only=False)
+            s = cat["s"].to_numpy(zero_copy_only=False)
+            ov = np.argsort(v, kind="stable")
+            v, s = v[ov], s[ov]
+            starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+            summed = np.add.reduceat(s, starts)
+            iv = np.searchsorted(us, v[starts])
+            ranks_v = np.full(n, base, np.int64)
+            ranks_v[iv] = base + (85 * summed) // 100
+        return rd.from_arrow(pa.table({
+            "node": pa.array(us, pa.int64()),
+            "rank_fp": pa.array(ranks_v, pa.int64())}, schema=out_schema))
+
+    edges = attach_dim(edges, deg, "u", "u", ["deg"]).materialize()
 
     ranks = deg.map_batches(
         lambda t: pa.table({"u": t["u"],
@@ -507,8 +564,7 @@ def supplier_pagerank_int(sf_dir: str, iters: int = PR_ITERS,
         batch_format="pyarrow").materialize()
 
     for _ in range(iters):
-        contrib = edges.join(ranks, join_type="inner",
-                             num_partitions=npart, on=("u",))
+        contrib = attach_dim(edges, ranks, "u", "u", ["rank"])
         contrib = contrib.map_batches(
             lambda t: pa.table({
                 "v": t["v"],

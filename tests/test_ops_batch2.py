@@ -1178,3 +1178,15 @@ def test_triangle_close_both_paths(ray_session):
                                          broadcast_threshold=0).to_pandas()
     assert _canon(fast) == _canon(slow) == _canon(forced_attach)
     assert len(fast) > 0
+
+
+def test_pagerank_int_broadcast_matches_distributed(ray_session):
+    """The broadcast power-iteration loop and the forced distributed
+    attach+groupby loop (gate 0) are bit-identical — integer //
+    arithmetic is order-independent, so the paths must agree exactly."""
+    from askg_ray.ops.graph import supplier_pagerank_int
+
+    sf = "/root/testdata/sf0.001"
+    fast = supplier_pagerank_int(sf).to_pandas()
+    slow = supplier_pagerank_int(sf, broadcast_max=0).to_pandas()
+    assert _canon(fast) == _canon(slow) and len(fast) > 0
