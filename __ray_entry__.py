@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bfs_hops": graph.parts_bfs_hops,
         "parts_sssp": graph.parts_sssp,
         "parts_coorder_topk": graph.parts_coorder_topk,
+        "parts_coorder_triples": graph.parts_coorder_triples_topk,
         "events_value_gini": stats.events_value_gini,
         "events_value_mad": stats.events_value_mad,
         "events_decayed_score": stats.events_decayed_score,
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
                                      WINDOWED_FUNNEL_ORACLE_SQL)
     from askg_ray.ops.graph import (BFS_ORACLE_SQL, COMPONENTS_ORACLE_SQL,
                                     SSSP_ORACLE_SQL,
+                                    TRIPLES_ORACLE_SQL,
         COORDER_TOPK_ORACLE_SQL,
         DEGREE_ORACLE_SQL, KCORE_ORACLE_SQL, PAGERANK_INT_ORACLE_SQL,
         TRIANGLE_ORACLE_SQL)
@@ -691,6 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_kcore": KCORE_ORACLE_SQL,
         "parts_bfs_hops": BFS_ORACLE_SQL,
         "parts_sssp": SSSP_ORACLE_SQL,
+        "parts_coorder_triples": TRIPLES_ORACLE_SQL,
         "parts_coorder_topk": COORDER_TOPK_ORACLE_SQL,
         "events_value_gini": GINI_ORACLE_SQL,
         "events_value_mad": MAD_ORACLE_SQL,

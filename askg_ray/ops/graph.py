@@ -1268,3 +1268,99 @@ SELECT -1, -1 FROM viol"""
 
 
 SSSP_ORACLE_SQL = _sssp_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets (co-order part triples, the step beyond pairs)
+
+TRIPLE_TOPK = 20
+
+
+def _triple_kernel(t: pa.Table) -> pa.Table:
+    """Vectorized multi-group TRIPLE explode over complete orderkey
+    groups — `_coorder_pair_kernel`'s shape one order up: after the
+    lexsort + in-order dedupe, all orders of size m emit their
+    C(m, 3) sorted triples through one precomputed index template per
+    size class (orders hold ≤7 lineitems → ≤35 triples, 5 classes)."""
+    import itertools
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("c", pa.int64())])
+    ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pk, ok))
+    ok, pk = ok[order], pk[order]
+    keep = np.r_[True, (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])]
+    ok, pk = ok[keep], pk[keep]
+    starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+    sizes = np.diff(np.r_[starts, len(ok)])
+    outs = []
+    for m in np.unique(sizes):
+        if m < 3:
+            continue
+        s = starts[sizes == m]
+        combo = np.array(list(itertools.combinations(range(int(m)), 3)),
+                         np.int64)
+        idx = s[:, None, None] + combo[None, :, :]   # orders × C(m,3) × 3
+        flat = pk[idx.reshape(-1, 3)]
+        outs.append(flat)
+    if not outs:
+        return schema.empty_table()
+    allt = np.concatenate(outs)
+    return pa.table({"a": pa.array(allt[:, 0]),
+                     "b": pa.array(allt[:, 1]),
+                     "c": pa.array(allt[:, 2])}, schema=schema)
+
+
+def parts_coorder_triples_topk(sf_dir: str, k: int = TRIPLE_TOPK,
+                               exchange_max_rows: int =
+                               COORDER_EXCHANGE_MAX):
+    """Top-``k`` part TRIPLES by co-order support — the frequent-
+    3-itemset step of market-basket mining (`parts_coorder_topk` is the
+    pair level). Each order group emits its C(m, 3) ≤ 35 sorted
+    triples through the vectorized size-class kernel (direct exchange
+    under the lineitem row gate, per-group map_groups above it), one
+    (a, b, c) groupby sums support, and the usual bounded top-k merge
+    runs on (n DESC, a, b, c)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.exchange import exchange_reduce
+    from .stats import _topk_table
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("c", pa.int64()), ("n", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_partkey"])
+          .materialize())
+    tri_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("c", pa.int64())])
+    if li.count() <= exchange_max_rows:
+        triples = exchange_reduce(li, "l_orderkey", _triple_kernel,
+                                  tri_schema)
+    else:
+        triples = li.groupby("l_orderkey").map_groups(
+            _triple_kernel, batch_format="pyarrow")
+    support = (triples.groupby(["a", "b", "c"])
+               .aggregate(Count(alias_name="n")))
+    return _topk_table(support, [("n", "descending"), ("a", "ascending"),
+                                 ("b", "ascending"), ("c", "ascending")],
+                       k, out_schema)
+
+
+TRIPLES_ORACLE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+             count(*) AS n
+      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+                JOIN li z ON y.l_orderkey = z.l_orderkey
+                         AND y.l_partkey < z.l_partkey
+      GROUP BY 1, 2, 3)
+SELECT a, b, c, CAST(n AS BIGINT) AS n
+FROM t ORDER BY n DESC, a, b, c LIMIT {TRIPLE_TOPK}
+""".strip()

@@ -1190,3 +1190,38 @@ def test_pagerank_int_broadcast_matches_distributed(ray_session):
     fast = supplier_pagerank_int(sf).to_pandas()
     slow = supplier_pagerank_int(sf, broadcast_max=0).to_pandas()
     assert _canon(fast) == _canon(slow) and len(fast) > 0
+
+
+def test_coorder_triples_handcrafted(ray_session, tmp_path):
+    """Order {1,2,3,4} contributes all four of its C(4,3) triples,
+    three repeat orders push (1,2,3) to support 4, a duplicate lineitem
+    (same part twice in one order) must NOT inflate support, and
+    2-item orders contribute nothing. Exchange and forced-groupby
+    paths both match the three-way self-join oracle."""
+    rows = []
+    def order(ok, parts):
+        for p in parts:
+            rows.append({"l_orderkey": ok, "l_partkey": p})
+    order(1, [1, 2, 3, 4])
+    for i in range(3):
+        order(10 + i, [1, 2, 3])
+    order(20, [5, 5, 6, 7])         # dup lineitem: one (5,6,7) only
+    order(30, [8, 9])               # too small
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/lineitem.parquet')")
+
+    from askg_ray.ops.graph import (TRIPLES_ORACLE_SQL,
+                                    parts_coorder_triples_topk)
+
+    got = parts_coorder_triples_topk(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(TRIPLES_ORACLE_SQL).df())
+    top = got.sort_values(["n", "a", "b", "c"],
+                          ascending=[False, True, True, True]).iloc[0]
+    assert (top["a"], top["b"], top["c"], top["n"]) == (1, 2, 3, 4)
+    assert got.set_index(["a", "b", "c"]).loc[(5, 6, 7), "n"] == 1
+    forced = parts_coorder_triples_topk(str(tmp_path),
+                                        exchange_max_rows=0).to_pandas()
+    assert _canon(forced) == _canon(got)
