@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 from .joins import _npartitions  # shared size-aware partition sizing
 
 
-def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None):
+def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None,
+                            exchange_max_rows: int | None = None):
     """DISTINCT (customer, supplier) pairs through orders ⋈ lineitem —
     both directions, so the bipartite graph is undirected (no PageRank
     sinks). Nodes are disambiguated by sign: customer k maps to k (≥0),
@@ -61,8 +62,42 @@ def customer_supplier_edges(sf_dir: str, num_partitions: int | None = None):
         return (pa.concat_tables([fwd, rev])
                 .group_by(["u", "v"]).aggregate([]))
 
-    return (j.map_batches(pairs, batch_format="pyarrow")
-            .groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
+    p = j.map_batches(pairs, batch_format="pyarrow").materialize()
+    n = p.count()
+    gate = (COORDER_EXCHANGE_MAX if exchange_max_rows is None
+            else exchange_max_rows)
+    if 0 < n <= gate:
+        import ray
+        from ray.data.aggregate import Max, Min
+
+        from ..stages.exchange import exchange_reduce
+
+        # signed ids pack with asymmetric biases: the HIGH half must
+        # stay under 2³¹ after biasing, so u rides +2³⁰ (|u| < 2³⁰ —
+        # holds to TPC-H SF ~7000) and v rides +2³¹
+        b = p.aggregate(Min("u", alias_name="ulo"),
+                        Max("u", alias_name="uhi"),
+                        Min("v", alias_name="vlo"),
+                        Max("v", alias_name="vhi"))
+        if (b["ulo"] >= -(1 << 30) and b["uhi"] < (1 << 30)
+                and b["vlo"] >= -(1 << 31) and b["vhi"] < (1 << 31)):
+            def pack(t: pa.Table) -> pa.Table:
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                return pa.table({"pk": pa.array(
+                    ((u + (1 << 30)) << 32) | (v + (1 << 31)),
+                    pa.int64())})
+
+            def distinct_kernel(t: pa.Table) -> pa.Table:
+                pk = np.unique(t["pk"].to_numpy(zero_copy_only=False))
+                return pa.table({
+                    "u": pa.array((pk >> 32) - (1 << 30), pa.int64()),
+                    "v": pa.array((pk & 0xFFFFFFFF) - (1 << 31),
+                                  pa.int64())}, schema=PAIR_SCHEMA)
+
+            return exchange_reduce(p, "pk", distinct_kernel,
+                                   PAIR_SCHEMA, pre_fn=pack)
+    return (p.groupby(["u", "v"]).aggregate(Count(alias_name="__c"))
             .select_columns(["u", "v"]))
 
 

@@ -1225,3 +1225,15 @@ def test_coorder_triples_handcrafted(ray_session, tmp_path):
     forced = parts_coorder_triples_topk(str(tmp_path),
                                         exchange_max_rows=0).to_pandas()
     assert _canon(forced) == _canon(got)
+
+
+def test_cs_edges_packed_distinct_both_paths(ray_session):
+    """The biased-packed-key exchange distinct and the forced two-key
+    groupby fallback (gate 0) emit the same signed edge set."""
+    from askg_ray.ops.graph import customer_supplier_edges
+
+    sf = "/root/testdata/sf0.001"
+    fast = customer_supplier_edges(sf).to_pandas()
+    slow = customer_supplier_edges(sf, exchange_max_rows=0).to_pandas()
+    assert _canon(fast) == _canon(slow) and len(fast) > 0
+    assert (fast["u"] < 0).any() and (fast["u"] >= 0).any()  # both signs
