@@ -143,6 +143,13 @@ def attach_dim(facts, dim, fact_key: str, dim_key: str,
     dim = compact(dim)
     n = dim.count()
     dim_schema = _arrow_schema(dim)
+    if dim_schema is None:
+        # SCHEMA-LESS empty dim (e.g. a groupby over an empty corpus):
+        # nothing to attach and no types to null-fill with — hand the
+        # facts through untouched; downstream kernels guard missing
+        # columns by repo convention (better than the AttributeError
+        # this used to raise on empty partitions)
+        return facts
     val_types = {c: dim_schema.field(c).type for c in value_cols}
 
     if n < broadcast_threshold:

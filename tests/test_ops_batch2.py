@@ -1237,3 +1237,46 @@ def test_cs_edges_packed_distinct_both_paths(ray_session):
     slow = customer_supplier_edges(sf, exchange_max_rows=0).to_pandas()
     assert _canon(fast) == _canon(slow) and len(fast) > 0
     assert (fast["u"] < 0).any() and (fast["u"] >= 0).any()  # both signs
+
+
+def test_new_ops_empty_corpus(ray_session, tmp_path):
+    """Every op added this session must return an EMPTY (or
+    sensible-degenerate) result on schema-correct zero-row inputs
+    instead of crashing — the empty-partition shape a 100 TB run hits
+    constantly."""
+    empty = {
+        "lineitem": pa.schema([("l_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64())]),
+        "embeddings": pa.schema([("vec_id", pa.int64()),
+                                 ("embedding",
+                                  pa.list_(pa.float32())),
+                                 ("label", pa.int32())]),
+        "documents": pa.schema([("doc_id", pa.int64()),
+                                ("text", pa.string()),
+                                ("lang", pa.string()),
+                                ("source", pa.string()),
+                                ("n_chars", pa.int64())]),
+        "events": pa.schema([("event_id", pa.int64()),
+                             ("ts", pa.timestamp("us")),
+                             ("user_id", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("value", pa.float64()),
+                             ("props", pa.string())]),
+    }
+    for name, schema in empty.items():
+        pq.write_table(schema.empty_table(),
+                       str(tmp_path / f"{name}.parquet"))
+    sf = str(tmp_path)
+
+    from askg_ray.ops.graph import (parts_coorder_triples_topk, parts_sssp)
+    from askg_ray.ops.similarity import embedding_knn_join
+    from askg_ray.ops.stats import events_user_simpson
+    from askg_ray.ops.text import word_pmi_topk
+    from askg_ray.ops.windows import sessions_max_concurrency
+
+    assert parts_sssp(sf).count() == 0
+    assert parts_coorder_triples_topk(sf).count() == 0
+    assert embedding_knn_join(sf).count() == 0
+    assert word_pmi_topk(sf).count() == 0
+    assert events_user_simpson(sf).count() == 0
+    assert sessions_max_concurrency(sf).count() == 0
