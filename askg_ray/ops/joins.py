@@ -1575,6 +1575,15 @@ def local_supplier_revenue(sf_dir: str, num_partitions: int | None = None,
 
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
 
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders")) == 0:
+        # empty fact side: Ray 2.49's hash-join aggregator cannot
+        # finalize all-empty bundles — return the typed empty result
+        import ray.data as _rd
+        return _rd.from_arrow(pa.schema([("n_name", pa.string()), ("revenue_u", pa.int64())]).empty_table())
+
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
     rk = {k: n for k, n in zip(reg["r_regionkey"].to_pylist(),
@@ -1705,6 +1714,15 @@ def nation_pair_volume(sf_dir: str, num_partitions: int | None = None,
 
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
 
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders")) == 0:
+        # empty fact side: Ray 2.49's hash-join aggregator cannot
+        # finalize all-empty bundles — return the typed empty result
+        import ray.data as _rd
+        return _rd.from_arrow(pa.schema([("supp_nation", pa.string()), ("cust_nation", pa.string()), ("l_year", pa.int64()), ("revenue_u", pa.int64())]).empty_table())
+
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     name = dict(zip(nat["n_nationkey"].to_pylist(),
                     nat["n_name"].to_pylist()))
@@ -1827,6 +1845,15 @@ def nation_market_share(sf_dir: str, num_partitions: int | None = None,
     from ray.data.aggregate import Sum
 
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders")) == 0:
+        # empty fact side: Ray 2.49's hash-join aggregator cannot
+        # finalize all-empty bundles — return the typed empty result
+        import ray.data as _rd
+        return _rd.from_arrow(pa.schema([("o_year", pa.int64()), ("market_u", pa.int64()), ("share_ppm", pa.int64())]).empty_table())
 
     bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
           else broadcast_threshold)
@@ -2221,6 +2248,15 @@ def nation_profit(sf_dir: str, num_partitions: int | None = None,
     from ray.data.aggregate import Sum
 
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+
+    from ..rayutil import parquet_num_rows
+
+    if min(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+           for t in ("lineitem", "orders")) == 0:
+        # empty fact side: Ray 2.49's hash-join aggregator cannot
+        # finalize all-empty bundles — return the typed empty result
+        import ray.data as _rd
+        return _rd.from_arrow(pa.schema([("nation", pa.string()), ("o_year", pa.int64()), ("profit_u", pa.int64())]).empty_table())
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     name = dict(zip(nat["n_nationkey"].to_pylist(),

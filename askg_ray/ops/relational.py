@@ -76,8 +76,13 @@ def orders_by_segment(sf_dir: str, broadcast_threshold: int | None = None):
     import ray.data as rd
     from ray.data.aggregate import Count, Max
 
+    from ..rayutil import parquet_num_rows
     from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
 
+    if parquet_num_rows(f"{sf_dir}/orders.parquet") == 0:
+        return rd.from_arrow(pa.schema(
+            [("c_mktsegment", pa.string()), ("n_orders", pa.int64()),
+             ("max_price", pa.float64())]).empty_table())
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -613,6 +618,10 @@ def orders_price_quantiles(sf_dir: str, collect_max: int = 65536):
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
                          columns=["o_totalprice"]).materialize()
     n = ds.count()
+    if n == 0:
+        # matches quantile_disc over empty: one all-NULL row
+        return rd.from_arrow(pa.table(
+            {name: pa.nulls(1, pa.float64()) for name, _ in QS}))
     # open state per quantile: (rank k within [lo, hi), count in range)
     state = {name: {"k": max(1, int(np.ceil(q * n))), "lo": None,
                     "hi": None, "cnt": n, "val": None}
@@ -863,12 +872,14 @@ def parts_above_brand_avg(sf_dir: str):
                    .aggregate(Sum("s", alias_name="s"),
                               Sum("n", alias_name="n"))
                    .to_pandas())
-    stats_ref = ray.put({b: (int(s), int(n)) for b, s, n in zip(
-        brand_stats["p_brand"], brand_stats["s"], brand_stats["n"])})
 
     out_schema = pa.schema([("p_partkey", pa.int64()),
                             ("p_brand", pa.string()),
                             ("price_cents", pa.int64())])
+    if brand_stats.empty or "p_brand" not in brand_stats.columns:
+        return rd.from_arrow(out_schema.empty_table())
+    stats_ref = ray.put({b: (int(s), int(n)) for b, s, n in zip(
+        brand_stats["p_brand"], brand_stats["s"], brand_stats["n"])})
 
     def above(t: pa.Table) -> pa.Table:
         stats = ray.get(stats_ref)

@@ -28,6 +28,8 @@ def _query_vector(sf_dir: str, query_id: int) -> np.ndarray:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", query_id)])
+    if t.num_rows == 0:        # empty corpus / absent query id
+        return None
     return np.array(t["embedding"].to_pylist()[0], dtype=np.float64)
 
 
@@ -84,6 +86,8 @@ def ann_bruteforce(sf_dir: str, query_id: int = 0, k: int = 10):
     import ray.data as rd
 
     q = _query_vector(sf_dir, query_id)
+    if q is None:
+        return rd.from_arrow(_SIM_SCHEMA.empty_table())
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding", "label"])
     scored = _score_batches(embs, q)
@@ -151,6 +155,8 @@ def ann_lsh(sf_dir: str, query_id: int = 0, k: int = 10,
     import ray.data as rd
 
     q = _query_vector(sf_dir, query_id)
+    if q is None:
+        return rd.from_arrow(_SIM_SCHEMA.empty_table())
     embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding", "label"]).materialize()
     q_bands = set(_ann_band_signature(q[None, :])[0].tolist())
@@ -217,6 +223,8 @@ def ann_ivf(sf_dir: str, query_id: int = 0, k: int = 10,
     import ray.data as rd
 
     q = _query_vector(sf_dir, query_id)
+    if q is None:
+        return rd.from_arrow(_SIM_SCHEMA.empty_table())
     C = _ivf_centroids(sf_dir, n_lists)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())

@@ -223,7 +223,13 @@ def bm25_search(sf_dir: str, k: int = 20):
     for b in parts.iter_batches(batch_format="pyarrow"):
         for c in b.column_names:
             agg[c] = agg.get(c, 0) + int(pa.compute.sum(b[c]).as_py() or 0)
-    n_docs, avgdl = agg["n_docs"], agg["sum_dl"] / max(1, agg["n_docs"])
+    n_docs = agg.get("n_docs", 0)
+    if n_docs == 0:            # empty corpus: no scoreable docs
+        import ray.data as rd
+        return rd.from_arrow(pa.schema(
+            [("doc_id", pa.int64()),
+             ("score_u", pa.int64())]).empty_table())
+    avgdl = agg["sum_dl"] / max(1, n_docs)
     idf = {q: math.log(1.0 + (n_docs - agg[f"df_{q}"] + 0.5)
                        / (agg[f"df_{q}"] + 0.5)) for q in terms}
 

@@ -197,8 +197,10 @@ def export_sorted_parquet(sf_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     hist = (docs.select_columns(["n_chars"]).groupby("n_chars")
-            .aggregate(Count(alias_name="c")).to_pandas()
-            .sort_values("n_chars"))
+            .aggregate(Count(alias_name="c")).to_pandas())
+    if hist.empty or "n_chars" not in hist.columns:
+        hist = hist.reindex(columns=["n_chars", "c"])
+    hist = hist.sort_values("n_chars")
     total = int(hist["c"].sum())
     if total == 0:
         manifest = {"format": "parquet-sorted", "n_rows": 0, "buckets": []}
@@ -392,7 +394,15 @@ def export_ivf_index(sf_dir: str, out_dir: str,
     from ..arrowutil import list_col_matrix
     from ..ops.similarity import _ivf_centroids
 
+    from ..rayutil import parquet_num_rows
+
     os.makedirs(out_dir, exist_ok=True)
+    if parquet_num_rows(f"{sf_dir}/embeddings.parquet") == 0:
+        manifest = {"format": "parquet-ivf", "n_lists_trained": 0,
+                    "n_rows": 0, "lists": []}
+        with open(f"{out_dir}/manifest.json", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        return manifest
     C = _ivf_centroids(sf_dir, n_lists)
     cref = ray.put(C)
 
@@ -480,6 +490,17 @@ def ivf_index_query(sf_dir: str, out_dir: str | None = None,
     lists = manifest["lists"]
 
     q = _query_vector(sf_dir, query_id)
+    if q is None or not lists:
+        # empty index / absent query: degenerate stats row (recall is
+        # vacuously perfect, so the floor check cannot fire)
+        return pa.table({
+            "top1_vec_id": pa.array([-1], pa.int64()),
+            "recall_pct": pa.array([100], pa.int64()),
+            "n_lists_total": pa.array([len(lists)], pa.int64()),
+            "n_lists_opened": pa.array([0], pa.int64()),
+            "rows_scanned": pa.array([0], pa.int64()),
+            "n_rows_total": pa.array([manifest["n_rows"]], pa.int64()),
+        })
     C = _ivf_centroids(sf_dir, n_lists)
     qn = q / max(np.linalg.norm(q), 1e-12)
     ranked = np.argsort(-(C @ qn))

@@ -1244,28 +1244,12 @@ def test_new_ops_empty_corpus(ray_session, tmp_path):
     sensible-degenerate) result on schema-correct zero-row inputs
     instead of crashing — the empty-partition shape a 100 TB run hits
     constantly."""
-    empty = {
-        "lineitem": pa.schema([("l_orderkey", pa.int64()),
-                               ("l_partkey", pa.int64())]),
-        "embeddings": pa.schema([("vec_id", pa.int64()),
-                                 ("embedding",
-                                  pa.list_(pa.float32())),
-                                 ("label", pa.int32())]),
-        "documents": pa.schema([("doc_id", pa.int64()),
-                                ("text", pa.string()),
-                                ("lang", pa.string()),
-                                ("source", pa.string()),
-                                ("n_chars", pa.int64())]),
-        "events": pa.schema([("event_id", pa.int64()),
-                             ("ts", pa.timestamp("us")),
-                             ("user_id", pa.int64()),
-                             ("event_type", pa.string()),
-                             ("value", pa.float64()),
-                             ("props", pa.string())]),
-    }
-    for name, schema in empty.items():
-        pq.write_table(schema.empty_table(),
-                       str(tmp_path / f"{name}.parquet"))
+    src = "/root/testdata/sf0.001"
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"]:
+        pq.write_table(pq.read_schema(f"{src}/{name}.parquet")
+                       .empty_table(), str(tmp_path / f"{name}.parquet"))
     sf = str(tmp_path)
 
     from askg_ray.ops.graph import (parts_coorder_triples_topk, parts_sssp)
@@ -1280,3 +1264,30 @@ def test_new_ops_empty_corpus(ray_session, tmp_path):
     assert word_pmi_topk(sf).count() == 0
     assert events_user_simpson(sf).count() == 0
     assert sessions_max_concurrency(sf).count() == 0
+
+    # the 14 ops the first full empty sweep (tools/check_empty.py)
+    # caught crashing: ann family, sinks, hash-join Q5/7/8/9, and the
+    # driver-stat guards
+    from askg_ray.ops.joins import (local_supplier_revenue,
+                                    nation_market_share,
+                                    nation_pair_volume, nation_profit)
+    from askg_ray.ops.relational import (orders_by_segment,
+                                         orders_price_quantiles,
+                                         parts_above_brand_avg)
+    from askg_ray.ops.similarity import ann_bruteforce, ann_ivf, ann_lsh
+    from askg_ray.ops.text import bm25_search
+    from askg_ray.pipelines.export import (export_sorted_parquet,
+                                           ivf_index_query,
+                                           pruned_range_scan)
+
+    for fn in [local_supplier_revenue, nation_pair_volume,
+               nation_market_share, nation_profit, orders_by_segment,
+               parts_above_brand_avg, ann_bruteforce, ann_lsh, ann_ivf,
+               bm25_search]:
+        assert fn(sf).count() == 0, fn.__name__
+    assert orders_price_quantiles(sf).count() == 1     # all-NULL row
+    assert export_sorted_parquet(sf, str(tmp_path / "se"))["n_rows"] == 0
+    assert pruned_range_scan(
+        sf, out_dir=str(tmp_path / "ps")).to_pylist()[0]["n_match"] == 0
+    q = ivf_index_query(sf, out_dir=str(tmp_path / "iv")).to_pylist()[0]
+    assert q["n_rows_total"] == 0 and q["recall_pct"] == 100
