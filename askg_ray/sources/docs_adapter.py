@@ -173,6 +173,8 @@ def pages_from_documents(sf_dir: str, replication: int = 1,
     # many read tasks); this path only renders pages FROM the id table.
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
+    if docs.num_rows == 0:
+        return rd.from_arrow(PAGES_SCHEMA.empty_table())
     nchunks = min(default_nblocks() * 2, max(1, docs.num_rows))
     step = -(-docs.num_rows // nchunks)
     refs = [ray.put(docs.slice(i, step))

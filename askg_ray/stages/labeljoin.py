@@ -234,13 +234,14 @@ def semi_join_keys(pairs, keys_ds, col: str,
     from ..rayutil import compact
 
     keys_ds = compact(keys_ds)
-    key_col = _arrow_schema(keys_ds).names[0]
     n = keys_ds.count()
     pair_schema = _arrow_schema(pairs)
-
+    if pair_schema is None:     # schema-less empty pairs: nothing kept
+        return pairs
     if n == 0:
         import ray.data as rd
         return rd.from_arrow(pair_schema.empty_table())
+    key_col = _arrow_schema(keys_ds).names[0]
 
     if n < broadcast_threshold:
         import ray

@@ -1291,3 +1291,11 @@ def test_new_ops_empty_corpus(ray_session, tmp_path):
         sf, out_dir=str(tmp_path / "ps")).to_pylist()[0]["n_match"] == 0
     q = ivf_index_query(sf, out_dir=str(tmp_path / "iv")).to_pylist()[0]
     assert q["n_rows_total"] == 0 and q["recall_pct"] == 100
+
+    # the FLAGSHIP: the whole KG build degrades to empty tables
+    from askg_ray.pipelines.kg import build_kg
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    out = build_kg(pages_from_documents(sf))
+    assert (out["nodes"].count() == out["edges"].count()
+            == out["membership"].count() == 0)
