@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": curation.doc_dup_spans,
         "source_mixing_weights": curation.source_mixing_weights,
         "docs_weighted_sample": curation.docs_weighted_sample,
+        "corpus_mixed_sample": curation.corpus_mixed_sample,
         "corpus_pack": packing.corpus_pack,
         "events_asof": relational.events_asof_join,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -492,7 +493,8 @@ _NGRAM_CLOSURE_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
-    from askg_ray.ops.curation import (
+    from askg_ray.ops.curation import (MIXED_SAMPLE_ORACLE_SQL,
+        
         BOTTOMK_ORACLE_SQL,
         BOTTOMK_PER_LANG_ORACLE_SQL,
         CHUNK_ORACLE_SQL,
@@ -612,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": DUP_SPANS_ORACLE_SQL,
         "source_mixing_weights": MIXING_ORACLE_SQL,
         "docs_weighted_sample": WEIGHTED_SAMPLE_ORACLE_SQL,
+        "corpus_mixed_sample": MIXED_SAMPLE_ORACLE_SQL,
         "doc_cosine_pairs": COSINE_PAIRS_ORACLE_SQL,
         "pii_scrub": PII_ORACLE_SQL,
         "doc_repetition": REP_ORACLE_SQL,

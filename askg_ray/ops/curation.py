@@ -874,3 +874,75 @@ FROM documents
 ORDER BY priority, doc_id
 LIMIT {WEIGHTED_K}
 """.strip()
+
+
+# ---- mixture-weighted corpus draw ------------------------------------------
+
+MIXED_K = 50
+
+
+def corpus_mixed_sample(sf_dir: str, k: int = MIXED_K,
+                        broadcast_threshold: int | None = None):
+    """END-TO-END corpus assembly draw: the per-source mixture weights
+    (``source_mixing_weights`` — uniform token budget, upsample cap)
+    become each document's sampling weight, and the exactly-``k``
+    deterministic Efraimidis–Spirakis draw (``docs_weighted_sample``'s
+    integer priority md5₆₀(doc_id) // weight) runs under them — so
+    under-represented sources surface proportionally more docs, with
+    zero RNG state and a hashable result. The source-vocabulary weight
+    table attaches through the size-gated policy; the draw stays the
+    mergeable per-block bottom-k + bounded merge."""
+    import ray.data as rd
+
+    from ..stages.labeljoin import BROADCAST_LABELS_MAX, attach_dim
+    from .stats import _topk_table
+
+    bt = (BROADCAST_LABELS_MAX if broadcast_threshold is None
+          else broadcast_threshold)
+    weights = source_mixing_weights(sf_dir)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    docs = attach_dim(docs, weights, "source", "source", ["weight_ppm"],
+                      broadcast_threshold=bt)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("weight_ppm", pa.int64()),
+                            ("priority", pa.int64())])
+
+    def key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "weight_ppm" not in t.column_names:
+            return out_schema.empty_table()
+        ids = t["doc_id"].to_pylist()
+        w = np.maximum(t["weight_ppm"].to_numpy(zero_copy_only=False), 1)
+        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:15],
+                          16) for d in ids], np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "source": t["source"],
+                         "weight_ppm": pa.array(w, pa.int64()),
+                         "priority": pa.array(h // w, pa.int64())},
+                        schema=out_schema)
+
+    return _topk_table(docs.map_batches(key, batch_format="pyarrow"),
+                       [("priority", "ascending"),
+                        ("doc_id", "ascending")], k, out_schema)
+
+
+MIXED_SAMPLE_ORACLE_SQL = f"""
+WITH s AS (
+  SELECT source, sum(len(string_split(coalesce(text, ''), ' ')))
+             AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS ns FROM s),
+w AS (SELECT source,
+             greatest(CAST(least((t * 1000000)
+                                 // (ns * greatest(n_tokens, 1)),
+                                 {MIX_CAP_PPM}) AS BIGINT), 1)
+                 AS weight_ppm
+      FROM s, tot)
+SELECT d.doc_id, d.source, w.weight_ppm,
+       CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) // w.weight_ppm AS priority
+FROM documents d JOIN w USING (source)
+ORDER BY priority, doc_id LIMIT {MIXED_K}
+""".strip()

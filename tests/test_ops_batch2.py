@@ -1299,3 +1299,38 @@ def test_new_ops_empty_corpus(ray_session, tmp_path):
     out = build_kg(pages_from_documents(sf))
     assert (out["nodes"].count() == out["edges"].count()
             == out["membership"].count() == 0)
+
+
+def test_mixed_sample_bias_and_paths(ray_session, tmp_path):
+    """A tiny under-represented source gets the mixture's full 10x
+    upsample cap while the dominant source's weight falls below par,
+    so the rare source is strongly over-represented in the draw
+    relative to its 1% corpus share; forced-shuffle attach matches the
+    broadcast path and the oracle hash-matches."""
+    rows = []
+    for i in range(200):
+        rows.append({"doc_id": i, "text": "a b c d e f g h",
+                     "lang": "en", "source": "big", "n_chars": 15})
+    for i in range(2):
+        rows.append({"doc_id": 1000 + i, "text": "x y",
+                     "lang": "en", "source": "tiny", "n_chars": 3})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM read_parquet('{tmp_path}/documents.parquet')")
+
+    from askg_ray.ops.curation import (MIX_CAP_PPM,
+                                       MIXED_SAMPLE_ORACLE_SQL,
+                                       corpus_mixed_sample)
+
+    got = corpus_mixed_sample(str(tmp_path)).to_pandas()
+    assert _canon(got) == _canon(con.sql(MIXED_SAMPLE_ORACLE_SQL).df())
+    by = got.drop_duplicates("source").set_index("source")["weight_ppm"]
+    assert by.get("tiny", 0) == MIX_CAP_PPM       # capped upsample
+    assert 0 < by["big"] < 1_000_000              # below par
+    # both tiny docs make the k=50 draw despite a 1% corpus share
+    assert (got["source"] == "tiny").sum() == 2
+    forced = corpus_mixed_sample(str(tmp_path),
+                                 broadcast_threshold=0).to_pandas()
+    assert _canon(forced) == _canon(got)
