@@ -722,6 +722,13 @@ def doc_dup_spans(sf_dir: str, w: int = DUPSPAN_W,
                      broadcast_threshold=bt)
 
     def zero_fill(t: pa.Table) -> pa.Table:
+        # when NO document reaches w tokens the dup aggregate is a
+        # schema-less empty dataset and attach_dim hands the facts
+        # through untouched — append the all-zero column instead of
+        # set_column on a missing field (ADVICE r3)
+        if "dup_windows" not in t.column_names:
+            return t.append_column(
+                "dup_windows", pa.array([0] * t.num_rows, pa.int64()))
         return t.set_column(
             t.schema.get_field_index("dup_windows"), "dup_windows",
             pc.coalesce(t["dup_windows"].cast(pa.int64()),

@@ -226,11 +226,16 @@ def _coorder_support(sf_dir: str,
     if 0 < cnt <= exchange_max_rows:
         import ray
 
+        # the high half must stay below 2³¹ — an id in [2³¹, 2³²)
+        # makes ``u << 32`` wrap int64 negative and the kernel's
+        # ``pk >> 32`` sign-extends it back as u − 2³² (ADVICE r3)
         wide = any(
             ray.get(ray.remote(num_cpus=0)(
                 lambda t: bool(t.num_rows) and (
-                    int(pc.max(t["v"]).as_py()) >= (1 << 32)
-                    or int(pc.min(t["u"]).as_py()) < 0)
+                    int(pc.max(t["u"]).as_py()) >= (1 << 31)
+                    or int(pc.max(t["v"]).as_py()) >= (1 << 32)
+                    or int(pc.min(t["u"]).as_py()) < 0
+                    or int(pc.min(t["v"]).as_py()) < 0)
             ).remote(ref))
             for ref in pairs.get_internal_block_refs())
         if not wide:
@@ -354,10 +359,18 @@ def parts_triangle_count(sf_dir: str, num_partitions: int | None = None,
     cand = cand.materialize()
     n_wedges = cand.count()
     from ray.data.aggregate import Max, Min
-    bounds = oriented.aggregate(Min("src", alias_name="lo"),
-                                Max("dst", alias_name="hi"))
-    packable = (bounds["lo"] is not None and bounds["lo"] >= 0
-                and bounds["hi"] < (1 << 32))
+    # BOTH endpoints appear as packed HIGH halves (``a`` in wedge_pk
+    # holds dst values, ``s`` in edge_marker holds src values), so
+    # both must sit in [0, 2³¹) — a high half in [2³¹, 2³²) wraps
+    # ``x << 32`` int64-negative and ``pk >> 32`` sign-extends it;
+    # and degree orientation lets a src-only node exceed max(dst),
+    # so max(src) must be bounded too (ADVICE r3)
+    bounds = oriented.aggregate(
+        Min("src", alias_name="src_lo"), Max("src", alias_name="src_hi"),
+        Min("dst", alias_name="dst_lo"), Max("dst", alias_name="dst_hi"))
+    packable = (bounds["src_lo"] is not None
+                and min(bounds["src_lo"], bounds["dst_lo"]) >= 0
+                and max(bounds["src_hi"], bounds["dst_hi"]) < (1 << 31))
 
     if packable and 0 < n_wedges <= exchange_max_rows:
         from ..stages.exchange import exchange_reduce

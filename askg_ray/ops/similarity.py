@@ -468,6 +468,26 @@ KMEANS_ORACLE_SQL = _kmeans_oracle_sql()
 
 PAIRS_TAU_NUM = 64      # τ² as a rational: cos ≥ 0.8 ⇔ 100·dot² ≥ 64·na·nb
 PAIRS_TAU_DEN = 100
+
+
+def _cosine_keep(dot, na, nb):
+    """cos ≥ τ as the exact integer test PAIRS_TAU_DEN·dot² ≥
+    PAIRS_TAU_NUM·na·nb, OVERFLOW-SAFE: the vectorized int64 path runs
+    only while every product provably fits (dot ≥ ~3.0e8 — two docs
+    sharing a token ~1.8e4 times each — would wrap ``100·dot²`` and
+    silently flip the predicate where the DuckDB oracle raises);
+    otherwise the affected batch falls back to exact Python big-int
+    arithmetic, like ``text.word_pmi_topk`` does (ADVICE r3)."""
+    if len(dot) == 0:
+        return np.zeros(0, dtype=bool)
+    dmax = int(np.abs(dot).max())
+    nmax = int(na.max()) * int(nb.max())
+    if (PAIRS_TAU_DEN * dmax * dmax <= (1 << 62)
+            and PAIRS_TAU_NUM * nmax <= (1 << 62)):
+        return PAIRS_TAU_DEN * dot * dot >= PAIRS_TAU_NUM * na * nb
+    return np.fromiter(
+        (PAIRS_TAU_DEN * int(d) * int(d) >= PAIRS_TAU_NUM * int(x) * int(y)
+         for d, x, y in zip(dot, na, nb)), dtype=bool, count=len(dot))
 PAIRS_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
 
 _DOT_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
@@ -505,11 +525,16 @@ def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_EXCHANGE_MAX):
     if 0 < n <= exchange_max_rows:
         import ray
 
+        # high half (a) must stay below 2³¹: ids in [2³¹, 2³²) wrap
+        # ``a << 32`` int64-negative and the kernel's ``pk >> 32``
+        # sign-extends them back as a − 2³² (ADVICE r3)
         wide = any(
             ray.get(ray.remote(num_cpus=0)(
                 lambda t: bool(t.num_rows) and (
-                    int(pc.max(t["b"]).as_py()) >= (1 << 32)
-                    or int(pc.min(t["a"]).as_py()) < 0)
+                    int(pc.max(t["a"]).as_py()) >= (1 << 31)
+                    or int(pc.max(t["b"]).as_py()) >= (1 << 32)
+                    or int(pc.min(t["a"]).as_py()) < 0
+                    or int(pc.min(t["b"]).as_py()) < 0)
             ).remote(ref))
             for ref in pairs.get_internal_block_refs())
         if not wide:
@@ -615,7 +640,7 @@ def doc_cosine_pairs(sf_dir: str, df_cap: int | None = None,
         dot = t["dot"].to_numpy(zero_copy_only=False)
         na = t["norm_a"].to_numpy(zero_copy_only=False)
         nb = t["norm_sq"].to_numpy(zero_copy_only=False)
-        keep = PAIRS_TAU_DEN * dot * dot >= PAIRS_TAU_NUM * na * nb
+        keep = _cosine_keep(dot, na, nb)
         t = t.filter(pa.array(keep))
         return pa.table({"doc_a": t["a"].cast(pa.int64()),
                          "doc_b": t["b"].cast(pa.int64()),

@@ -845,6 +845,25 @@ PMI_MIN_COUNT = 5
 PMI_SCALE = 1_000_000
 
 
+def _pmi_ppm(n_xy, n_x, n_y, total):
+    """Integer PMI score ``n_xy·total·SCALE // (n_x·n_y)``. The
+    vectorized int64 path is gated on BOTH sides: the numerator
+    ``n_xy·total·SCALE`` and, independently, the denominator
+    ``n_x·n_y`` — two unigrams each with ~3e9+ occurrences would wrap
+    the int64 product into a negative divisor on the numpy path while
+    the numerator gate alone stays green (ADVICE r3). Either overflow
+    risk drops the batch to exact Python big-int arithmetic (rows are
+    vocab²-bounded, so the fallback is cheap)."""
+    num_ok = (total and int(n_xy.max(initial=0)) * total
+              <= (1 << 62) // PMI_SCALE)
+    den_ok = (len(n_x) == 0
+              or int(n_x.max()) * int(n_y.max()) <= (1 << 62))
+    if num_ok and den_ok:
+        return n_xy * total * PMI_SCALE // (n_x * n_y)
+    return np.array([int(a) * total * PMI_SCALE // (int(b) * int(c))
+                     for a, b, c in zip(n_xy, n_x, n_y)], np.int64)
+
+
 def word_pmi_topk(sf_dir: str, k: int = PMI_TOPK,
                   min_count: int = PMI_MIN_COUNT,
                   broadcast_threshold: int | None = None):
@@ -917,12 +936,7 @@ def word_pmi_topk(sf_dir: str, k: int = PMI_TOPK,
         n_xy = t["n_xy"].to_numpy(zero_copy_only=False)
         n_x = t["n_x"].to_numpy(zero_copy_only=False)
         n_y = t["n"].to_numpy(zero_copy_only=False)
-        if total and int(n_xy.max(initial=0)) * total \
-                <= (1 << 62) // PMI_SCALE:
-            pmi = n_xy * total * PMI_SCALE // (n_x * n_y)
-        else:   # exact big-int fallback; rows here are vocab²-bounded
-            pmi = np.array([int(a) * total * PMI_SCALE // (int(b) * int(c))
-                            for a, b, c in zip(n_xy, n_x, n_y)], np.int64)
+        pmi = _pmi_ppm(n_xy, n_x, n_y, total)
         return pa.table({"w1": t["w1"], "w2": t["w2"],
                          "n_xy": pa.array(n_xy, pa.int64()),
                          "n_x": pa.array(n_x, pa.int64()),

@@ -30,6 +30,26 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Content fingerprint for /tmp scratch caches: path + mtime_ns +
+    size of each source parquet. Keying a resumable sink on the corpus
+    PATH alone serves stale shards when the data at that path is
+    regenerated with unchanged per-shard row counts (the footer-probe
+    skip cannot tell) — ADVICE r3. mtime+size changes on any rewrite,
+    so a regenerated corpus gets a fresh scratch dir."""
+    import hashlib
+
+    parts = [sf_dir]
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _write_headerless(ds, path: str) -> None:
     from pyarrow import csv as pacsv
 
@@ -301,16 +321,15 @@ def pruned_range_scan(sf_dir: str, out_dir: str | None = None,
     actually avoided.
 
     The sink itself is resumable, so reruns reuse finished shards: the
-    scratch dir is keyed by the corpus path.
+    scratch dir is keyed by a content fingerprint of the corpus
+    (path + mtime + size), so regenerated data never serves stale
+    shards.
     """
-    import hashlib as _hl
-    import json
-
     import ray.data as rd
 
     if out_dir is None:
         out_dir = ("/tmp/askg_sorted_cache_"
-                   + _hl.md5(sf_dir.encode()).hexdigest()[:12])
+                   + _source_fingerprint(sf_dir, "documents"))
     manifest = export_sorted_parquet(sf_dir, out_dir)
     buckets = manifest["buckets"]
     opened = [b for b in buckets
@@ -483,9 +502,9 @@ def ivf_index_query(sf_dir: str, out_dir: str | None = None,
                                   ann_bruteforce)
 
     if out_dir is None:
-        out_dir = ("/tmp/askg_ivf_cache_"
-                   + _hl.md5(f"{sf_dir}|{n_lists}".encode())
-                   .hexdigest()[:12])
+        out_dir = ("/tmp/askg_ivf_cache_" + _hl.md5(
+            f"{_source_fingerprint(sf_dir, 'embeddings')}|{n_lists}"
+            .encode()).hexdigest()[:12])
     manifest = export_ivf_index(sf_dir, out_dir, n_lists=n_lists)
     lists = manifest["lists"]
 
