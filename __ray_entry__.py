@@ -275,7 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def fingerprints_sql_cols(sf_dir):
         return text.fingerprints(sf_dir).select_columns(["doc_id", "fp"])
 
-    return {
+    q = {
         # -- relational (SQL-checked) --------------------------------------
         "doc_count_by_source": relational.doc_count_by_source,
         "doc_lang_hist": relational.doc_lang_hist,
@@ -464,6 +464,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_semantic_search": _kg_semantic_search,
         "repo_links": _repo_links,
     }
+    # Driver-window rotation (round 4): the driver's correctness run
+    # samples the FIRST 50 entries, and rounds 1-3 always validated the
+    # relational/text/curation head — lead instead with the SQL-checked
+    # families the driver has never hash-checked (graph, dedup,
+    # similarity, stats, windows, funnel, export). Pure dict reorder:
+    # names, callables and oracle keys are unchanged.
+    out = {k: q[k] for k in _R4_WINDOW if k in q}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
+
+
+# the 50 least-driver-validated SQL-checked queries lead the dict
+_R4_WINDOW = [
+    "customer_supplier_degree", "supplier_pagerank_int",
+    "parts_triangle_count", "parts_components", "parts_kcore",
+    "parts_bfs_hops", "parts_sssp", "parts_coorder_topk",
+    "parts_coorder_triples", "parts_skyline",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding",
+    "ann_cosine_top10", "embedding_centroids", "embedding_kmeans",
+    "embedding_knn", "doc_cosine_pairs",
+    "export_sorted_stats", "pruned_range_scan",
+    "word_pmi_topk", "doc_word_bigrams", "token_fuzzy_pairs",
+    "token_doc_freq", "doc_bigram_novelty", "doc_lm_score",
+    "events_value_gini", "events_value_mad", "events_decayed_score",
+    "events_user_hll", "events_user_simpson", "events_type_hll",
+    "token_cms_topk", "events_props_stats",
+    "events_lead_lag", "events_sliding_count", "events_type_pivot",
+    "events_rollup", "events_cube", "events_gap_fill",
+    "events_range_join", "events_moving_avg", "events_markov",
+    "events_longest_streak",
+    "events_funnel", "events_cohort_retention", "events_rfm",
+    "documents_snapshot_diff",
+]
 
 
 # Exact word-3-shingle Jaccard >= 0.5 connected-component closure —
