@@ -64,6 +64,87 @@ class FailingClient:
         raise RuntimeError("LLM unavailable (offline container)")
 
 
+class StubHeavyClient:
+    """Stubbed-but-HEAVY batched scoring client: ``__init__`` stands in
+    for an expensive model load (builds a deterministic token-weight
+    table the way a real client loads weights / opens a session —
+    the build-once shape of /root/reference/src/text2cypher.py:28-92,
+    where the OpenAI client is constructed once and reused), and
+    ``score_batch`` serves a WHOLE batch per call (batched inference,
+    never per-row). Deterministic, so the rerank is test/oracle-able
+    offline; a real deployment injects a factory returning an object
+    with the same two-method surface."""
+
+    model = "stub-batched"
+
+    def __init__(self):
+        import zlib
+
+        # "model weights": stable per-token weights from crc32 — stands
+        # in for the heavy artifact a real client would load once
+        self._weight = lambda w: (zlib.crc32(w.encode()) % 1000) / 1000.0
+
+    def score_batch(self, query: str, texts: list[str]) -> list[float]:
+        q = {w for w in query.lower().split() if w}
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            overlap = [w for w in toks if w in q]
+            out.append(round(sum(self._weight(w) for w in overlap)
+                             + 0.1 * len(overlap), 6))
+        return out
+
+
+class BatchedClientScorer:
+    """T3 actor-pool stage: the client object is built ONCE per actor
+    in ``__init__`` from the injectable factory; ``__call__`` scores
+    one Arrow batch with ONE batched client invocation. Pass the CLASS
+    to ``map_batches(..., concurrency=N)`` so Ray constructs it once
+    per pool actor — the client-once pattern of the reference's
+    text2cypher client (text2cypher.py:28-92)."""
+
+    def __init__(self, client_factory: Callable[[], object], query: str,
+                 min_confidence: float = 0.0):
+        self.client = client_factory()          # heavy load: once per actor
+        self.query = query
+        self.min_confidence = float(min_confidence)
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        texts = [f"{n or ''} {d or ''}"
+                 for n, d in zip(t["name"].to_pylist(),
+                                 t["description"].to_pylist())]
+        scores = self.client.score_batch(self.query, texts)
+        out = t.append_column(
+            "total_score", pa.array([float(s) for s in scores],
+                                    pa.float64()))
+        return out.filter(pc.greater_equal(out["total_score"],
+                                           self.min_confidence))
+
+
+def llm_rerank(nodes, prompt: str,
+               client_factory: Callable[[], object] | None = None,
+               limit: int = 10, min_confidence: float = 0.0,
+               concurrency: int = 2, batch_size: int = 256):
+    """Batched LLM-style scoring over the nodes Dataset as an ACTOR
+    POOL (client built per actor, batches served per call), then the
+    usual top-k. The factory defaults to the offline StubHeavyClient;
+    a real deployment injects one returning its API client."""
+    factory = client_factory if client_factory is not None \
+        else StubHeavyClient
+    scored = nodes.map_batches(
+        BatchedClientScorer, batch_format="pyarrow",
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs={"client_factory": factory,
+                               "query": prompt,
+                               "min_confidence": min_confidence})
+    return (scored.select_columns(["id", "name", "total_score"])
+            .sort(["total_score", "id"], descending=[True, False])
+            .limit(limit))
+
+
 class Text2Query:
     """convert_to_cypher analog with an injectable client."""
 
@@ -115,9 +196,17 @@ def run_plan(nodes, plan: dict):
 
 def semantic_search(nodes, prompt: str, limit: int = 10,
                     min_confidence: float = 0.0,
-                    converter: Text2Query | None = None):
+                    converter: Text2Query | None = None,
+                    scorer_factory: Callable[[], object] | None = None):
     """mcp/server.py:367-420 — converter plan, probe-run, empty →
-    fallback keyword plan; no converter → structured scorer."""
+    fallback keyword plan; no converter → structured scorer.
+    ``scorer_factory`` is the batched-model hook: when injected, the
+    query routes through the ``llm_rerank`` actor pool (client built
+    once per actor, whole batches scored per call) instead of the
+    keyword scorers — the T3 shape a real LLM deployment uses."""
+    if scorer_factory is not None:
+        return llm_rerank(nodes, prompt, scorer_factory, limit=limit,
+                          min_confidence=min_confidence)
     if converter is not None and converter.client is not None:
         plan = converter.convert(prompt, limit, min_confidence)
         result = run_plan(nodes, plan)

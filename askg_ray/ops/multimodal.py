@@ -60,15 +60,46 @@ class MediaFeaturizer:
 
     def __init__(self, fake: bool = True):
         self.fake = fake
+        self._pil = None
+        if not fake:
+            # decoder import happens ONCE per actor, here — where a
+            # real deployment loads its model/codec. The container has
+            # no PIL, so fake=False raises at actor build (loudly, not
+            # mid-stream); where PIL exists the image path is real and
+            # the audio path decodes raw int16 PCM with numpy.
+            try:
+                from PIL import Image
+                self._pil = Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "media decode requires PIL (not in container); "
+                    "run with fake=True for the deterministic "
+                    "stand-in") from e
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if not self.fake:
-            raise NotImplementedError(
-                "media decode requires PIL/torchaudio (not in container); "
-                "run with fake=True for the deterministic stand-in")
+            return self._decode_real(payload, kind)
         h = hashlib.sha256(payload).digest()
         return (np.frombuffer(h[:8], dtype=np.uint8).astype(np.float32)
                 / 255.0)
+
+    def _decode_real(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image":
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L") \
+                .resize((8, 1))
+            px = np.frombuffer(img.tobytes(), dtype=np.uint8)[:8]
+            return px.astype(np.float32) / 255.0
+        # audio: raw int16 PCM → 8-band RMS energies (numpy only)
+        n = len(payload) - (len(payload) % 2)
+        pcm = np.frombuffer(payload[:n], dtype=np.int16).astype(np.float32)
+        if pcm.size == 0:
+            return np.zeros(8, dtype=np.float32)
+        pad = (-pcm.size) % 8
+        pcm = np.pad(pcm, (0, pad))
+        bands = pcm.reshape(8, -1)
+        return np.sqrt((bands * bands).mean(axis=1)) / 32768.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, nbytes, fps = [], [], []
@@ -149,20 +180,39 @@ class MediaResizer:
     def __init__(self, fake: bool = True, box: int = RESIZE_BOX):
         self.fake = fake
         self.box = box
+        self._pil = None
+        if not fake:
+            try:
+                from PIL import Image     # once per actor (see featurizer)
+                self._pil = Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "resize requires PIL (not in container); run with "
+                    "fake=True for the deterministic stand-in") from e
+
+    def _resize_fp(self, payload: bytes, ow: int, oh: int) -> str:
+        """Real kernel where PIL exists: decode, aspect-fit resize,
+        fingerprint the resized raw bytes."""
+        import io
+
+        img = self._pil.open(io.BytesIO(payload)).convert("L") \
+            .resize((ow, oh))
+        return hashlib.sha256(img.tobytes()).hexdigest()[:16]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "resize requires PIL/ffmpeg (not in container); "
-                "run with fake=True for the deterministic stand-in")
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = np.maximum(w, h)
         ow = np.maximum(1, w * self.box // m)
         oh = np.maximum(1, h * self.box // m)
-        fps = [hashlib.sha256(p + f"|{a}x{b}".encode()).hexdigest()[:16]
-               for p, a, b in zip(batch["payload"].to_pylist(),
-                                  ow.tolist(), oh.tolist())]
+        if self.fake:
+            fps = [hashlib.sha256(p + f"|{a}x{b}".encode()).hexdigest()[:16]
+                   for p, a, b in zip(batch["payload"].to_pylist(),
+                                      ow.tolist(), oh.tolist())]
+        else:
+            fps = [self._resize_fp(p, int(a), int(b))
+                   for p, a, b in zip(batch["payload"].to_pylist(),
+                                      ow.tolist(), oh.tolist())]
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],

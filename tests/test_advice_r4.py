@@ -296,3 +296,85 @@ def test_link_mentions_dataset_input_no_driver_concat(ray_session):
                                          concurrency=1))
     assert via_tbl == via_ds
     assert len(via_tbl) == 2
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode: real path where PIL exists, loud raise where not
+
+
+class _StubImage:
+    """Minimal PIL.Image stand-in: 'decodes' a payload of raw bytes,
+    convert/resize crop-or-pad to the target pixel count."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+
+    def convert(self, mode):
+        return self
+
+    def resize(self, wh):
+        w, h = wh
+        need = w * h
+        buf = (self.data * (need // max(len(self.data), 1) + 1))[:need]
+        return _StubImage(buf)
+
+    def tobytes(self):
+        return self.data
+
+
+def _install_stub_pil(monkeypatch):
+    import sys
+    import types
+
+    mod = types.ModuleType("PIL")
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda fh: _StubImage(fh.read())
+    mod.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+
+
+def test_media_decode_lib_absent_raises_at_init():
+    """No PIL in this container: fake=False must fail at ACTOR BUILD
+    (once, loudly), not mid-stream."""
+    import pytest as _pytest
+
+    from askg_ray.ops import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm.MediaFeaturizer(fake=False)
+    with _pytest.raises(NotImplementedError):
+        mm.MediaResizer(fake=False)
+
+
+def test_media_decode_lib_present_real_path(monkeypatch):
+    """With (a stub) PIL importable, fake=False decodes for real:
+    image features come from decoded pixels, audio features from raw
+    int16 PCM band energies, resize fingerprints from resized bytes."""
+    import numpy as np
+
+    from askg_ray.ops import multimodal as mm
+
+    _install_stub_pil(monkeypatch)
+    media = mm.synth_media_table(8)
+
+    feats = mm.MediaFeaturizer(fake=False)(media)
+    assert feats.num_rows == 8
+    mat = np.array(feats["feature"].to_pylist(), dtype=np.float32)
+    assert mat.shape == (8, 8)
+    assert np.isfinite(mat).all() and (mat >= 0).all() and (mat <= 1).all()
+    # image rows (even media_id) differ from the fake sha-based path
+    fake = mm.MediaFeaturizer(fake=True)(media)
+    fm = np.array(fake["feature"].to_pylist(), dtype=np.float32)
+    assert not np.allclose(mat, fm)
+
+    res = mm.MediaResizer(fake=False)(media)
+    assert res.num_rows == 8
+    assert all(len(fp) == 16 for fp in res["resized_fp16"].to_pylist())
+    # deterministic: same inputs, same fingerprints
+    res2 = mm.MediaResizer(fake=False)(media)
+    assert res["resized_fp16"].to_pylist() == res2["resized_fp16"].to_pylist()
+    # and different from the fake-path fingerprints
+    fres = mm.MediaResizer(fake=True)(media)
+    assert (res["resized_fp16"].to_pylist()
+            != fres["resized_fp16"].to_pylist())

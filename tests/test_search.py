@@ -146,3 +146,66 @@ def test_text2query_llm_path_and_fallbacks(ray_session):
     # 5. run_plan executes both plan kinds
     assert run_plan(nodes, {"kind": "keyword", "query": "postgres",
                             "limit": 3, "min_confidence": 0.0}).count() == 1
+
+
+def test_batched_client_scorer_actor_pool(ray_session, tmp_path):
+    """T3 shape: the scoring client is built ONCE PER ACTOR (not per
+    batch) and serves whole batches — verified by marker files the
+    factory/client write on build and on each batched call."""
+    import glob
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from askg_ray.functions.text2query import (StubHeavyClient,
+                                               llm_rerank, semantic_search)
+
+    marker_dir = str(tmp_path)
+
+    class TrackedClient(StubHeavyClient):
+        def __init__(self):
+            super().__init__()
+            self._tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            open(f"{marker_dir}/build-{self._tag}", "w").close()
+
+        def score_batch(self, query, texts):
+            open(f"{marker_dir}/call-{self._tag}-{uuid.uuid4().hex[:8]}",
+                 "w").close()
+            return super().score_batch(query, texts)
+
+    n = 64
+    nodes = rd.from_arrow(pa.table({
+        "id": [f"s{i:03d}" for i in range(n)],
+        "name": [f"server{i} database" for i in range(n)],
+        "description": ["fast database tools" if i % 2 else "misc"
+                        for i in range(n)],
+    })).repartition(8)
+
+    out = llm_rerank(nodes, "database tools", TrackedClient,
+                     limit=10, concurrency=2, batch_size=8)
+    rows = out.take_all()
+    assert len(rows) == 10
+    # deterministic stub scoring: overlap-weighted, desc by score
+    scores = [r["total_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+    builds = glob.glob(f"{marker_dir}/build-*")
+    calls = glob.glob(f"{marker_dir}/call-*")
+    # one client build per pool actor — never per batch
+    assert len(builds) == 2
+    # many batches served through those two clients
+    assert len(calls) >= 8
+    served_tags = {os.path.basename(c).split("-")[1] + "-"
+                   + os.path.basename(c).split("-")[2] for c in calls}
+    built_tags = {os.path.basename(b)[len("build-"):] for b in builds}
+    assert served_tags == built_tags
+
+    # the semantic_search hook routes through the same pool
+    for f in glob.glob(f"{marker_dir}/*"):
+        os.remove(f)
+    got = semantic_search(nodes, "database tools",
+                          scorer_factory=TrackedClient, limit=5)
+    assert len(got.take_all()) == 5
+    assert len(glob.glob(f"{marker_dir}/build-*")) == 2
