@@ -18,7 +18,6 @@ import time
 
 from ..state.manifest import (
     fingerprint,
-    input_fingerprint,
     load_stage,
     stage_current,
     write_stage,
@@ -27,11 +26,120 @@ from ..state.manifest import (
 # bump a stage's version when its semantics change — invalidates its
 # checkpoint and everything downstream (fingerprints chain).
 STAGE_VERSIONS = {
-    "entities": "v2",  # v2: + tools capability structs, raw_metadata_json
+    "entities": "v3",  # v3: partition-grain incremental re-extraction
     "nodes": "v2",
     "edges": "v3",  # v3: dict-encoded src/dst/desc/evidence, hash ids
     "membership": "v1",
 }
+
+# extraction re-runs at this hash-partition grain on a changed corpus
+# (doc_id % INCR_PARTITIONS); at 100 TB the grain maps to input shards
+INCR_PARTITIONS = 16
+
+
+def _partition_fingerprints(sf_dir: str, n_parts: int) -> dict[int, str]:
+    """Order-insensitive content fingerprint PER doc_id-hash partition,
+    computed distributedly: each batch folds (doc_id, lang, text) into
+    per-partition (count, id-sum, content-hash-sum) partials, one tiny
+    groupby sums them — the snapshot-diff primitive
+    (ops/joins.documents_snapshot_diff) at partition grain, so a rerun
+    knows WHICH partitions changed without reading the old corpus."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import parquet_num_rows
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return {}
+
+    MOD = (1 << 61) - 1
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = ids % n_parts
+        h = np.array([int.from_bytes(hashlib.md5(
+            f"{i}|{lg or ''}|{tx or ''}".encode()).digest()[:7], "big")
+            for i, lg, tx in zip(ids.tolist(), t["lang"].to_pylist(),
+                                 t["text"].to_pylist())], dtype=np.int64)
+        out_p, out_n, out_is, out_hs = [], [], [], []
+        for p in np.unique(parts):
+            m = parts == p
+            out_p.append(int(p))
+            out_n.append(int(m.sum()))
+            out_is.append(int(ids[m].sum() % MOD))
+            out_hs.append(int(h[m].sum() % MOD))
+        return pa.table({"part": pa.array(out_p, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "id_sum": pa.array(out_is, pa.int64()),
+                         "h_sum": pa.array(out_hs, pa.int64())})
+
+    agg = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+           .map_batches(partials, batch_format="pyarrow")
+           .groupby("part").aggregate(Sum("n", alias_name="n"),
+                                      Sum("id_sum", alias_name="id_sum"),
+                                      Sum("h_sum", alias_name="h_sum")))
+    out = {}
+    for r in agg.take_all():
+        out[int(r["part"])] = fingerprint(
+            str(r["n"]), str(int(r["id_sum"]) % MOD),
+            str(int(r["h_sum"]) % MOD), str(n_parts))
+    return out
+
+
+def incremental_entities(sf_dir: str, ckpt_dir: str,
+                         n_partitions: int = INCR_PARTITIONS,
+                         force: bool = False):
+    """Partition-grain incremental extraction (reference S7 semantics,
+    /root/reference/src/master_data.py:29-91, at partition grain): the
+    corpus hash-partitions by doc_id; each partition's entity output is
+    its own checkpointed stage keyed by that partition's CONTENT
+    fingerprint, so a changed corpus re-extracts only the partitions
+    the snapshot diff flags — untouched partitions load from Parquet.
+
+    Returns (entities Dataset, chained fingerprint, per-partition log).
+    """
+    from ..pipelines.kg import extract_entities
+    from ..sources.docs_adapter import pages_from_documents
+
+    version = STAGE_VERSIONS["entities"]
+    fps = _partition_fingerprints(sf_dir, n_partitions)
+    plog = []
+    parts_ds = []
+    for k in range(n_partitions):
+        fp = fps.get(k)
+        if fp is None:          # no docs hash here: nothing to extract
+            plog.append({"part": k, "empty": True})
+            continue
+        pdir = os.path.join(ckpt_dir, "entities", f"part-{k:04d}")
+        if not force and stage_current(pdir, fp, version):
+            plog.append({"part": k, "skipped": True})
+            parts_ds.append(load_stage(pdir))
+            continue
+        t0 = time.time()
+        ds = extract_entities(pages_from_documents(
+            sf_dir, partition=(k, n_partitions)))
+        ds = write_stage(ds, pdir, fp, version,
+                         metrics={"build_wall_s": round(time.time() - t0, 3)})
+        plog.append({"part": k, "skipped": False,
+                     "wall_s": round(time.time() - t0, 3)})
+        parts_ds.append(ds)
+
+    combined_fp = fingerprint(version, str(n_partitions),
+                              *[fps.get(k, "-") for k in range(n_partitions)])
+    if not parts_ds:
+        # empty corpus: run the extraction once over the (empty) input
+        # so the empty-table schema matches the from-scratch build
+        return (extract_entities(pages_from_documents(sf_dir)),
+                combined_fp, plog)
+    ents = parts_ds[0]
+    for p in parts_ds[1:]:
+        ents = ents.union(p)
+    return ents, combined_fp, plog
 
 
 def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
@@ -40,11 +148,9 @@ def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
     from ..stages.dedup_near import near_dedup
     from ..stages.edges import infer_edges
     from ..stages.ids import assign_global_ids
-    from ..pipelines.kg import extract_entities, membership_table
-    from ..sources.docs_adapter import pages_from_documents
+    from ..pipelines.kg import membership_table
 
     os.makedirs(ckpt_dir, exist_ok=True)
-    in_fp = input_fingerprint(f"{sf_dir}/documents.parquet")
     log: list[dict] = []
     out: dict = {"_log": log}
 
@@ -62,10 +168,18 @@ def run_checkpointed(sf_dir: str, ckpt_dir: str, force: bool = False) -> dict:
                     "wall_s": round(time.time() - t0, 3)})
         return ds, fp
 
-    def build_entities():
-        return extract_entities(pages_from_documents(sf_dir))
-
-    ents, fp1 = stage("entities", in_fp, build_entities)
+    # extraction is INCREMENTAL at partition grain: only partitions the
+    # content-fingerprint diff flags re-extract; the rest load from
+    # their per-partition checkpoints. Downstream stages chain off the
+    # combined fingerprint (dedup/ids are global by semantics, so they
+    # rebuild whenever ANY partition changed — and skip entirely when
+    # none did).
+    ents, fp1, plog = incremental_entities(sf_dir, ckpt_dir, force=force)
+    n_ran = sum(1 for p in plog if p.get("skipped") is False)
+    log.append({"stage": "entities",
+                "skipped": n_ran == 0,
+                "partitions_ran": n_ran,
+                "partitions": plog})
 
     def build_nodes():
         # same single-pass near-dedup path as pipelines/kg.canonical_nodes:

@@ -147,7 +147,8 @@ def docs_to_pages_batch(batch: pa.Table, replication: int = 1,
 
 
 def pages_from_documents(sf_dir: str, replication: int = 1,
-                         uniq_mult: int = 1):
+                         uniq_mult: int = 1,
+                         partition: tuple[int, int] | None = None):
     """Ray Dataset of pages rendered from {sf_dir}/documents.parquet.
 
     The render (and the downstream HTML extraction) is CPU-bound per
@@ -156,7 +157,11 @@ def pages_from_documents(sf_dir: str, replication: int = 1,
 
     ``replication`` > 1 emits that many appearance pages per document
     (duplicates the pipeline must collapse) — the bench knob that makes
-    the corpus compute-dominated instead of scheduling-floor-bound."""
+    the corpus compute-dominated instead of scheduling-floor-bound.
+
+    ``partition=(k, n)`` keeps only docs with ``doc_id % n == k`` —
+    the hash-partition grain the incremental runner re-extracts at
+    (pipelines/runner.incremental_entities)."""
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -173,6 +178,12 @@ def pages_from_documents(sf_dir: str, replication: int = 1,
     # many read tasks); this path only renders pages FROM the id table.
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
+    if partition is not None:
+        import numpy as np
+
+        k, n = partition
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        docs = docs.filter(pa.array(ids % n == k))
     if docs.num_rows == 0:
         return rd.from_arrow(PAGES_SCHEMA.empty_table())
     nchunks = min(default_nblocks() * 2, max(1, docs.num_rows))

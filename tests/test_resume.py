@@ -242,3 +242,61 @@ def test_ivf_index_sink_resume_and_pruned_query(ray_session, tmp_path):
                            n_probe=IVF_EXPORT_LISTS).to_pylist()[0]
     assert full["recall_pct"] == 100
     assert full["rows_scanned"] == got["n_rows_total"]
+
+
+def test_incremental_partition_rebuild(ray_session, tmp_path):
+    """Changed-corpus rerun re-extracts ONLY the partitions the
+    content diff flags; untouched partitions load from checkpoint and
+    the final output equals a from-scratch build (VERDICT r3 #8)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from askg_ray.pipelines.runner import (INCR_PARTITIONS,
+                                           run_checkpointed)
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(src, f"{corpus}/documents.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    out1 = run_checkpointed(corpus, ckpt)
+    ents_log = next(s for s in out1["_log"] if s["stage"] == "entities")
+    assert not ents_log["skipped"]
+    assert ents_log["partitions_ran"] == INCR_PARTITIONS
+
+    # unchanged rerun: zero partitions re-extract, all stages skip
+    out2 = run_checkpointed(corpus, ckpt)
+    log2 = next(s for s in out2["_log"] if s["stage"] == "entities")
+    assert log2["skipped"] and log2["partitions_ran"] == 0
+
+    # mutate ONE partition: change the lang of a single doc (the render
+    # input), keeping ids/rows identical
+    ids = src["doc_id"].to_pylist()
+    langs = src["lang"].to_pylist()
+    victim = next(i for i, d in enumerate(ids)
+                  if d % INCR_PARTITIONS == 3)
+    langs[victim] = "zz"
+    mutated = src.set_column(src.schema.get_field_index("lang"), "lang",
+                             pa.array(langs, src["lang"].type))
+    pq.write_table(mutated, f"{corpus}/documents.parquet")
+
+    out3 = run_checkpointed(corpus, ckpt)
+    log3 = next(s for s in out3["_log"] if s["stage"] == "entities")
+    assert log3["partitions_ran"] == 1
+    ran = [p["part"] for p in log3["partitions"]
+           if p.get("skipped") is False]
+    assert ran == [3]
+    # downstream stages rebuilt (global dedup chains off the combined fp)
+    assert not next(s for s in out3["_log"]
+                    if s["stage"] == "nodes")["skipped"]
+
+    # incremental output == from-scratch build on the mutated corpus
+    scratch = str(tmp_path / "ckpt_scratch")
+    out4 = run_checkpointed(corpus, scratch)
+    assert _edge_set(out3["edges"]) == _edge_set(out4["edges"])
+    n3 = sorted(r["id"] for r in out3["nodes"].select_columns(["id"])
+                .take_all())
+    n4 = sorted(r["id"] for r in out4["nodes"].select_columns(["id"])
+                .take_all())
+    assert n3 == n4
