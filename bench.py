@@ -179,8 +179,12 @@ def run_bench() -> dict:
 
 
 def run_scaling():
-    """N-vs-4N-cpu scaling on the headline KG pipeline — BOTH pairs
-    (2v8 and 8v32) by default, each width run once and shared.
+    """N-vs-4N-cpu scaling on the headline KG pipeline — THREE pairs
+    (2v8, 4v16, 8v32) by default, each width run once and shared.
+    4v16 is the second uncontended pair (round-4 addition): both
+    widths stay below this host's SMT/memory-bus saturation point, so
+    together with 2v8 it evidences the N-vs-4N-node criterion without
+    the one-box contention the 8v32 raw number folds in.
 
     Corpus: GRAFT_SCALING_REPL×GRAFT_SCALING_MULT (default 32×1) — the
     verify/extract-CPU-dominated shape. Interpretation: 2v8 keeps both
@@ -220,7 +224,8 @@ def run_scaling():
                   int(os.environ.get("GRAFT_SCALING_HI", "8")))]
     else:
         pairs = [tuple(int(x) for x in p.split(":")) for p in
-                 os.environ.get("GRAFT_SCALING_PAIRS", "2:8,8:32").split(",")]
+                 os.environ.get("GRAFT_SCALING_PAIRS",
+                                "2:8,4:16,8:32").split(",")]
 
     widths = sorted({w for p in pairs for w in p})
     runs = {w: run(w) for w in widths}
