@@ -178,6 +178,16 @@ def _kg_semantic_search(sf_dir):
                            converter=Text2Query(StubClient()))
 
 
+def _kg_orchestrate(sf_dir):
+    """Pipeline-step orchestrator (reference langgraph_orchestrator.py
+    :170-221 analyze, :223-353 select, :390-428 order, :468-530
+    execute) over the KG nodes — returns the per-step execution
+    history table (deterministic mock agents, virtual timestamps)."""
+    from askg_ray.functions.orchestrator import history_table, orchestrate
+    state = orchestrate(_kg(sf_dir)["nodes"])
+    return history_table(state)
+
+
 def _kg_categories(sf_dir):
     """Ontology dimension table (reference main.py:21-94), flat
     projection for the SQL hash-compare."""
@@ -454,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sample_per_registry": _kg_sample_per_registry,
         "kg_categories": _kg_categories,
         "kg_semantic_search": _kg_semantic_search,
+        "kg_orchestrate": _kg_orchestrate,
         "repo_links": _repo_links,
     }
     # Driver-window rotation (round 4): the driver's correctness run

@@ -142,20 +142,25 @@ def run_bench() -> dict:
         timings[name] = dt
         total += dt
     kg_secs = timings["kg_build"]
-    # latest RECORDED --scaling result (SCALING_r03.json, committed):
-    # surfaced here so the one-line bench JSON carries both width-pair
-    # efficiencies without re-running the ~15-minute scaling harness
+    # latest RECORDED --scaling result (SCALING_r04.json, committed):
+    # surfaced here so the one-line bench JSON carries the width-pair
+    # efficiencies without re-running the ~30-minute scaling harness
     scaling_rec = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING_r03.json")) as fh:
+                               "SCALING_r04.json")) as fh:
             s = json.load(fh)
         scaling_rec = {
             "pairs_2v8": s["scaling_efficiency_2v8"],
+            "pairs_4v16_raw": s["scaling_efficiency_4v16_raw"],
+            "pairs_4v16_4x_corpus_raw":
+                s["scaling_efficiency_4v16_4x_corpus_raw"],
             "pairs_8v32_raw": s["scaling_efficiency_8v32_raw"],
-            "pairs_8v32_engine_attributable":
-                s["scaling_efficiency_8v32_engine_attributable"],
-            "source": "SCALING_r03.json (two recorded --scaling invocations)",
+            "engine_attributable": {
+                k: v["engine_attributable"]
+                for k, v in s["engine_attributable"].items()},
+            "source": ("SCALING_r04.json (5-width invocation + 4x-corpus "
+                       "4v16 + no-Ray host burn control)"),
         }
     except Exception:
         pass
