@@ -429,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_dedup,
         "dedup_simhash": dedup.simhash_dedup,
         "dedup_embedding": dedup.embedding_dedup,
+        "dedup_incremental": dedup.dedup_incremental,
+        "events_watermark_windows": windows.events_watermark_windows,
         # -- similarity search ---------------------------------------------
         "ann_cosine_top10": similarity.ann_bruteforce,
         "ann_lsh_top10": similarity.ann_lsh,
@@ -528,6 +530,34 @@ _NGRAM_CLOSURE_SQL = (
     "FROM documents d LEFT JOIN lab l ON d.doc_id = l.node")
 
 
+_INCR_DEDUP_ORACLE_SQL = """
+WITH v1 AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+idx AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+               min(doc_id) AS rep
+        FROM v1 GROUP BY 1),
+delta AS (
+  SELECT doc_id, text || ' v2' AS text FROM v1
+  WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM v1 WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM v1 WHERE doc_id % 17 = 0),
+df AS (SELECT doc_id,
+              ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp FROM delta),
+g AS (SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS min_in FROM df)
+SELECT g.doc_id,
+       CASE WHEN i.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN g.doc_id = g.min_in THEN 'kept'
+            ELSE 'dup_in_delta' END AS status,
+       CAST(CASE WHEN i.fp IS NOT NULL THEN i.rep
+                 WHEN g.doc_id = g.min_in THEN g.doc_id
+                 ELSE g.min_in END AS BIGINT) AS rep_doc_id
+FROM g LEFT JOIN idx i ON g.fp = i.fp
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
     from askg_ray.ops.curation import (MIXED_SAMPLE_ORACLE_SQL,
@@ -623,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
         RANK_FAMILY_ORACLE_SQL,
         SESSION_TABLE_ORACLE_SQL,
         SHARE_ORACLE_SQL, STREAK_ORACLE_SQL, TYPE_RUNS_ORACLE_SQL,
-        WINDOW_DISTINCT_ORACLE_SQL)
+        WATERMARK_ORACLE_SQL, WINDOW_DISTINCT_ORACLE_SQL)
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
@@ -863,6 +893,11 @@ def oracle_sql() -> dict[str, str]:
         # would flag here first, which is the point of the check.
         "dedup_minhash": _NGRAM_CLOSURE_SQL,
         "dedup_ngram_jaccard": _NGRAM_CLOSURE_SQL,
+        "events_watermark_windows": WATERMARK_ORACLE_SQL,
+        # Delta-vs-historical-index dedup: the oracle replays the
+        # deterministic delta derivation (changed %7 / added %13 /
+        # re-crawl copies %17) and the fp join + first-wins rules.
+        "dedup_incremental": _INCR_DEDUP_ORACLE_SQL,
         # Exact hamming-≤3 closure over md5-token SimHash sketches —
         # the banding is pigeonhole-lossless at this radius, so this is
         # a full-pipeline hash check (see ops/dedup.SIMHASH_ORACLE_SQL).

@@ -482,3 +482,115 @@ def embedding_dedup(sf_dir: str, broadcast_threshold=None):
         lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
     return _sketch_dedup(sk, _embed_explode, ["vec"],
                          _verify_cosine_batch, ids, broadcast_threshold)
+
+
+# ---- incremental snapshot-aware dedup ------------------------------------
+
+INCR_COPY_MOD = 17        # doc_id % 17 == 0 → a re-crawl copy lands in Δ
+INCR_COPY_BASE = 2_000_000
+INCR_EXCHANGE_MAX = 5_000_000
+
+INCR_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("status", pa.string()),
+                         ("rep_doc_id", pa.int64())])
+
+
+def _incr_rows(t: pa.Table) -> pa.Table:
+    """One pass over v1 emits the historical-index markers AND the
+    derived incoming delta (the documents_snapshot_diff derivation,
+    plus re-crawl copies ``% 17`` so the dup-of-corpus branch has work
+    on any corpus): (fp, kind 0=index marker / 1=incoming, ref)."""
+    from .joins import (DIFF_ADD_BASE, DIFF_ADD_MOD, DIFF_DROP_MOD,
+                        DIFF_MUT_MOD, _diff_fp)
+
+    fps, kinds, refs = [], [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+        text = text or ""
+        fps.append(_diff_fp(text))
+        kinds.append(0)
+        refs.append(doc_id)
+        if doc_id % DIFF_DROP_MOD != 0 and doc_id % DIFF_MUT_MOD == 0:
+            fps.append(_diff_fp(text + " v2"))       # changed content
+            kinds.append(1)
+            refs.append(doc_id)
+        if doc_id % DIFF_ADD_MOD == 0:               # brand-new doc
+            fps.append(_diff_fp(f"new doc {doc_id}"))
+            kinds.append(1)
+            refs.append(DIFF_ADD_BASE + doc_id)
+        if doc_id % INCR_COPY_MOD == 0:              # re-crawl copy
+            fps.append(_diff_fp(text))
+            kinds.append(1)
+            refs.append(INCR_COPY_BASE + doc_id)
+    return pa.table({"fp": pa.array(fps, pa.int64()),
+                     "kind": pa.array(kinds, pa.int64()),
+                     "ref": pa.array(refs, pa.int64())})
+
+
+def _incr_decode_kernel(t: pa.Table) -> pa.Table:
+    """Vectorized per-fp-run decode: incoming rows whose fp carries an
+    index marker → dup_of_corpus (rep = min v1 id); first incoming id
+    of a marker-less fp → kept; later ones → dup_in_delta."""
+    fp = t["fp"].to_numpy(zero_copy_only=False)
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    ref = t["ref"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ref, kind, fp))
+    fp, kind, ref = fp[order], kind[order], ref[order]
+    starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+    run_of = np.cumsum(np.r_[False, fp[1:] != fp[:-1]])
+    # first row per run is the minimum (kind, ref) — a v1 marker if one
+    # exists (kind 0 sorts first), else the smallest incoming id.
+    # These are RUN-indexed arrays (len == number of runs).
+    first_ref = ref[starts]
+    first_is_marker = kind[starts] == 0
+    # smallest INCOMING id per run: index of the first kind-1 row
+    is_in = kind == 1
+    if not is_in.any():
+        return INCR_SCHEMA.empty_table()
+    first_in_idx = np.full(len(starts), -1, np.int64)
+    # reverse scan: assign each run the minimal kind-1 position
+    pos = np.flatnonzero(is_in)
+    first_in_idx[run_of[pos[::-1]]] = pos[::-1]
+    min_in_ref = np.where(first_in_idx >= 0, ref[first_in_idx], -1)
+
+    rows = np.flatnonzero(is_in)
+    r_run = run_of[rows]
+    dup_corpus = first_is_marker[r_run]
+    is_first_in = rows == first_in_idx[r_run]
+    status = np.where(dup_corpus, "dup_of_corpus",
+                      np.where(is_first_in, "kept", "dup_in_delta"))
+    rep = np.where(dup_corpus, first_ref[r_run],
+                   np.where(is_first_in, ref[rows], min_in_ref[r_run]))
+    return pa.table({"doc_id": pa.array(ref[rows], pa.int64()),
+                     "status": pa.array(status.tolist(), pa.string()),
+                     "rep_doc_id": pa.array(rep, pa.int64())},
+                    schema=INCR_SCHEMA)
+
+
+def dedup_incremental(sf_dir: str,
+                      exchange_max_rows: int = INCR_EXCHANGE_MAX):
+    """Incremental-ingest dedup: the day's delta (changed + added +
+    re-crawled docs, derived deterministically from v1 so the oracle
+    replays it) is deduplicated BY CONTENT against the historical
+    corpus index — the daily-crawl-vs-index shape of a 100 TB ingest.
+    Join-free: index markers and incoming rows meet in ONE keyed
+    exchange on the content fingerprint (24 B thin rows; direct-task
+    exchange under the row gate, streaming groupby above it) and a
+    vectorized run kernel decodes dup_of_corpus / kept / dup_in_delta
+    with first-wins reps."""
+    import ray.data as rd
+
+    from ..rayutil import parquet_num_rows
+    from ..stages.exchange import exchange_reduce
+
+    if parquet_num_rows(f"{sf_dir}/documents.parquet") == 0:
+        return rd.from_arrow(INCR_SCHEMA.empty_table())
+
+    rows = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+            .map_batches(_incr_rows, batch_format="pyarrow")
+            .materialize())
+    if rows.count() <= exchange_max_rows:
+        return exchange_reduce(rows, "fp", _incr_decode_kernel, INCR_SCHEMA)
+    return (rows.groupby("fp")
+            .map_groups(_incr_decode_kernel, batch_format="pyarrow"))

@@ -936,3 +936,144 @@ SELECT CAST(conc AS BIGINT) AS max_concurrent,
        CAST(ts AS BIGINT) AS at_ts_us
 FROM c ORDER BY conc DESC, ts LIMIT 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Watermark-windowed aggregate with late-data accounting (streaming
+# event-time semantics, replayed deterministically over the batch corpus)
+
+WM_WINDOW_US = 3_600_000_000      # 1 h tumbling event-time windows
+WM_DELAY_US = 3_600_000_000       # allowed lateness before the drop
+WM_BUCKETS = 256                  # arrival-order prefix-scan grain
+
+
+def events_watermark_windows(sf_dir: str, n_buckets: int = WM_BUCKETS):
+    """Tumbling event-time windows with WATERMARK semantics — the
+    streaming-window operator a batch engine must replay exactly:
+    events arrive in ``event_id`` order; the watermark after arrival i
+    is ``max(ts[0..i]) − DELAY``; an event whose window END the
+    watermark has already passed is LATE (excluded from its window's
+    aggregate, counted separately) — the drop rule of Flink/Beam
+    allowed-lateness, made deterministic so DuckDB can replay it.
+
+    Scale shape (no global sort): the arrival-order running max rides
+    the repo's bucket-prefix-scan pattern — events hash to
+    ``n_buckets`` equal event_id ranges, pass 1 computes per-bucket
+    max(ts) (one tiny groupby), the driver prefix-maxes the ≤256
+    bucket values (bounded, corpus-size independent) and broadcasts
+    the exclusive offsets, pass 2 is ONE ``groupby(bucket)`` whose
+    kernel sorts its own bucket by event_id and combines the in-bucket
+    running max with the bucket offset. Late flags then feed one
+    window-keyed groupby of integer partials.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..rayutil import parquet_num_rows
+
+    out_schema = pa.schema([("window_start", pa.timestamp("us")),
+                            ("n_on_time", pa.int64()),
+                            ("n_late", pa.int64()),
+                            ("on_time_cents", pa.int64())])
+    if parquet_num_rows(f"{sf_dir}/events.parquet") == 0:
+        return rd.from_arrow(out_schema.empty_table())
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"]).materialize()
+    b = ev.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"))
+    lo, hi = int(b["lo"]), int(b["hi"])
+    span = max(hi - lo + 1, 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        bk = ((eid - lo) * n_buckets // span).astype(np.int64)
+        return t.append_column("bucket", pa.array(bk, pa.int64()))
+
+    bucketed = ev.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    # pass 1: per-bucket max ts (≤ n_buckets rows to the driver)
+    bmax = {int(r["bucket"]): int(r["max_ts"])
+            for r in bucketed.map_batches(
+                lambda t: pa.table(
+                    {"bucket": t["bucket"],
+                     "ts_us": t["ts"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            .groupby("bucket").aggregate(Max("ts_us", alias_name="max_ts"))
+            .take_all()}
+    # exclusive prefix max per bucket — bounded driver arithmetic
+    offsets = {}
+    run = np.iinfo(np.int64).min
+    for k in range(n_buckets):
+        offsets[k] = run
+        if k in bmax:
+            run = max(run, bmax[k])
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    part_schema = pa.schema([("window_start", pa.int64()),
+                             ("on", pa.int64()), ("late", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        offs = _ray.get(off_ref)
+        order = pc.sort_indices(g, sort_keys=[("event_id", "ascending")])
+        g = g.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        prefix = np.maximum.accumulate(ts)
+        wm = np.maximum(prefix, offs[int(g["bucket"][0].as_py())]) \
+            - WM_DELAY_US
+        wstart = ts // WM_WINDOW_US * WM_WINDOW_US
+        late = wm >= wstart + WM_WINDOW_US
+        cents = np.round(val * 100).astype(np.int64)
+        # aggregate in place: (window, on, late, cents) partials
+        uniq, inv = np.unique(wstart, return_inverse=True)
+        on_n = np.bincount(inv, weights=~late).astype(np.int64)
+        late_n = np.bincount(inv, weights=late).astype(np.int64)
+        on_c = np.bincount(inv, weights=np.where(late, 0, cents)) \
+            .astype(np.int64)
+        return pa.table({"window_start": pa.array(uniq, pa.int64()),
+                         "on": pa.array(on_n), "late": pa.array(late_n),
+                         "cents": pa.array(on_c)}, schema=part_schema)
+
+    parts = bucketed.groupby("bucket").map_groups(per_bucket,
+                                                  batch_format="pyarrow")
+    agg = (parts.groupby("window_start")
+           .aggregate(Sum("on", alias_name="n_on_time"),
+                      Sum("late", alias_name="n_late"),
+                      Sum("cents", alias_name="on_time_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t["window_start"].cast(pa.timestamp("us")),
+            "n_on_time": t["n_on_time"].cast(pa.int64()),
+            "n_late": t["n_late"].cast(pa.int64()),
+            "on_time_cents": t["on_time_cents"].cast(pa.int64()),
+        }, schema=out_schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+WATERMARK_ORACLE_SQL = """
+WITH e AS (
+  SELECT event_id, ts, value,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS wm_ts
+  FROM events),
+f AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN wm_ts - INTERVAL 1 HOUR
+                   >= date_trunc('hour', ts) + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS late
+  FROM e)
+SELECT window_start,
+       CAST(count(*) FILTER (late = 0) AS BIGINT) AS n_on_time,
+       CAST(count(*) FILTER (late = 1) AS BIGINT) AS n_late,
+       CAST(coalesce(sum(cents) FILTER (late = 0), 0) AS BIGINT)
+           AS on_time_cents
+FROM f GROUP BY 1
+""".strip()

@@ -163,3 +163,32 @@ def test_ngram_dedup_overlapping_docs(ray_session, tmp_path):
            for r in ngram_jaccard_dedup(sf).take_all()}
     assert got[30] == 30 and got[31] == 31       # empties stay singletons
     assert got == expect
+
+
+def test_dedup_incremental_branches_and_paths(ray_session, tmp_path):
+    """All three statuses (dup_of_corpus / kept / dup_in_delta) on a
+    crafted corpus; direct-exchange and groupby paths agree."""
+    from askg_ray.ops.dedup import dedup_incremental
+
+    # docs 7 and 14 share a text → their % 7 "changed" versions are
+    # identical (dup_in_delta pair); doc 17's re-crawl copy hits the
+    # corpus; doc 13's "new doc 13" is fresh
+    texts = {i: f"text {i} body" for i in range(20)}
+    texts[14] = texts[7]
+    t = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                  "text": pa.array([texts[i] for i in sorted(texts)],
+                                   pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    fast = {r["doc_id"]: (r["status"], r["rep_doc_id"])
+            for r in dedup_incremental(str(tmp_path)).take_all()}
+    slow = {r["doc_id"]: (r["status"], r["rep_doc_id"])
+            for r in dedup_incremental(str(tmp_path),
+                                       exchange_max_rows=0).take_all()}
+    assert fast == slow
+    assert fast[7] == ("kept", 7)                  # changed, fresh content
+    assert fast[14] == ("dup_in_delta", 7)         # same changed content
+    assert fast[2000017] == ("dup_of_corpus", 17)  # re-crawl copy
+    # copy of doc 14's text reps to the MIN corpus holder (doc 7)
+    assert fast[2000000] == ("dup_of_corpus", 0)
+    assert fast[1000013] == ("kept", 1000013)      # brand-new content

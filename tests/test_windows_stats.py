@@ -570,3 +570,50 @@ def test_simpson_exact_rational(ray_session, tmp_path):
     assert by.loc[1, "simpson_num"] == by.loc[1, "simpson_den"] == 20
     assert (by.loc[2, "simpson_num"], by.loc[2, "simpson_den"]) == (4, 12)
     assert by.loc[2, "n_types"] == 2
+
+
+def test_watermark_windows_semantics(ray_session, tmp_path):
+    """Hand-built arrival sequence: an event whose window end the
+    watermark (running max ts − 1 h) has passed is LATE; results are
+    independent of the bucket grain."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from askg_ray.ops.windows import events_watermark_windows
+
+    B = dt.datetime(2025, 1, 1)
+
+    def ts(h, m=0):
+        return B + dt.timedelta(hours=h, minutes=m)
+
+    # arrival order = event_id order:
+    #  e1 @ 00:10  -> wm 23:10 prev day: on time (window 00)
+    #  e2 @ 05:00  -> wm jumps to 04:00: window 00 CLOSED afterwards
+    #  e3 @ 00:20  -> late (window 00 end 01:00 <= wm 04:00)
+    #  e4 @ 04:30  -> on time (window 04 end 05:00 > wm 04:00)
+    #  e5 @ 03:30  -> late (window 03 end 04:00 <= wm 04:00)
+    rows = [(1, ts(0, 10), 1.0), (2, ts(5), 2.0), (3, ts(0, 20), 4.0),
+            (4, ts(4, 30), 8.0), (5, ts(3, 30), 16.0)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+
+    def collect(n_buckets):
+        out = {}
+        for r in events_watermark_windows(str(tmp_path),
+                                          n_buckets=n_buckets).take_all():
+            out[r["window_start"]] = (r["n_on_time"], r["n_late"],
+                                      r["on_time_cents"])
+        return out
+
+    got = collect(256)
+    assert got[ts(0)] == (1, 1, 100)      # e1 on time, e3 late
+    assert got[ts(5)] == (1, 0, 200)      # e2
+    assert got[ts(4)] == (1, 0, 800)      # e4
+    assert got[ts(3)] == (0, 1, 0)        # e5 late
+    # bucket-grain independence: the prefix-scan decomposition is exact
+    assert collect(2) == got == collect(1)
