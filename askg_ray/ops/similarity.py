@@ -468,6 +468,13 @@ KMEANS_ORACLE_SQL = _kmeans_oracle_sql()
 
 PAIRS_TAU_NUM = 64      # τ² as a rational: cos ≥ 0.8 ⇔ 100·dot² ≥ 64·na·nb
 PAIRS_TAU_DEN = 100
+# Raised 5M → 500M in round 4: the hot-vocab sf0.1 corpus emits 224M
+# pair partials, which the direct exchange reduces in ~13 s while
+# Ray's two-key sort-shuffle groupby ran >10 min on the same input.
+# Reducer count scales with rows (~2M rows ≈ 48 MB per reducer), so
+# per-reducer memory stays flat up to the gate; above it the
+# streaming groupby remains the unconditionally-scalable path.
+PAIRS_DOT_EXCHANGE_MAX = 500_000_000
 
 
 def _cosine_keep(dot, na, nb):
@@ -488,7 +495,6 @@ def _cosine_keep(dot, na, nb):
     return np.fromiter(
         (PAIRS_TAU_DEN * int(d) * int(d) >= PAIRS_TAU_NUM * int(x) * int(y)
          for d, x, y in zip(dot, na, nb)), dtype=bool, count=len(dot))
-PAIRS_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
 
 _DOT_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                          ("dot", pa.int64())])
@@ -509,13 +515,16 @@ def _pair_dot_kernel(t: pa.Table) -> pa.Table:
                      "dot": pa.array(dots, pa.int64())}, schema=_DOT_SCHEMA)
 
 
-def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_EXCHANGE_MAX):
+def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_DOT_EXCHANGE_MAX):
     """Sum per-token partial products into per-pair dots. Under the row
-    gate: pack (a, b) into one int64 (doc ids < 2³² — asserted) and run
-    the direct-task keyed exchange with the multi-group kernel,
-    skipping Ray's sort-shuffle floor (measured 20.7 s → ~2 s on the
-    2.26M-partial sf0.01 corpus). Above the gate, or with ids too wide
-    to pack, the unconditionally-scalable two-key streaming groupby."""
+    gate: pack (a, b) into one int64 (doc ids < 2³¹ high-half, sign-
+    safe) and run the direct-task keyed exchange with the multi-group
+    kernel, skipping Ray's sort-shuffle floor (measured 20.7 s → ~2 s
+    on the 2.26M-partial sf0.01 corpus; >10 min → ~13 s on the
+    224M-partial sf0.1 corpus). Reducers scale with rows so each holds
+    ~2M rows regardless of input size. Above the gate, or with ids too
+    wide to pack, the unconditionally-scalable two-key streaming
+    groupby."""
     from ray.data.aggregate import Sum
 
     from ..stages.exchange import exchange_reduce
@@ -545,13 +554,15 @@ def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_EXCHANGE_MAX):
                                  "p": t["p"]})
 
             return exchange_reduce(pairs, "pk", _pair_dot_kernel,
-                                   _DOT_SCHEMA, pre_fn=pack)
+                                   _DOT_SCHEMA, pre_fn=pack,
+                                   nred=min(256, max(8,
+                                                     n // 2_000_000)))
     return pairs.groupby(["a", "b"]).aggregate(Sum("p", alias_name="dot"))
 
 
 def doc_cosine_pairs(sf_dir: str, df_cap: int | None = None,
                      broadcast_threshold: int | None = None,
-                     exchange_max_rows: int = PAIRS_EXCHANGE_MAX):
+                     exchange_max_rows: int = PAIRS_DOT_EXCHANGE_MAX):
     """Exact all-pairs similarity join: every UNORDERED doc pair whose
     bag-of-words cosine is ≥ 0.8 — the inverted-index (term-at-a-time)
     self-join of Bayardo et al.'s all-pairs algorithm, kept EXACT and
