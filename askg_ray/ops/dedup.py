@@ -118,7 +118,10 @@ def _cand_cells(left: dict, right: dict | None, key: str) -> pa.Table:
                      "b": pa.array(b, pa.int64())}, schema=_CAND_SCHEMA)
 
 
-DEDUP_EXCHANGE_MAX = 5_000_000   # distinct-pairs direct-exchange row gate
+# Raised 5M -> 500M in round 4 (see similarity.PAIRS_DOT_EXCHANGE_MAX:
+# the sort-shuffle groupby above the old gate ran >10 min on a 224M-row
+# input the direct exchange reduces in ~13 s; reducers scale with rows)
+DEDUP_EXCHANGE_MAX = 500_000_000   # distinct-pairs direct-exchange row gate
 
 
 def _uniq_pair_kernel(t: pa.Table) -> pa.Table:
@@ -488,7 +491,7 @@ def embedding_dedup(sf_dir: str, broadcast_threshold=None):
 
 INCR_COPY_MOD = 17        # doc_id % 17 == 0 → a re-crawl copy lands in Δ
 INCR_COPY_BASE = 2_000_000
-INCR_EXCHANGE_MAX = 5_000_000
+INCR_EXCHANGE_MAX = 500_000_000   # raised with the r4 exchange sizing
 
 INCR_SCHEMA = pa.schema([("doc_id", pa.int64()),
                          ("status", pa.string()),

@@ -126,7 +126,7 @@ GROUP BY o.o_custkey
 
 
 PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
-COORDER_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
+COORDER_EXCHANGE_MAX = 500_000_000   # direct-task exchange row gate (r4 sizing)
 
 
 def _coorder_pair_kernel(t: pa.Table) -> pa.Table:

@@ -658,7 +658,7 @@ SCD2_SCHEMA = pa.schema([("doc_id", pa.int64()), ("version", pa.int64()),
                          ("fp", pa.string()), ("valid_to", pa.int64()),
                          ("is_current", pa.int64())])
 
-SCD2_EXCHANGE_MAX = 5_000_000   # direct-task exchange row gate
+SCD2_EXCHANGE_MAX = 500_000_000   # direct-task exchange row gate (r4 sizing)
 
 
 def _scd2_kernel(t: pa.Table) -> pa.Table:

@@ -301,7 +301,7 @@ def _verify_kernel(tbl: pa.Table) -> pa.Table:
                      "probed": pa.array([1] * len(out_d), pa.int64())})
 
 
-EXCHANGE_MAX_ROWS = 5_000_000   # direct-task exchange row gate
+EXCHANGE_MAX_ROWS = 500_000_000   # direct-task exchange row gate (r4 sizing)
 
 
 def prefix_containment(sf_dir: str, num_partitions: int | None = None,

@@ -48,8 +48,13 @@ EXCHANGE_MAX = int(os.environ.get("ASKG_EXCHANGE_MAX", "250000"))
 def _nred_default(n_rows: int) -> int:
     # ~20 ms of task overhead per reducer per exchange (measured): size
     # the reducer count to ~3k rows each so tiny tables pay the 8-task
-    # minimum and big ones still spread their per-group Python work
-    return max(8, min(64, -(-n_rows // 3000)))
+    # minimum and big ones still spread their per-group Python work.
+    # Beyond 128M rows the 64-reducer cap lifts toward 256 (~2M rows ≈
+    # 48 MB per reducer) so the hundred-million-row exchanges the
+    # round-4 gate raises admit keep flat per-reducer memory — the
+    # 224M-row sf0.1 cosine partials reduce in ~13 s at this sizing.
+    return max(8, min(64, -(-n_rows // 3000)),
+               min(256, -(-n_rows // 2_000_000)))
 
 
 def _hash_buckets(col, nred: int) -> np.ndarray:
