@@ -142,27 +142,39 @@ def _distinct_pairs(cand, exchange_max_rows: int = DEDUP_EXCHANGE_MAX):
     wide, the unconditionally-scalable groupby distinct."""
     from ray.data.aggregate import Count, Max, Min
 
-    from ..stages.exchange import exchange_reduce
+    from ..stages.exchange import exchange_reduce, exchange_reduce_chunked
 
     cand = cand.materialize()
     n = cand.count()
     if n == 0:
         import ray.data as rd
         return rd.from_arrow(_CAND_SCHEMA.empty_table())
-    if n <= exchange_max_rows:
-        b = cand.aggregate(Min("a", alias_name="a_lo"),
-                           Max("a", alias_name="a_hi"),
-                           Min("b", alias_name="b_lo"),
-                           Max("b", alias_name="b_hi"))
-        if (b["a_lo"] >= 0 and b["b_lo"] >= 0
-                and b["a_hi"] < (1 << 31) and b["b_hi"] < (1 << 32)):
-            def pack(t: pa.Table) -> pa.Table:
-                a = t["a"].to_numpy(zero_copy_only=False)
-                bb = t["b"].to_numpy(zero_copy_only=False)
-                return pa.table({"pk": pa.array((a << 32) | bb, pa.int64())})
+    if exchange_max_rows <= 0:   # forced groupby fallback (tests)
+        from ray.data.aggregate import Count as _C
+        return (cand.groupby(["a", "b"]).aggregate(_C(alias_name="_n"))
+                .map_batches(lambda t: t.select(["a", "b"]),
+                             batch_format="pyarrow"))
+    b = cand.aggregate(Min("a", alias_name="a_lo"),
+                       Max("a", alias_name="a_hi"),
+                       Min("b", alias_name="b_lo"),
+                       Max("b", alias_name="b_hi"))
+    if (b["a_lo"] >= 0 and b["b_lo"] >= 0
+            and b["a_hi"] < (1 << 31) and b["b_hi"] < (1 << 32)):
+        def pack(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            bb = t["b"].to_numpy(zero_copy_only=False)
+            return pa.table({"pk": pa.array((a << 32) | bb, pa.int64())})
 
+        if n <= exchange_max_rows:
             return exchange_reduce(cand, "pk", _uniq_pair_kernel,
                                    _CAND_SCHEMA, pre_fn=pack)
+        # above the gate: chunk by a-hash, keep the np.unique kernel
+        # (the two-key sort-shuffle groupby pays ~44 s/M rows at
+        # candidate-pair cardinality — measured round 4)
+        return exchange_reduce_chunked(cand, "pk", _uniq_pair_kernel,
+                                       _CAND_SCHEMA, pre_fn=pack,
+                                       chunk_rows=exchange_max_rows,
+                                       chunk_key="a")
     return (cand.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
             .map_batches(lambda t: t.select(["a", "b"]),
                          batch_format="pyarrow"))

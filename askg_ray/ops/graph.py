@@ -217,13 +217,14 @@ def _coorder_support(sf_dir: str,
     wide to pack, the unconditionally-scalable two-key groupby."""
     from ray.data.aggregate import Count
 
-    from ..stages.exchange import exchange_reduce
+    from ..stages.exchange import exchange_reduce, exchange_reduce_chunked
 
     pairs = _coorder_pairs(sf_dir,
                            exchange_max_rows=exchange_max_rows)
     pairs = pairs.materialize()
     cnt = pairs.count()
-    if 0 < cnt <= exchange_max_rows:
+    # exchange_max_rows == 0 forces the groupby fallback (tests)
+    if cnt > 0 and exchange_max_rows > 0:
         import ray
 
         # the high half must stay below 2³¹ — an id in [2³¹, 2³²)
@@ -244,8 +245,13 @@ def _coorder_support(sf_dir: str,
                 v = t["v"].to_numpy(zero_copy_only=False)
                 return pa.table({"pk": pa.array((u << 32) | v, pa.int64())})
 
-            return exchange_reduce(pairs, "pk", _support_count_kernel,
-                                   _SUPPORT_SCHEMA, pre_fn=pack)
+            if cnt <= exchange_max_rows:
+                return exchange_reduce(pairs, "pk", _support_count_kernel,
+                                       _SUPPORT_SCHEMA, pre_fn=pack)
+            # above the gate: chunk by u-hash, same reduceat kernel
+            return exchange_reduce_chunked(
+                pairs, "pk", _support_count_kernel, _SUPPORT_SCHEMA,
+                pre_fn=pack, chunk_rows=exchange_max_rows, chunk_key="u")
     return (pairs.groupby(["u", "v"])
             .aggregate(Count(alias_name="n")))
 

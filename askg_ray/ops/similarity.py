@@ -527,11 +527,12 @@ def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_DOT_EXCHANGE_MAX):
     groupby."""
     from ray.data.aggregate import Sum
 
-    from ..stages.exchange import exchange_reduce
+    from ..stages.exchange import exchange_reduce, exchange_reduce_chunked
 
     pairs = pairs.materialize()
     n = pairs.count()
-    if 0 < n <= exchange_max_rows:
+    # exchange_max_rows == 0 forces the groupby fallback (tests)
+    if n > 0 and exchange_max_rows > 0:
         import ray
 
         # high half (a) must stay below 2³¹: ids in [2³¹, 2³²) wrap
@@ -553,10 +554,19 @@ def _pair_dot_sums(pairs, exchange_max_rows: int = PAIRS_DOT_EXCHANGE_MAX):
                 return pa.table({"pk": pa.array((a << 32) | b, pa.int64()),
                                  "p": t["p"]})
 
-            return exchange_reduce(pairs, "pk", _pair_dot_kernel,
-                                   _DOT_SCHEMA, pre_fn=pack,
-                                   nred=min(256, max(8,
-                                                     n // 2_000_000)))
+            if n <= exchange_max_rows:
+                return exchange_reduce(pairs, "pk", _pair_dot_kernel,
+                                       _DOT_SCHEMA, pre_fn=pack,
+                                       nred=min(256, max(8,
+                                                         n // 2_000_000)))
+            # above the gate: chunk by key hash so per-chunk memory is
+            # bounded while keeping the reduceat kernel (Ray's two-key
+            # sort-shuffle aggregate is ~44 s/M rows at this group
+            # cardinality — measured in round 4)
+            return exchange_reduce_chunked(
+                pairs, "pk", _pair_dot_kernel, _DOT_SCHEMA, pre_fn=pack,
+                chunk_rows=exchange_max_rows, chunk_key="a")
+    # wide/empty ids: the sort-shuffle groupby (unconditional fallback)
     return pairs.groupby(["a", "b"]).aggregate(Sum("p", alias_name="dot"))
 
 

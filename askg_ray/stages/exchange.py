@@ -185,3 +185,69 @@ def exchange_merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
 
     return exchange_reduce(ds, key, reduce_fn, out_schema,
                            pre_fn=pre_fn, nred=nred)
+
+
+def exchange_reduce_chunked(ds, key: str, reduce_fn, out_schema: pa.Schema,
+                            pre_fn=None, chunk_rows: int = 400_000_000,
+                            nred: int | None = None,
+                            chunk_key: str | None = None):
+    """``exchange_reduce`` for inputs too large for ONE direct exchange:
+    rows hash-partition by ``crc32(key) % k`` into k chunks (every row
+    of a key lands in the same chunk, so per-chunk reduction is exact)
+    and each chunk runs its own direct exchange — per-chunk plasma and
+    reducer memory stay bounded by ``chunk_rows`` while the kernel
+    keeps its reduceat/np.unique speed.
+
+    This replaces the sort-shuffle ``groupby`` as the above-gate path
+    for the hot keyed reductions: Ray 2.49's sort-based aggregate
+    pays ~44 s per million rows on high-cardinality multi-column keys
+    (measured: 222 s for 5M rows / 3.7M groups, 224M rows never
+    finished in 10 min), while the chunked exchange costs k extra
+    scans of the pinned input — C-speed filters.
+
+    ``ds`` must be materialized. k == 1 degenerates to one exchange.
+    ``chunk_key`` (default: ``key``) is the EXISTING column chunks
+    hash on — needed when ``key`` is only created by ``pre_fn`` inside
+    the split tasks (e.g. a packed pk); any column such that equal
+    ``key`` values imply equal ``chunk_key`` values is correct.
+    """
+    import zlib as _zlib
+
+    import numpy as _np
+    import ray.data as rd
+
+    ckey = chunk_key if chunk_key is not None else key
+    n = ds.count()
+    k = max(1, -(-n // max(chunk_rows, 1)))
+    if k == 1:
+        return exchange_reduce(ds, key, reduce_fn, out_schema,
+                               pre_fn=pre_fn, nred=nred)
+
+    def chunk_of(t: pa.Table, which: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        col = t[ckey]
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64) \
+                .view(_np.uint64)
+            h = v * _np.uint64(0x9E3779B97F4A7C15)   # uint64 wrap-mix
+            m = (h % _np.uint64(k)) == which
+        else:
+            m = _np.array([_zlib.crc32(str(x).encode()) % k == which
+                           for x in col.to_pylist()])
+        return t.filter(pa.array(m))
+
+    parts = []
+    for i in range(k):
+        sub = ds.map_batches(lambda t, _i=i: chunk_of(t, _i),
+                             batch_format="pyarrow").materialize()
+        if sub.count() == 0:
+            continue
+        parts.append(exchange_reduce(sub, key, reduce_fn, out_schema,
+                                     pre_fn=pre_fn, nred=nred))
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

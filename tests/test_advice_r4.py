@@ -378,3 +378,50 @@ def test_media_decode_lib_present_real_path(monkeypatch):
     fres = mm.MediaResizer(fake=True)(media)
     assert (res["resized_fp16"].to_pylist()
             != fres["resized_fp16"].to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# chunked direct exchange (round-4 above-gate path)
+
+
+def test_chunked_exchange_paths_match(ray_session, tmp_path):
+    """Forcing chunk_rows below the input size must leave results
+    identical to the single exchange (pair dots, pair distinct,
+    co-order support)."""
+    import ray.data as rd
+
+    from askg_ray.ops.dedup import _distinct_pairs
+    from askg_ray.ops.graph import _coorder_support
+    from askg_ray.ops.similarity import _pair_dot_sums
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 50, 4000), pa.int64()),
+        "b": pa.array(rng.integers(0, 50, 4000), pa.int64()),
+        "p": pa.array(rng.integers(1, 9, 4000), pa.int64()),
+    })
+    one = {(r["a"], r["b"]): r["dot"]
+           for r in _pair_dot_sums(rd.from_arrow(t)).take_all()}
+    many = {(r["a"], r["b"]): r["dot"]
+            for r in _pair_dot_sums(rd.from_arrow(t),
+                                    exchange_max_rows=500).take_all()}
+    assert one == many and len(one) > 100
+
+    cand = rd.from_arrow(t.select(["a", "b"]))
+    d1 = {(r["a"], r["b"]) for r in _distinct_pairs(cand).take_all()}
+    d2 = {(r["a"], r["b"])
+          for r in _distinct_pairs(cand, exchange_max_rows=500).take_all()}
+    assert d1 == d2 and len(d1) > 100
+
+    rows = [(int(rng.integers(1, 40)), int(rng.integers(1, 60)))
+            for _ in range(600)]
+    sf = _write_lineitem(tmp_path, rows)
+    s1 = {(r["u"], r["v"]): r["n"]
+          for r in _coorder_support(sf).take_all()}
+    s2 = {(r["u"], r["v"]): r["n"]
+          for r in _coorder_support(sf, exchange_max_rows=40).take_all()}
+    assert s1 == _coorder_truth(rows)
+    # exchange_max_rows gates BOTH the pair explode and the support
+    # reduce; with it tiny the explode takes groupby and the reduce
+    # takes the chunked exchange — counts must not change
+    assert s2 == s1
