@@ -605,7 +605,17 @@ def dedup_incremental(sf_dir: str,
                             columns=["doc_id", "text"])
             .map_batches(_incr_rows, batch_format="pyarrow")
             .materialize())
-    if rows.count() <= exchange_max_rows:
-        return exchange_reduce(rows, "fp", _incr_decode_kernel, INCR_SCHEMA)
+    n = rows.count()
+    if 0 < exchange_max_rows:
+        if n <= exchange_max_rows:
+            return exchange_reduce(rows, "fp", _incr_decode_kernel,
+                                   INCR_SCHEMA)
+        from ..stages.exchange import exchange_reduce_chunked
+
+        # above the gate: chunk on fp (the key itself exists as a
+        # column) — bounded per-chunk memory, same run kernel
+        return exchange_reduce_chunked(rows, "fp", _incr_decode_kernel,
+                                       INCR_SCHEMA,
+                                       chunk_rows=exchange_max_rows)
     return (rows.groupby("fp")
             .map_groups(_incr_decode_kernel, batch_format="pyarrow"))

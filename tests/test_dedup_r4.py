@@ -185,7 +185,10 @@ def test_dedup_incremental_branches_and_paths(ray_session, tmp_path):
     slow = {r["doc_id"]: (r["status"], r["rep_doc_id"])
             for r in dedup_incremental(str(tmp_path),
                                        exchange_max_rows=0).take_all()}
-    assert fast == slow
+    chunked = {r["doc_id"]: (r["status"], r["rep_doc_id"])
+               for r in dedup_incremental(str(tmp_path),
+                                          exchange_max_rows=5).take_all()}
+    assert fast == slow == chunked
     assert fast[7] == ("kept", 7)                  # changed, fresh content
     assert fast[14] == ("dup_in_delta", 7)         # same changed content
     assert fast[2000017] == ("dup_of_corpus", 17)  # re-crawl copy
