@@ -212,3 +212,55 @@ def test_native_edge_ids_match_numpy(vals):
     want = pa.StringArray.from_buffers(
         n, pa.py_buffer(offsets), pa.py_buffer(chars))
     assert got.equals(want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(min_value=-50, max_value=50),
+                       st.integers(min_value=1, max_value=9)),
+             min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from(["int", "str"]),
+)
+def test_chunked_exchange_equals_plain_groupby(ray_session, rows, k_div,
+                                               key_type):
+    """exchange_reduce_chunked(sum kernel) == exact per-key sums for
+    ANY chunk size ≥ 1 and both key column types (vectorized int mix
+    vs per-distinct crc32)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from askg_ray.stages.exchange import exchange_reduce_chunked
+
+    keys = [k for k, _ in rows]
+    if key_type == "str":
+        tbl = pa.table({"k": pa.array([f"k{v}" for v in keys]),
+                        "p": pa.array([p for _, p in rows], pa.int64())})
+        expect = collections.Counter()
+        for v, p in rows:
+            expect[f"k{v}"] += p
+        out_schema = pa.schema([("k", pa.string()), ("s", pa.int64())])
+    else:
+        tbl = pa.table({"k": pa.array(keys, pa.int64()),
+                        "p": pa.array([p for _, p in rows], pa.int64())})
+        expect = collections.Counter()
+        for v, p in rows:
+            expect[v] += p
+        out_schema = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+
+    def sum_kernel(t: pa.Table) -> pa.Table:
+        g = (pa.table({"k": t["k"], "p": t["p"]})
+             .group_by("k").aggregate([("p", "sum")]))
+        return pa.table({"k": g["k"], "s": g["p_sum"].cast(pa.int64())},
+                        schema=out_schema)
+
+    chunk_rows = max(1, len(rows) // k_div)
+    ds = rd.from_arrow(tbl).materialize()
+    got = {r["k"]: r["s"]
+           for r in exchange_reduce_chunked(
+               ds, "k", sum_kernel, out_schema,
+               chunk_rows=chunk_rows).take_all()}
+    assert got == dict(expect)
