@@ -35,9 +35,19 @@ def _sm_ratio(a: str, b: str) -> float:
     bounded memo: the verify predicates compare the same author /
     description / name strings for every pair in a duplicate cluster, so
     the distinct-ARGUMENT space is tiny relative to the pair space.
-    Pure-function cache — results are bit-identical to direct calls."""
+    Pure-function cache — results are bit-identical to direct calls.
+    The C replica (_fastratio, property-tested bit-identical below 200
+    code points where autojunk can never fire) serves the hot path —
+    stdlib difflib was ~30% of the verify reduce tasks' CPU (round-4
+    profile); difflib remains the fallback for long strings / no
+    compiler."""
     if a == b:
         return 1.0
+    from ._fastratio import ratio_gated
+
+    r = ratio_gated(a, b, 0.0)   # exact: quick_ratio ≤ 0 ⇒ ratio == 0
+    if r is not None:
+        return r
     return SequenceMatcher(None, a, b).ratio()
 
 
@@ -237,6 +247,6 @@ def fuzzy_name_match(s: dict, kept: list[dict]) -> bool:
         knn = normalize_name(k.get("name"))
         if knn == nn:
             continue
-        if SequenceMatcher(None, nn, knn).ratio() > 0.85 and servers_are_similar(s, k):
+        if _sm_ratio(nn, knn) > 0.85 and servers_are_similar(s, k):
             return True
     return False
