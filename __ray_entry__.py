@@ -83,6 +83,40 @@ def _kg_texts(sf_dir):
     return extract_texts(pages_from_documents(sf_dir))
 
 
+def _kg_page_registry_hist(sf_dir):
+    """Pre-dedup registry histogram over the extraction surface — a
+    kg_registry_hist-style projection of generator-determined fields,
+    hash-checkable against the md5-arithmetic page oracle
+    (oracle/pages_sql.py)."""
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    return (extract_entities(pages_from_documents(sf_dir))
+            .groupby("registry_source").count())
+
+
+def _kg_page_language_hist(sf_dir):
+    """Pre-dedup implementation-language histogram (see above)."""
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    return (extract_entities(pages_from_documents(sf_dir))
+            .groupby("implementation_language").count())
+
+
+def _kg_entity_fields(sf_dir):
+    """Raw per-page entity extraction (M1), value-hash-checked field by
+    field against the DuckDB page oracle — the strongest driver-side
+    check the HTML extractor has (parity pytest covers the dedup'd
+    graph; this pins the extraction itself)."""
+    from askg_ray.pipelines.kg import extract_entities
+    from askg_ray.sources.docs_adapter import pages_from_documents
+
+    return extract_entities(pages_from_documents(sf_dir)).select_columns(
+        ["source_url", "id", "name", "author", "description",
+         "repository", "implementation_language", "popularity_score"])
+
+
 def _kg_mentions(sf_dir):
     """Broadcast-alias-dictionary mention linking over page texts.
 
@@ -456,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_popular_topk": _kg_popular_topk,
         "kg_language_hist": _kg_language_hist,
         "kg_texts": _kg_texts,
+        "kg_page_registry_hist": _kg_page_registry_hist,
+        "kg_page_language_hist": _kg_page_language_hist,
+        "kg_entity_fields": _kg_entity_fields,
         "kg_mentions": _kg_mentions,
         "kg_search_keyword": _kg_search_keyword,
         "kg_search_structured": _kg_search_structured,
@@ -560,6 +597,10 @@ FROM g LEFT JOIN idx i ON g.fp = i.fp
 
 def oracle_sql() -> dict[str, str]:
     from askg_ray.ontology import categories_oracle_sql
+    from askg_ray.oracle.pages_sql import (ENTITY_FIELDS_ORACLE_SQL,
+                                           KG_TEXTS_ORACLE_SQL,
+                                           PAGE_LANGUAGE_HIST_ORACLE_SQL,
+                                           PAGE_REGISTRY_HIST_ORACLE_SQL)
     from askg_ray.ops.curation import (MIXED_SAMPLE_ORACLE_SQL,
         
         BOTTOMK_ORACLE_SQL,
@@ -658,6 +699,14 @@ def oracle_sql() -> dict[str, str]:
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     return {
         "kg_categories": categories_oracle_sql(),
+        # KG extraction surface: the docs_adapter corpus is pure
+        # md5-arithmetic over doc_id (round 5), so the rendered pages
+        # and the frozen extractor's output have exact SQL oracles
+        # (askg_ray/oracle/pages_sql.py) — VERDICT r4 "Next round" #3.
+        "kg_texts": KG_TEXTS_ORACLE_SQL,
+        "kg_page_registry_hist": PAGE_REGISTRY_HIST_ORACLE_SQL,
+        "kg_page_language_hist": PAGE_LANGUAGE_HIST_ORACLE_SQL,
+        "kg_entity_fields": ENTITY_FIELDS_ORACLE_SQL,
         "repo_links":
             "WITH corpus AS (SELECT "
             "'https://lists.example/awesome/' || CAST(doc_id // 50 AS VARCHAR)"

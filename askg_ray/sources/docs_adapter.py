@@ -16,6 +16,7 @@ a fuzzy name variant — so dedup has work at every scale.
 
 from __future__ import annotations
 
+import hashlib
 import random
 from datetime import datetime, timedelta
 
@@ -37,21 +38,29 @@ _BASE_TS = datetime(2025, 3, 1)
 
 
 def entity_from_index(idx: int) -> dict:
-    """Deterministic pseudo-entity for a doc index (random-access seeded)."""
-    rng = random.Random(0xA5C6 + idx)
+    """Deterministic pseudo-entity for a doc index.
+
+    Every "draw" is md5 arithmetic over ``str(idx)`` — reproducible in
+    ANSI SQL (DuckDB ``md5()``), so the rendered pages and the
+    extracted-text surface have an exact DuckDB oracle (the
+    ``kg_texts`` / ``kg_page_*`` entries in ``__ray_entry__.py``).
+    Distributions match the pre-round-5 ``random.Random`` version
+    (20% hot author, 30/30/40 name styles, 80% has-repo)."""
+    h = hashlib.md5(str(idx).encode()).hexdigest()
     noun = _NOUNS[idx % len(_NOUNS)]
     qual = _QUALS[(idx // len(_NOUNS)) % len(_QUALS)]
-    author = _AUTHORS[0] if rng.random() < 0.2 else rng.choice(_AUTHORS)
-    style = rng.random()
-    if style < 0.3:
+    author = (_AUTHORS[0] if int(h[0:8], 16) % 10 < 2
+              else _AUTHORS[int(h[8:16], 16) % len(_AUTHORS)])
+    style = int(h[16:20], 16) % 10
+    if style < 3:
         name = f"mcp-{qual}-{noun}-{idx % 97}"
-    elif style < 0.6:
+    elif style < 6:
         name = f"{qual}-{noun}-{idx % 97}-server"
     else:
         name = f"{qual} {noun} {idx % 97}"
     desc = _DESC_TEMPLATES[idx % len(_DESC_TEMPLATES)].format(
         q=qual, n=noun, n2=_NOUNS[(idx * 7 + 3) % len(_NOUNS)])
-    has_repo = rng.random() < 0.8
+    has_repo = int(h[20:24], 16) % 10 < 8
     return {
         "name": name,
         "author": author,
@@ -74,9 +83,13 @@ def _page_for_doc(doc_id: int, lang: str) -> tuple[str, bytes]:
         registry = REGISTRIES[(doc_id - 1 + 1) % 4]
         name = e["name"]
     elif doc_id % 11 == 0 and doc_id > 0:
-        # fuzzy variant of previous doc's entity (ratio > 0.85), no repo
+        # fuzzy variant of previous doc's entity, no repo. The "+x"
+        # mutation is deterministic AND SQL-expressible; its
+        # normalized-name SequenceMatcher ratio is 2n/(2n+1) ∈
+        # (0.85, 0.995] for every generated name length, i.e. the same
+        # fuzzy-dup band _mutate_name used to target.
         e = dict(entity_from_index(doc_id - 1))
-        name = _mutate_name(random.Random(doc_id), e["name"], 0.85, 0.995)
+        name = e["name"] + "x"
         e["repository"] = None
         registry = REGISTRIES[(doc_id + 2) % 4]
     else:
