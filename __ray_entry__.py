@@ -506,39 +506,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_orchestrate": _kg_orchestrate,
         "repo_links": _repo_links,
     }
-    # Driver-window rotation (round 4): the driver's correctness run
-    # samples the FIRST 50 entries, and rounds 1-3 always validated the
-    # relational/text/curation head — lead instead with the SQL-checked
-    # families the driver has never hash-checked (graph, dedup,
-    # similarity, stats, windows, funnel, export). Pure dict reorder:
-    # names, callables and oracle keys are unchanged.
-    out = {k: q[k] for k in _R4_WINDOW if k in q}
+    # Driver-window rotation, round 5 (third rotation, VERDICT r4 "Next
+    # round" #1): the driver's correctness run samples the FIRST 50
+    # entries; r3+r4 together validated 100 distinct queries. Lead with
+    # the remaining never-driver-validated SQL-checked tail (relational,
+    # joins, packing, curation, multimodal, export) plus the four KG
+    # extraction-surface queries that gained value-hash oracles this
+    # round. Pure dict reorder: names, callables and oracle keys are
+    # unchanged. 8 window/agg-family queries with driver-validated
+    # siblings stay outside the 50-slot window (still hash-checked by
+    # tools/check_correctness.py): events_mode_type, events_share_of_day,
+    # events_percent_rank, events_types_csv, events_type_median,
+    # events_first_last, events_value_histogram, events_window_distinct.
+    out = {k: q[k] for k in _R5_WINDOW if k in q}
     out.update((k, v) for k, v in q.items() if k not in out)
     return out
 
 
 # the 50 least-driver-validated SQL-checked queries lead the dict
-_R4_WINDOW = [
-    "customer_supplier_degree", "supplier_pagerank_int",
-    "parts_triangle_count", "parts_components", "parts_kcore",
-    "parts_bfs_hops", "parts_sssp", "parts_coorder_topk",
-    "parts_coorder_triples", "parts_skyline",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_embedding",
-    "ann_cosine_top10", "embedding_centroids", "embedding_kmeans",
-    "embedding_knn", "doc_cosine_pairs",
-    "export_sorted_stats", "pruned_range_scan",
-    "word_pmi_topk", "doc_word_bigrams", "token_fuzzy_pairs",
-    "token_doc_freq", "doc_bigram_novelty", "doc_lm_score",
-    "events_value_gini", "events_value_mad", "events_decayed_score",
-    "events_user_hll", "events_user_simpson", "events_type_hll",
-    "token_cms_topk", "events_props_stats",
-    "events_lead_lag", "events_sliding_count", "events_type_pivot",
-    "events_rollup", "events_cube", "events_gap_fill",
-    "events_range_join", "events_moving_avg", "events_markov",
-    "events_longest_streak",
-    "events_funnel", "events_cohort_retention", "events_rfm",
-    "documents_snapshot_diff",
+_R5_WINDOW = [
+    # KG extraction surface — newly hash-checkable (oracle/pages_sql.py)
+    "kg_texts", "kg_page_registry_hist", "kg_page_language_hist",
+    "kg_entity_fields",
+    # relational / TPC-H tail
+    "nation_pair_volume", "nation_market_share", "nation_profit",
+    "late_order_priority", "banded_part_revenue", "forecast_revenue_delta",
+    "audit_constraints", "top_supplier_by_revenue", "sole_failed_suppliers",
+    "orders_price_quantiles", "parts_above_brand_avg", "parts_unpivot",
+    "top_return_customers", "lineitem_regression",
+    # mutation / maintenance family
+    "documents_upsert", "documents_scd2", "documents_compact",
+    "documents_checksum",
+    # events / sessions / windows tail
+    "events_distinct_users", "events_windowed_funnel",
+    "events_first_per_window", "events_key_skew", "events_rank_family",
+    "events_user_journey", "events_session_table",
+    "sessions_max_concurrency", "events_zorder", "events_value_outliers",
+    "events_type_cooccurrence", "events_type_runs", "events_props_flatten",
+    "events_watermark_windows",
+    # text / curation / packing tail
+    "token_lang_overlap", "doc_top_terms", "doc_inverted_index",
+    "docs_bottomk_sample", "docs_stratified_sample", "docs_pack_sequences",
+    "doc_shuffle_index", "docs_curriculum_decile", "docs_bottomk_per_lang",
+    # dedup / multimodal / kg tail
+    "dedup_incremental", "media_resize", "media_frames", "media_dedup",
+    "kg_categories",
 ]
 
 
