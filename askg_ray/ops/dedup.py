@@ -47,6 +47,7 @@ import functools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..minhash import (
     band_keys,
@@ -83,11 +84,10 @@ def _identity(v):
 
 
 def _labels_to_int(batch: pa.Table) -> pa.Table:
+    # Arrow parses the zero-padded decimal strings directly
     return pa.table({
-        "node": pa.array([int(v) for v in batch["node"].to_pylist()],
-                         pa.int64()),
-        "component": pa.array([int(v) for v in batch["component"].to_pylist()],
-                              pa.int64()),
+        "node": pc.cast(batch["node"], pa.int64()),
+        "component": pc.cast(batch["component"], pa.int64()),
     })
 
 
@@ -214,11 +214,11 @@ def _sketch_dedup(sk, explode_fn, payload_cols: list[str], verify_fn,
             return PAIR_SCHEMA.empty_table()
         keep = verify_fn(t)
         t = t.filter(pa.array(keep))
+        # vectorized zero-pad (was a per-pair str.zfill list-comp)
+        pad = functools.partial(pc.utf8_lpad, width=12, padding="0")
         return pa.table({
-            "a": pa.array([str(v).zfill(12) for v in t["a"].to_pylist()],
-                          pa.string()),
-            "b": pa.array([str(v).zfill(12) for v in t["b"].to_pylist()],
-                          pa.string())}, schema=PAIR_SCHEMA)
+            "a": pad(pc.cast(t["a"], pa.string())),
+            "b": pad(pc.cast(t["b"], pa.string()))}, schema=PAIR_SCHEMA)
 
     verified = pairs.map_batches(verify, batch_format="pyarrow")
     labels = connected_components(verified).map_batches(

@@ -24,8 +24,6 @@ to plain map_groups; nbuckets should be ≥ cluster-core count.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -34,8 +32,15 @@ from ..arrowutil import records_of, table_of
 
 
 def _bucket_of(vals: list, nbuckets: int) -> pa.Array:
-    return pa.array([zlib.crc32(str(v).encode()) % nbuckets for v in vals],
-                    pa.int32())
+    """Vectorized key → bucket id (deterministic across processes:
+    pandas' hash uses a fixed key). Any stable hash works — buckets
+    only distribute; all rows of one key still land together."""
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    h = hash_pandas_object(pd.Series(vals, dtype=object).astype(str),
+                           index=False).to_numpy()
+    return pa.array((h % np.uint64(nbuckets)).astype(np.int32), pa.int32())
 
 
 def merge_table_runs(t: pa.Table, key: str, multi_fn,
@@ -69,6 +74,27 @@ def merge_table_runs(t: pa.Table, key: str, multi_fn,
     if not parts:
         return out_schema.empty_table()
     return pa.concat_tables([p.cast(out_schema) for p in parts])
+
+
+def bucket_groups(ds, key: str, bucket_fn, nbuckets: int = 256):
+    """Keyed grouping with a fully VECTORIZED per-bucket kernel.
+
+    Like ``merge_runs`` but the caller handles the whole bucket table
+    at once (``bucket_fn(table) -> table``) — for kernels whose
+    per-group work is itself expressible as array ops (e.g. the
+    hash-to-min round in stages/components.py), so no per-group Python
+    call happens at all. All rows of any one ``key`` value arrive in
+    the same bucket table; ``bucket_fn`` must not rely on row order."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", _bucket_of(t[key].to_pylist(), nbuckets))
+
+    def run_bucket(t: pa.Table) -> pa.Table:
+        return bucket_fn(t.drop_columns(["__b"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(run_bucket, batch_format="pyarrow"))
 
 
 def merge_runs(ds, key: str, multi_fn, out_schema: pa.Schema,
