@@ -58,6 +58,12 @@ def _partition_fingerprints(sf_dir: str, n_parts: int) -> dict[int, str]:
 
     MOD = (1 << 61) - 1
 
+    # Partial sums are split into 32-bit halves so Ray's Sum aggregator
+    # never overflows int64: a per-batch partial bounded by 2^61 summed
+    # over batches exceeded 2^63 at sf0.1 and crashed the reduce with
+    # an ArrowConversionError (latent round-4 bug, found+fixed round 5).
+    # Each half sums to < 2^32 × n_batches — safe to ~2^31 batches —
+    # and the driver recombines (hi·2^32 + lo) % MOD per partition.
     def partials(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         parts = ids % n_parts
@@ -65,29 +71,36 @@ def _partition_fingerprints(sf_dir: str, n_parts: int) -> dict[int, str]:
             f"{i}|{lg or ''}|{tx or ''}".encode()).digest()[:7], "big")
             for i, lg, tx in zip(ids.tolist(), t["lang"].to_pylist(),
                                  t["text"].to_pylist())], dtype=np.int64)
-        out_p, out_n, out_is, out_hs = [], [], [], []
+        cols: dict[str, list] = {k: [] for k in (
+            "part", "n", "id_lo", "id_hi", "h_lo", "h_hi")}
         for p in np.unique(parts):
             m = parts == p
-            out_p.append(int(p))
-            out_n.append(int(m.sum()))
-            out_is.append(int(ids[m].sum() % MOD))
-            out_hs.append(int(h[m].sum() % MOD))
-        return pa.table({"part": pa.array(out_p, pa.int64()),
-                         "n": pa.array(out_n, pa.int64()),
-                         "id_sum": pa.array(out_is, pa.int64()),
-                         "h_sum": pa.array(out_hs, pa.int64())})
+            i_s = int(ids[m].sum() % MOD)
+            h_s = int(h[m].sum() % MOD)
+            cols["part"].append(int(p))
+            cols["n"].append(int(m.sum()))
+            cols["id_lo"].append(i_s & 0xFFFFFFFF)
+            cols["id_hi"].append(i_s >> 32)
+            cols["h_lo"].append(h_s & 0xFFFFFFFF)
+            cols["h_hi"].append(h_s >> 32)
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in cols.items()})
 
     agg = (rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "text"])
            .map_batches(partials, batch_format="pyarrow")
-           .groupby("part").aggregate(Sum("n", alias_name="n"),
-                                      Sum("id_sum", alias_name="id_sum"),
-                                      Sum("h_sum", alias_name="h_sum")))
+           .groupby("part").aggregate(
+               Sum("n", alias_name="n"),
+               Sum("id_lo", alias_name="id_lo"),
+               Sum("id_hi", alias_name="id_hi"),
+               Sum("h_lo", alias_name="h_lo"),
+               Sum("h_hi", alias_name="h_hi")))
     out = {}
     for r in agg.take_all():
+        id_sum = ((int(r["id_hi"]) << 32) + int(r["id_lo"])) % MOD
+        h_sum = ((int(r["h_hi"]) << 32) + int(r["h_lo"])) % MOD
         out[int(r["part"])] = fingerprint(
-            str(r["n"]), str(int(r["id_sum"]) % MOD),
-            str(int(r["h_sum"]) % MOD), str(n_parts))
+            str(r["n"]), str(id_sum), str(h_sum), str(n_parts))
     return out
 
 
