@@ -27,9 +27,11 @@ _KG_CACHE: dict[str, dict] = {}
 def _kg(sf_dir: str) -> dict:
     if sf_dir not in _KG_CACHE:
         from askg_ray.pipelines.kg import build_kg
-        from askg_ray.sources.docs_adapter import pages_from_documents
+        from askg_ray.sources.docs_adapter import (KG_PAGE_COLUMNS,
+                                                   pages_from_documents)
 
-        _KG_CACHE[sf_dir] = build_kg(pages_from_documents(sf_dir))
+        _KG_CACHE[sf_dir] = build_kg(pages_from_documents(
+            sf_dir, columns=KG_PAGE_COLUMNS))
     return _KG_CACHE[sf_dir]
 
 
@@ -78,9 +80,10 @@ def _kg_language_hist(sf_dir):
 def _kg_texts(sf_dir):
     """Byte-identical extraction surface: url + extracted text."""
     from askg_ray.pipelines.kg import extract_texts
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
-    return extract_texts(pages_from_documents(sf_dir))
+    return extract_texts(pages_from_documents(sf_dir,
+                                               columns=KG_PAGE_COLUMNS))
 
 
 def _kg_page_registry_hist(sf_dir):
@@ -89,18 +92,20 @@ def _kg_page_registry_hist(sf_dir):
     hash-checkable against the md5-arithmetic page oracle
     (oracle/pages_sql.py)."""
     from askg_ray.pipelines.kg import extract_entities
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
-    return (extract_entities(pages_from_documents(sf_dir))
+    return (extract_entities(pages_from_documents(sf_dir,
+                                                   columns=KG_PAGE_COLUMNS))
             .groupby("registry_source").count())
 
 
 def _kg_page_language_hist(sf_dir):
     """Pre-dedup implementation-language histogram (see above)."""
     from askg_ray.pipelines.kg import extract_entities
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
-    return (extract_entities(pages_from_documents(sf_dir))
+    return (extract_entities(pages_from_documents(sf_dir,
+                                                   columns=KG_PAGE_COLUMNS))
             .groupby("implementation_language").count())
 
 
@@ -110,9 +115,10 @@ def _kg_entity_fields(sf_dir):
     check the HTML extractor has (parity pytest covers the dedup'd
     graph; this pins the extraction itself)."""
     from askg_ray.pipelines.kg import extract_entities
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
-    return extract_entities(pages_from_documents(sf_dir)).select_columns(
+    return extract_entities(pages_from_documents(
+        sf_dir, columns=KG_PAGE_COLUMNS)).select_columns(
         ["source_url", "id", "name", "author", "description",
          "repository", "implementation_language", "popularity_score"])
 
@@ -190,9 +196,9 @@ def _kg_dedup_stats(sf_dir):
     from askg_ray.ops.analyze import dedup_stats
     from askg_ray.pipelines.kg import extract_entities
     from askg_ray.rayutil import compact
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
-    pages = compact(pages_from_documents(sf_dir))
+    pages = compact(pages_from_documents(sf_dir, columns=KG_PAGE_COLUMNS))
     ents = compact(extract_entities(pages))
     return dedup_stats(pages, ents, _kg(sf_dir)["nodes"])
 

@@ -117,7 +117,7 @@ def incremental_entities(sf_dir: str, ckpt_dir: str,
     Returns (entities Dataset, chained fingerprint, per-partition log).
     """
     from ..pipelines.kg import extract_entities
-    from ..sources.docs_adapter import pages_from_documents
+    from ..sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
     version = STAGE_VERSIONS["entities"]
     fps = _partition_fingerprints(sf_dir, n_partitions)
@@ -135,7 +135,8 @@ def incremental_entities(sf_dir: str, ckpt_dir: str,
             continue
         t0 = time.time()
         ds = extract_entities(pages_from_documents(
-            sf_dir, partition=(k, n_partitions)))
+            sf_dir, partition=(k, n_partitions),
+            columns=KG_PAGE_COLUMNS))
         ds = write_stage(ds, pdir, fp, version,
                          metrics={"build_wall_s": round(time.time() - t0, 3)})
         plog.append({"part": k, "skipped": False,
@@ -147,7 +148,8 @@ def incremental_entities(sf_dir: str, ckpt_dir: str,
     if not parts_ds:
         # empty corpus: run the extraction once over the (empty) input
         # so the empty-table schema matches the from-scratch build
-        return (extract_entities(pages_from_documents(sf_dir)),
+        return (extract_entities(pages_from_documents(
+                    sf_dir, columns=KG_PAGE_COLUMNS)),
                 combined_fp, plog)
     ents = parts_ds[0]
     for p in parts_ds[1:]:

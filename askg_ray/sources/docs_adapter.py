@@ -128,14 +128,25 @@ def _replica_page(doc_id: int, r: int) -> tuple[str, bytes]:
 
 
 def docs_to_pages_batch(batch: pa.Table, replication: int = 1,
-                        uniq_mult: int = 1) -> pa.Table:
+                        uniq_mult: int = 1,
+                        columns: list[str] | None = None) -> pa.Table:
     """``replication``: appearance pages per entity (duplicates the
     dedup cascade must collapse — scales extraction/dedup work, keeps
     the canonical node set fixed). ``uniq_mult``: DISTINCT entities
     rendered per document row (doc_id → extended ids doc_id·m+k) —
     scales the corpus the way real growth does: more unique entities,
     linearly more near-dup clusters, quadratically more edges within
-    category blocks (the reference's own edge semantics)."""
+    category blocks (the reference's own edge semantics).
+
+    ``columns``: the generator analog of ``read_parquet(columns=...)``
+    projection pushdown. At 100 TB the pages corpus is STORED and a
+    reader never decodes columns the pipeline prunes; here the corpus
+    is synthesized in-stream, so skipping an un-requested column's
+    computation is the faithful equivalent. Concretely: the ``text``
+    column costs a full extractor parse per page (measured ≈37% of the
+    whole extract stage) and the KG pipeline re-derives text from
+    ``html`` anyway."""
+    want = set(columns) if columns is not None else {f.name for f in PAGES_SCHEMA}
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for doc_id, lang in zip(batch["doc_id"].to_pylist(), batch["lang"].to_pylist()):
         doc_id = int(doc_id)
@@ -148,20 +159,26 @@ def docs_to_pages_batch(batch: pa.Table, replication: int = 1,
                 urls.append(url)
                 tss.append(_BASE_TS + timedelta(seconds=ext, milliseconds=r))
                 htmls.append(html)
-                texts.append(extract_text(html))
+                if "text" in want:
+                    texts.append(extract_text(html))
                 langs.append(lang)
-    return pa.table({
+    cols = {
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
         "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.large_string()),
+        "text": (pa.array(texts, pa.large_string()) if "text" in want
+                 else None),
         "lang": pa.array(langs, pa.string()),
-    }, schema=PAGES_SCHEMA)
+    }
+    fields = [f for f in PAGES_SCHEMA if f.name in want]
+    return pa.table({f.name: cols[f.name] for f in fields},
+                    schema=pa.schema(fields))
 
 
 def pages_from_documents(sf_dir: str, replication: int = 1,
                          uniq_mult: int = 1,
-                         partition: tuple[int, int] | None = None):
+                         partition: tuple[int, int] | None = None,
+                         columns: list[str] | None = None):
     """Ray Dataset of pages rendered from {sf_dir}/documents.parquet.
 
     The render (and the downstream HTML extraction) is CPU-bound per
@@ -174,7 +191,13 @@ def pages_from_documents(sf_dir: str, replication: int = 1,
 
     ``partition=(k, n)`` keeps only docs with ``doc_id % n == k`` —
     the hash-partition grain the incremental runner re-extracts at
-    (pipelines/runner.incremental_entities)."""
+    (pipelines/runner.incremental_entities).
+
+    ``columns``: projection pushdown into the generator (see
+    docs_to_pages_batch) — callers that never read the stored ``text``
+    column (the whole KG build re-derives text from html) pass
+    ``columns=KG_PAGE_COLUMNS`` and skip its per-page parse cost,
+    exactly as a parquet read would skip decoding it."""
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -198,15 +221,23 @@ def pages_from_documents(sf_dir: str, replication: int = 1,
         ids = docs["doc_id"].to_numpy(zero_copy_only=False)
         docs = docs.filter(pa.array(ids % n == k))
     if docs.num_rows == 0:
-        return rd.from_arrow(PAGES_SCHEMA.empty_table())
+        empty = (PAGES_SCHEMA if columns is None
+                 else pa.schema([f for f in PAGES_SCHEMA
+                                 if f.name in set(columns)]))
+        return rd.from_arrow(empty.empty_table())
     nchunks = min(default_nblocks() * 2, max(1, docs.num_rows))
     step = -(-docs.num_rows // nchunks)
     refs = [ray.put(docs.slice(i, step))
             for i in range(0, docs.num_rows, step)]
     return rd.from_arrow_refs(refs).map_batches(
         lambda t: docs_to_pages_batch(t, replication=replication,
-                                      uniq_mult=uniq_mult),
+                                      uniq_mult=uniq_mult, columns=columns),
         batch_format="pyarrow")
+
+
+# the projection every html-deriving consumer needs (kg build, kg_texts,
+# mention linking, dedup stats): everything except the stored text
+KG_PAGE_COLUMNS = ["url", "warc_ts", "html"]
 
 
 def pages_table_from_documents(sf_dir: str) -> pa.Table:

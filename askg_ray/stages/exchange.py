@@ -53,8 +53,19 @@ def _nred_default(n_rows: int) -> int:
     # 48 MB per reducer) so the hundred-million-row exchanges the
     # round-4 gate raises admit keep flat per-reducer memory — the
     # 224M-row sf0.1 cosine partials reduce in ~13 s at this sizing.
-    return max(8, min(64, -(-n_rows // 3000)),
-               min(256, -(-n_rows // 2_000_000)))
+    # Round 5: the row-derived count is additionally capped at 4× the
+    # cluster's CPU count — on a narrow cluster, 54 reducers over 4
+    # cpus is 13 waves of pure launch floor for the same work 16
+    # reducers do in 4 (the measured driver of the 4-cpu exchange
+    # overhead in SCALING_r04's Amdahl fit). Wide clusters are
+    # unaffected; the 2M-rows/reducer memory bound still wins at the
+    # high end so per-reducer heap stays flat.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    by_rows = min(max(8, min(64, -(-n_rows // 3000))), max(8, 4 * cpus))
+    return max(by_rows, min(256, -(-n_rows // 2_000_000)))
 
 
 def _hash_buckets(col, nred: int) -> np.ndarray:

@@ -246,15 +246,18 @@ def semi_join_keys(pairs, keys_ds, col: str,
     if n < broadcast_threshold:
         import ray
 
-        keep: set = set()
-        for b in keys_ds.iter_batches(batch_format="pyarrow"):
-            keep.update(b[key_col].to_pylist())
-        ref = ray.put(keep)
+        import pyarrow.compute as pc
+
+        chunks = [b[key_col].combine_chunks()
+                  for b in keys_ds.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        keep_arr = pc.unique(pa.chunked_array(chunks).combine_chunks())
+        ref = ray.put(keep_arr)
 
         def filt(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            mask = [v in s for v in batch[col].to_pylist()]
-            return batch.filter(pa.array(mask))
+            # vectorized membership test (was a per-row Python set probe)
+            vs = ray.get(ref)
+            return batch.filter(pc.is_in(batch[col], value_set=vs))
 
         return pairs.map_batches(filt, batch_format="pyarrow")
 

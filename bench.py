@@ -59,13 +59,14 @@ def _bench_queries():
     from askg_ray.ops.text import token_stats
     from askg_ray.ops.webqual import gopher_quality
     from askg_ray.pipelines.kg import build_kg
-    from askg_ray.sources.docs_adapter import pages_from_documents
+    from askg_ray.sources.docs_adapter import KG_PAGE_COLUMNS, pages_from_documents
 
     state: dict = {}
 
     def kg_build():
         out = build_kg(pages_from_documents(SF_DIR, replication=PAGE_REPL,
-                                            uniq_mult=DOC_MULT),
+                                            uniq_mult=DOC_MULT,
+                                            columns=KG_PAGE_COLUMNS),
                        max_out_degree=MAX_OUT_DEGREE)
         state["n_edges"] = out["edges"].count()
         state["n_nodes"] = out["nodes"].count()
