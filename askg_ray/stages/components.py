@@ -179,15 +179,6 @@ def connected_components(pairs, driver_threshold: int = 2_000_000, max_rounds: i
 
 
 def _driver_union_find(pairs):
-    """Vectorized driver-side components: factorize the string ids once
-    (C), then numpy min-label propagation with pointer jumping —
-    O(E) per round, rounds ≈ log(component diameter); dup clusters are
-    near-cliques so 2-3 rounds settle. Replaces the per-pair Python
-    find/union loop, which was the flat ~1 s/invocation cost of every
-    small components call (two per KG build). Labels are the
-    lexicographic-min member id, identical to the old min-root union."""
-    import numpy as np
-    import pandas as pd
     import ray.data as rd
 
     chunks = [b for b in pairs.iter_batches(batch_format="pyarrow")
@@ -195,6 +186,24 @@ def _driver_union_find(pairs):
     if not chunks:
         return rd.from_arrow(LABEL_SCHEMA.empty_table())
     t = pa.concat_tables([c.select(["a", "b"]) for c in chunks])
+    return rd.from_arrow(local_components(t))
+
+
+def local_components(t: pa.Table) -> pa.Table:
+    """Vectorized in-memory components over one (a, b) pair table:
+    factorize the string ids once (C), then numpy min-label propagation
+    with pointer jumping — O(E) per round, rounds ≈ log(component
+    diameter); dup clusters are near-cliques so 2-3 rounds settle.
+    Replaces the per-pair Python find/union loop, which was the flat
+    ~1 s/invocation cost of every small components call (two per KG
+    build). Labels are the lexicographic-min member id, identical to
+    the old min-root union. Shared by the gated driver path here and
+    the near-dedup small-pair fast path (stages/dedup_near.py)."""
+    import numpy as np
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return LABEL_SCHEMA.empty_table()
     both = pa.chunked_array([t["a"].combine_chunks().cast(pa.string()),
                              t["b"].combine_chunks().cast(pa.string())])
     codes, uniq = pd.factorize(both.to_pandas(), sort=False)
@@ -223,8 +232,7 @@ def _driver_union_find(pairs):
     comp = uniq[idx[labels]]
     out = pd.DataFrame({"node": uniq, "component": comp}).sort_values(
         "node", kind="stable")
-    t_out = pa.table({"node": pa.array(out["node"].to_numpy(), pa.string()),
-                      "component": pa.array(out["component"].to_numpy(),
-                                            pa.string())},
-                     schema=LABEL_SCHEMA)
-    return rd.from_arrow(t_out)
+    return pa.table({"node": pa.array(out["node"].to_numpy(), pa.string()),
+                     "component": pa.array(out["component"].to_numpy(),
+                                           pa.string())},
+                    schema=LABEL_SCHEMA)

@@ -57,6 +57,12 @@ _AUTHOR_FLAG = 1 << 62
 import os as _os
 
 _PAYLOAD_MAX = int(_os.environ.get("ASKG_NEAR_PAYLOAD_MAX", "250000"))
+# verified-pair count below which near_dedup's label/semi-join plumbing
+# runs on the driver (same bound as connected_components' gate: pair
+# volume scales with dup density, not corpus rows; 2M thin pairs ≈ tens
+# of MB). 0 forces the distributed path (tests).
+_DRIVER_PAIRS_MAX = int(_os.environ.get("ASKG_NEAR_DRIVER_PAIRS_MAX",
+                                        "2000000"))
 # __uid = source_url: unique per RECORD even when two distinct records
 # share a candidate id (selfjoin cell dedupe keys on (id, __uid))
 _SLIM_COLS = ["id", "__uid", "name", "norm_name", "author", "description",
@@ -683,6 +689,46 @@ def near_dedup(nodes, broadcast_threshold=None):
                                        payload_refs=payload_refs,
                                        payload_project=_slim_view))
     prof("near:candidates:pinned")
+
+    # Small-pair fast path (same 2M gate as connected_components'
+    # driver shortcut): ``tagged`` is already pinned and THIN
+    # (a, b, kind) — one driver fetch serves both phases' kind filters,
+    # both component passes (the vectorized in-memory kernel) and the
+    # phase-2 survivor semi-join, replacing 2 filter executions, 2
+    # components round-trips and 2 semi-join setups (~2 s of flat
+    # per-job launch floors at any width). Above the gate every step
+    # stays a Dataset exactly as before. broadcast_threshold=0 (the
+    # tests' force-distributed knob) disables it, so the pytest that
+    # compares forced-vs-default output now checks the fast path
+    # against the fully distributed one end to end.
+    if broadcast_threshold != 0 and tagged.count() <= _DRIVER_PAIRS_MAX:
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from .components import LABEL_SCHEMA, local_components
+
+        chunks = [b for b in tagged.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        allp = (pa.concat_tables(chunks) if chunks
+                else _TAGGED_PAIR_SCHEMA.empty_table())
+        f_tbl = allp.filter(pc.equal(allp["kind"], "f")).select(["a", "b"])
+        s_tbl = allp.filter(pc.equal(allp["kind"], "s")).select(["a", "b"])
+        labels1 = rd.from_arrow(local_components(f_tbl))
+        prof("near:components1")
+        d2 = compact(_tag_and_group(nodes, labels1, _phase1_group,
+                                    broadcast_threshold))
+        prof("near:phase1:pinned")
+        surv = pa.chunked_array(
+            [b["id"].combine_chunks()
+             for b in d2.select_columns(["id"])
+             .iter_batches(batch_format="pyarrow") if b.num_rows]
+            or [pa.array([], pa.string())]).combine_chunks()
+        keep = pc.and_(pc.is_in(s_tbl["a"], value_set=surv),
+                       pc.is_in(s_tbl["b"], value_set=surv))
+        labels2 = rd.from_arrow(local_components(s_tbl.filter(keep)))
+        prof("near:components2")
+        return _tag_and_group(d2, labels2, _phase2_group,
+                              broadcast_threshold)
 
     labels1 = connected_components(
         tagged.map_batches(_filter_kind("f"), batch_format="pyarrow"))
