@@ -217,11 +217,26 @@ def local_components(t: pa.Table) -> pa.Table:
     idx = np.empty(n, dtype=np.int64)   # rank value -> node index
     idx[rank] = np.arange(n)
     labels = rank.copy()
+    # pre-sort each edge endpoint ONCE; per-iteration scatter-min then
+    # runs as np.minimum.reduceat over the fixed run boundaries — the
+    # ufunc.at scatter it replaces was ~10× slower and dominated the
+    # kernel at ~1M edges
+    def _runs(endpoints):
+        order = np.argsort(endpoints, kind="stable")
+        srt = endpoints[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(srt)) + 1))
+        return order, starts, srt[starts]
+
+    oa, sa, na = _runs(ea)
+    ob, sb, nb = _runs(eb)
     while True:
         before = labels.copy()
         m = np.minimum(labels[ea], labels[eb])
-        np.minimum.at(labels, ea, m)
-        np.minimum.at(labels, eb, m)
+        labels[na] = np.minimum(labels[na],
+                                np.minimum.reduceat(m[oa], sa))
+        m = np.minimum(labels[ea], labels[eb])
+        labels[nb] = np.minimum(labels[nb],
+                                np.minimum.reduceat(m[ob], sb))
         while True:  # pointer jumping: compress label chains
             nl = labels[idx[labels]]
             if np.array_equal(nl, labels):
